@@ -11,13 +11,28 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // DuckDB reads TIMESTAMP_MICROS natively; INT96 (Spark's default)
+      // round-trips less predictably — pin the portable encoding.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // DuckDB reads Spark's UTC-adjusted timestamps as TIMESTAMPTZ,
+        // while the oracle SQL yields naive TIMESTAMP — normalize all
+        // top-level timestamp outputs to NTZ so representations agree.
+        val out = df.schema.fields.foldLeft(df) { (d, f) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType =>
+              d.withColumn(f.name, d(f.name).cast(org.apache.spark.sql.types.TimestampNTZType))
+            case _ => d
+          }
+        }
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

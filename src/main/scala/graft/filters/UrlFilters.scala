@@ -1,0 +1,197 @@
+package graft.filters
+
+import java.util.Locale
+import scala.util.matching.Regex
+
+import graft.functions.Urls
+
+/** The URL filter/normalizer chain.
+  *
+  * Chain semantics follow the reference (`core/.../filtering/URLFilters
+  * .java:109-126`): an ordered fold where each filter maps
+  * `url -> Some(url') | None` and `None` short-circuits (drop). Applied at
+  * every outlink emission (`StatusEmitterBolt.java:85-113`) and standalone
+  * on the status stream (`URLFilterBolt.java:65-95`).
+  *
+  * Each filter is a pure function `(targetUrl, sourceUrl, metadata) =>
+  * Option[String]`, so the whole chain compiles to ONE composed Scala
+  * function usable as a single UDF — one function call per row, no
+  * UDF-soup. The SQL-expressible members (length cap, regex rules) are
+  * additionally expressible as column predicates for pushdown-friendly
+  * batch paths.
+  */
+trait UrlFilter extends Serializable {
+  def apply(url: String, sourceUrl: Option[String], md: Map[String, Seq[String]]): Option[String]
+}
+
+/** Drop overly long URLs / repeated path elements
+  * (`core/.../filtering/basic/BasicURLFilter.java:29`). */
+final class BasicUrlFilter(maxLength: Int = 1024, maxPathRepetition: Int = 3) extends UrlFilter {
+  def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] = {
+    if (url.length > maxLength) return None
+    if (maxPathRepetition > 0) {
+      val pathStart = url.indexOf('/', url.indexOf("://") + 3)
+      if (pathStart > 0) {
+        val segs = url.substring(pathStart).takeWhile(c => c != '?' && c != '#').split('/').filter(_.nonEmpty)
+        val counts = segs.groupBy(identity).view.mapValues(_.length)
+        if (counts.exists(_._2 > maxPathRepetition)) return None
+      }
+    }
+    Some(url)
+  }
+}
+
+/** Drop self-links (`filtering/basic/SelfURLFilter.java:28`). */
+final class SelfUrlFilter extends UrlFilter {
+  def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] =
+    if (src.exists(_.equalsIgnoreCase(url))) None else Some(url)
+}
+
+/** Drop when depth metadata exceeds the max; per-URL override via
+  * `max.depth` (`filtering/depth/MaxDepthFilter.java:35-…`). */
+final class MaxDepthFilter(maxDepth: Int = -1) extends UrlFilter {
+  def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] = {
+    val depth = md.get("depth").flatMap(_.headOption).flatMap(_.toIntOption).getOrElse(0)
+    val limit = md.get("max.depth").flatMap(_.headOption).flatMap(_.toIntOption).getOrElse(maxDepth)
+    if (limit >= 0 && depth >= limit) None else Some(url)
+  }
+}
+
+/** Keep only same host / same paid-level domain as the source
+  * (`filtering/host/HostURLFilter.java:41-…`). */
+final class HostUrlFilter(ignoreOutsideHost: Boolean = false, ignoreOutsideDomain: Boolean = true)
+    extends UrlFilter {
+  def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] =
+    src match {
+      case None => Some(url)
+      case Some(s) =>
+        (Urls.host(url), Urls.host(s)) match {
+          case (Some(th), Some(sh)) =>
+            if (ignoreOutsideHost && th != sh) None
+            else if (ignoreOutsideDomain && Urls.paidLevelDomain(th) != Urls.paidLevelDomain(sh)) None
+            else Some(url)
+          case _ => None
+        }
+    }
+}
+
+/** Drop unless metadata contains a configured k=v
+  * (`filtering/metadata/MetadataFilter.java:33-…`). */
+final class MetadataFilter(required: Map[String, String]) extends UrlFilter {
+  def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] =
+    if (required.forall { case (k, v) => md.get(k).exists(_.contains(v)) }) Some(url) else None
+}
+
+/** Nutch-style ordered `+`/`-` regex rules; first match wins, no match =>
+  * drop (`filtering/regex/RegexURLFilterBase.java:152`). */
+final class RegexUrlFilter(rules: Seq[(Boolean, Regex)]) extends UrlFilter {
+  def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] = {
+    for ((accept, re) <- rules)
+      if (re.findFirstIn(url).isDefined) return if (accept) Some(url) else None
+    None
+  }
+}
+
+object RegexUrlFilter {
+  /** Parse the reference's `default-regex-filters.txt` line format:
+    * lines starting with '+' accept, '-' reject, '#' comment. */
+  def parse(lines: Seq[String]): RegexUrlFilter = {
+    val rules = lines.flatMap { l =>
+      val t = l.trim
+      if (t.isEmpty || t.startsWith("#")) None
+      else if (t.startsWith("+")) Some((true, t.drop(1).trim.r))
+      else if (t.startsWith("-")) Some((false, t.drop(1).trim.r))
+      else None
+    }
+    new RegexUrlFilter(rules)
+  }
+
+  /** Reference's default rules (conceptually `core/src/main/resources/
+    * default-regex-filters.txt`): drop non-http protocols, common binary
+    * extensions and infinite-loop query patterns; accept the rest. */
+  val default: RegexUrlFilter = parse(Seq(
+    "-(?i)\\.(?:gif|jpg|jpeg|png|ico|css|sit|eps|wmf|zip|ppt|mpg|gz|rpm|tgz|mov|exe|bmp|js)$",
+    "-[?*!@=]",
+    "+^https?://"
+  ))
+}
+
+/** Scoped Allow/Deny rules: domain: / host: / metadata: / GLOBAL scopes,
+  * first matching scope wins (`filtering/regex/FastURLFilter.java:44-69`).
+  */
+final class FastUrlFilter(
+    hostRules: Map[String, Seq[(Boolean, Regex)]],
+    domainRules: Map[String, Seq[(Boolean, Regex)]],
+    globalRules: Seq[(Boolean, Regex)]) extends UrlFilter {
+
+  private def eval(rules: Seq[(Boolean, Regex)], pathQuery: String): Option[Boolean] =
+    rules.collectFirst { case (allow, re) if re.findFirstIn(pathQuery).isDefined => allow }
+
+  def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] = {
+    val h = Urls.host(url).getOrElse(return None)
+    val pathQuery = {
+      val i = url.indexOf('/', url.indexOf("://") + 3)
+      if (i < 0) "/" else url.substring(i)
+    }
+    val scoped =
+      hostRules.get(h).flatMap(eval(_, pathQuery))
+        .orElse(domainRules.get(Urls.paidLevelDomain(h)).flatMap(eval(_, pathQuery)))
+        .orElse(eval(globalRules, pathQuery))
+    scoped match {
+      case Some(false) => None
+      case _           => Some(url) // allow, or no rule matched
+    }
+  }
+}
+
+/** sed-style regex substitutions (`filtering/regex/RegexURLNormalizer
+  * .java:58`): every rule applied in order, repeatedly until fixpoint
+  * (bounded). */
+final class RegexUrlNormalizer(rules: Seq[(Regex, String)], maxPasses: Int = 4) extends UrlFilter {
+  def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] = {
+    var cur = url
+    var pass = 0
+    var changed = true
+    while (changed && pass < maxPasses) {
+      val next = rules.foldLeft(cur) { case (u, (re, sub)) => re.replaceAllIn(u, sub) }
+      changed = next != cur
+      cur = next
+      pass += 1
+    }
+    if (cur.isEmpty) None else Some(cur)
+  }
+}
+
+/** BasicURLNormalizer as a chain member. */
+final class BasicUrlNormalizer(removeParams: Set[String] = Urls.defaultRemovedParams) extends UrlFilter {
+  def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] =
+    Urls.normalize(url, removeParams)
+}
+
+/** The composed chain — ordered fold with None short-circuit
+  * (`URLFilters.java:109-126`). */
+final class UrlFilterChain(filters: Seq[UrlFilter]) extends Serializable {
+  def apply(url: String, sourceUrl: Option[String] = None,
+            md: Map[String, Seq[String]] = Map.empty): Option[String] = {
+    var cur = url
+    for (f <- filters) {
+      f(cur, sourceUrl, md) match {
+        case Some(next) => cur = next
+        case None       => return None
+      }
+    }
+    Some(cur)
+  }
+}
+
+object UrlFilterChain {
+  /** Default chain mirroring the archetype's `urlfilters.json`: normalize
+    * first, then cheap predicates, then regex rules. */
+  def default(maxDepth: Int = -1): UrlFilterChain = new UrlFilterChain(Seq(
+    new BasicUrlNormalizer(),
+    new BasicUrlFilter(),
+    new SelfUrlFilter(),
+    new MaxDepthFilter(maxDepth),
+    RegexUrlFilter.default
+  ))
+}

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CrawlFunctions, UdfRegistry}
+import Tables._
+
+/** Crawl-domain operator queries (SURVEY §2.1, §2.2, §2.5, §2.7, §2.8),
+  * each with a DuckDB oracle over the same parquet tables.
+  *
+  * These exercise the engine's operators over the synthetic tables:
+  * frontier selection (per-key top-K window — AggregationSpout/SQLSpout
+  * semantics), status aggregation (StatusMetricsBolt), partition keys
+  * (URLPartitioner), normalizer + filter chains, the scheduler CASE
+  * expression (DefaultScheduler), the frontier merge dedup
+  * (AbstractStatusUpdaterBolt), and the indexer projection.
+  */
+object CrawlQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Frontier selection: ≤3 due URLs per key, like AggregationSpout's
+    // terms-agg + top_hits (`AggregationSpout.java:110-166`) / SQLSpout's
+    // rank() window (`SQLSpout.java:120-139`). Window shuffles once on
+    // `key`; the status filter is pushed to the scan.
+    "q02_frontier_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("key")).orderBy(col("next_fetch_date"), col("url"))
+      statusView(s, dir)
+        .where(col("status") === "DISCOVERED")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("key"), col("url"), col("next_fetch_date"), col("rn"))
+        .orderBy(col("key"), col("rn"))
+    }),
+
+    // Count-by-status — the reference's one true global aggregation
+    // (`StatusMetricsBolt.java:44,65-110`). Partial agg map-side, single
+    // tiny shuffle.
+    "q03_status_counts" -> ((s, dir) =>
+      statusView(s, dir)
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")),
+
+    // URLPartitioner byHost + byDomain as codegen'd column expressions
+    // (`URLPartitioner.java:44-93`) — counts per key.
+    "q04_partition_key" -> ((s, dir) => {
+      val v = docUrlView(s, dir)
+      v.select(
+          CrawlFunctions.hostCol(col("url")).as("host"),
+          CrawlFunctions.pldCol(CrawlFunctions.hostCol(col("url"))).as("domain"))
+        .groupBy("host", "domain").agg(count(lit(1)).as("n"))
+        .orderBy("host")
+    }),
+
+    // BasicURLNormalizer (`filtering/basic/BasicURLNormalizer.java`):
+    // lowercase scheme+host, strip fragment + default port, drop session
+    // params. UDF on the Spark side (real normalizer), string ops oracle.
+    "q05_normalize_url" -> ((s, dir) => {
+      UdfRegistry.register(s)
+      t(s, dir, "documents").selectExpr(
+          "doc_id",
+          """normalize_url(concat('HTTP://', upper(source), '.Example.COM:80/Path/',
+            | cast(doc_id as string), '?b=2&sid=abc#frag')) AS url""".stripMargin.replace("\n", " "))
+        .orderBy("doc_id")
+    }),
+
+    // URL filter chain (`URLFilters.java:109-126` fold semantics): the
+    // default regex rules drop media extensions and query-noise URLs.
+    // Expressed as column predicates so the filter pushes into the scan.
+    "q06_filter_chain" -> ((s, dir) =>
+      docUrlView(s, dir)
+        .where(!col("url").rlike("(?i)\\.(?:gif|jpg|jpeg|png|ico|css|zip|exe|js)$") &&
+               !col("url").rlike("[?*!@=]") &&
+               col("url").rlike("^https?://"))
+        .select("doc_id", "url")
+        .orderBy("doc_id")),
+
+    // DefaultScheduler (`DefaultScheduler.java:56-97`): next fetch date =
+    // now + per-status interval (FETCHED 1440 min, FETCH_ERROR 120,
+    // REDIRECTION 1440, ERROR never ⇒ null). Pure CASE expression.
+    "q07_schedule" -> ((s, dir) =>
+      statusView(s, dir).selectExpr(
+          "url",
+          "status",
+          """CASE status
+               WHEN 'FETCHED'     THEN next_fetch_date + INTERVAL 1440 MINUTE
+               WHEN 'FETCH_ERROR' THEN next_fetch_date + INTERVAL 120 MINUTE
+               WHEN 'REDIRECTION' THEN next_fetch_date + INTERVAL 1440 MINUTE
+               WHEN 'DISCOVERED'  THEN next_fetch_date
+               ELSE NULL
+             END AS scheduled""")
+        .orderBy("url")),
+
+    // Frontier merge dedup (`AbstractStatusUpdaterBolt.java:139-242`):
+    // multiple discoveries of one URL collapse to the earliest
+    // (discoveryDate semantics) — window dedup, one shuffle on the id.
+    "q08_merge_dedup" -> ((s, dir) => {
+      val v = statusView(s, dir)
+        .withColumn("url_sha256", CrawlFunctions.urlSha256(col("url")))
+      val w = Window.partitionBy(col("url_sha256")).orderBy(col("next_fetch_date"), col("event_id"))
+      v.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
+    // Indexer projection (`AbstractIndexerBolt.java:191-247`): mapping
+    // spec compiled to a SELECT — here a JSON metadata field extraction
+    // with alias + text-length trim analogue.
+    "q09_indexer_projection" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("meta_k"),
+          col("event_type").as("doc_type"))
+        .where(col("meta_k") > 50)
+        .orderBy("event_id")),
+
+    // Parse-stage outlink explosion (`JSoupParserBolt` flatMap →
+    // Catalyst Generator): documents text → words → top-50 wordcount.
+    "q10_outlink_explode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(50)),
+
+    // Purgatory anti-join (`AbstractQueryingSpout.java:149-175`): due
+    // candidates minus in-flight set. Broadcast-able small side.
+    "q11_purgatory_antijoin" -> ((s, dir) => {
+      val v = statusView(s, dir)
+      val inflight = v.where(col("status") === "FETCH_ERROR" && col("event_id") % 97 === 0)
+        .select(col("key").as("k")).distinct()
+      v.where(col("status") === "DISCOVERED")
+        .join(broadcast(inflight), v("key") === inflight("k"), "left_anti")
+        .groupBy("key").agg(count(lit(1)).as("n"))
+        .orderBy("key")
+    }),
+
+    // Status.fromHTTPCode (`Status.java:26-34`) as a CASE expression over
+    // a synthesized http-code column.
+    "q12_status_from_http" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("code",
+          (col("event_id") % 5 * 100 + 200).cast("int"))
+        .select(col("event_id"), CrawlFunctions.statusFromHttpCode(col("code")).as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q02_frontier_topk" ->
+      s"""WITH status_view AS (${Tables.statusViewSql})
+         |SELECT key, url, next_fetch_date, rn FROM (
+         |  SELECT key, url, next_fetch_date,
+         |         row_number() OVER (PARTITION BY key ORDER BY next_fetch_date, url) AS rn
+         |  FROM status_view WHERE status = 'DISCOVERED') x
+         |WHERE rn <= 3 ORDER BY key, rn""".stripMargin,
+
+    "q03_status_counts" ->
+      s"""WITH status_view AS (${Tables.statusViewSql})
+         |SELECT status, count(*) AS n FROM status_view GROUP BY status ORDER BY status""".stripMargin,
+
+    "q04_partition_key" ->
+      s"""WITH v AS (${Tables.docUrlViewSql}),
+         |h AS (SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host FROM v),
+         |hd AS (SELECT host,
+         |         CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+         |              ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain
+         |       FROM h)
+         |SELECT host, domain, count(*) AS n FROM hd GROUP BY host, domain ORDER BY host""".stripMargin,
+
+    "q05_normalize_url" ->
+      """SELECT doc_id,
+        |  concat('http://', lower(source), '.example.com/Path/', CAST(doc_id AS VARCHAR), '?b=2') AS url
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q06_filter_chain" ->
+      s"""WITH v AS (${Tables.docUrlViewSql})
+         |SELECT doc_id, url FROM v
+         |WHERE NOT regexp_matches(url, '(?i)\\.(?:gif|jpg|jpeg|png|ico|css|zip|exe|js)$$')
+         |  AND NOT regexp_matches(url, '[?*!@=]')
+         |  AND regexp_matches(url, '^https?://')
+         |ORDER BY doc_id""".stripMargin,
+
+    "q07_schedule" ->
+      s"""WITH status_view AS (${Tables.statusViewSql})
+         |SELECT url, status,
+         |  CASE status
+         |    WHEN 'FETCHED'     THEN next_fetch_date + INTERVAL 1440 MINUTE
+         |    WHEN 'FETCH_ERROR' THEN next_fetch_date + INTERVAL 120 MINUTE
+         |    WHEN 'REDIRECTION' THEN next_fetch_date + INTERVAL 1440 MINUTE
+         |    WHEN 'DISCOVERED'  THEN next_fetch_date
+         |    ELSE NULL
+         |  END AS scheduled
+         |FROM status_view ORDER BY url""".stripMargin,
+
+    "q08_merge_dedup" ->
+      s"""WITH status_view AS (${Tables.statusViewSql}),
+         |v AS (SELECT *, sha256(url) AS url_sha256 FROM status_view),
+         |d AS (SELECT status, row_number() OVER (PARTITION BY url_sha256 ORDER BY next_fetch_date, event_id) AS rn FROM v)
+         |SELECT status, count(*) AS n FROM d WHERE rn = 1 GROUP BY status ORDER BY status""".stripMargin,
+
+    "q09_indexer_projection" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS meta_k,
+        |  event_type AS doc_type
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "q10_outlink_explode" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) w
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+
+    "q11_purgatory_antijoin" ->
+      s"""WITH status_view AS (${Tables.statusViewSql}),
+         |inflight AS (SELECT DISTINCT key AS k FROM status_view
+         |             WHERE status = 'FETCH_ERROR' AND event_id % 97 = 0)
+         |SELECT key, count(*) AS n FROM status_view v
+         |WHERE status = 'DISCOVERED' AND NOT EXISTS (SELECT 1 FROM inflight i WHERE i.k = v.key)
+         |GROUP BY key ORDER BY key""".stripMargin,
+
+    "q12_status_from_http" ->
+      """WITH c AS (SELECT event_id, CAST(event_id % 5 * 100 + 200 AS INT) AS code FROM events),
+        |m AS (SELECT event_id,
+        |        CASE WHEN code = 200 OR code = 304 THEN 'FETCHED'
+        |             WHEN code >= 300 AND code < 400 THEN 'REDIRECTION'
+        |             ELSE 'FETCH_ERROR' END AS status FROM c)
+        |SELECT status, count(*) AS n FROM m GROUP BY status ORDER BY status""".stripMargin
+  )
+}
