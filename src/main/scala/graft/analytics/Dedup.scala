@@ -1,0 +1,140 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash (+ LSH banding), SimHash, n-gram
+  * Jaccard. All pure column algebra — no UDFs — so every stage stays in
+  * whole-stage codegen and scales by adding partitions.
+  *
+  * Scale notes (100 TB): exact dedup = one shuffle on the digest;
+  * MinHash signatures = one explode + one groupBy per doc (shuffle on
+  * doc id, combiner-friendly `min` aggregates); LSH candidate pairs =
+  * self-join on (band, bucket) — the banding bounds bucket sizes, and a
+  * skew-salted repartition on the band key handles hot buckets; the
+  * verify step (exact Jaccard on candidates) touches only candidate
+  * pairs, never the full cross product.
+  *
+  * The hash family is md5-based (`min(md5(seed || ':' || shingle))`
+  * interpreted as a 32-bit int) so results are engine-portable — the
+  * DuckDB oracles reproduce them bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per content digest
+    * (the reference's dedup-by-signature idea, `MD5SignatureParseFilter
+    * .java:48`, applied set-wide). One shuffle. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("digest"), col(idCol))
+      .groupBy("digest")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Whitespace words of a text column (empty tokens dropped). */
+  def words(textCol: Column): Column =
+    filter(split(textCol, " "), w => w =!= "")
+
+  /** k-word shingles; empty array when the doc is shorter than k.
+    * (Spark's `sequence(1, 0)` counts DOWN, so the guard is load-bearing.) */
+  def shingles(wordsCol: Column, k: Int): Column = {
+    val idxs = sequence(lit(1), size(wordsCol) - (k - 1))
+    val mk = transform(idxs, i =>
+      concat_ws(" ", (0 until k).map(o => element_at(wordsCol, i + o)): _*))
+    when(size(wordsCol) >= k, mk).otherwise(array())
+  }
+
+  /** Portable 32-bit hash of a string under a seed: first 8 hex chars of
+    * md5("seed:falue") as a long. Matches DuckDB's
+    * `CAST('0x' || substring(md5(seed || ':' || s), 1, 8) AS BIGINT)`. */
+  def seededHash(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signatures over k-word shingles: one row per doc with
+    * `numHashes` minimum-hash columns `h1..hN`. Explode + groupBy-min:
+    * partial (map-side) mins make the shuffle tiny. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 4, shingleK: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(shingles(words(col(textCol)), shingleK)).as("sh"))
+    sh.groupBy(col(idCol))
+      .agg(
+        min(seededHash(1, col("sh"))).as("h1"),
+        (2 to numHashes).map(i => min(seededHash(i, col("sh"))).as(s"h$i")): _*)
+  }
+
+  /** LSH candidate pairs from unigram MinHash, banded 2×2 (band A =
+    * (h1,h2), band B = (h3,h4)); docs sharing either band within the
+    * same `groupCol` become candidates. Returns distinct (a, b) pairs,
+    * a < b. The group restriction + banding bound the join fan-out. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String): DataFrame = {
+    val sigs = df
+      .select(col(groupCol), col(idCol),
+        explode(array_distinct(words(col(textCol)))).as("w"))
+      .groupBy(col(groupCol), col(idCol))
+      .agg(
+        min(seededHash(1, col("w"))).as("h1"), min(seededHash(2, col("w"))).as("h2"),
+        min(seededHash(3, col("w"))).as("h3"), min(seededHash(4, col("w"))).as("h4"))
+      .select(col(groupCol), col(idCol),
+        concat_ws("_", col("h1"), col("h2")).as("bandA"),
+        concat_ws("_", col("h3"), col("h4")).as("bandB"))
+    def pairsOn(band: String): DataFrame = {
+      val l = sigs.select(col(groupCol), col(idCol).as("a"), col(band).as("bk"))
+      val r = sigs.select(col(groupCol), col(idCol).as("b"), col(band).as("bk"))
+      l.join(r, Seq(groupCol, "bk")).where(col("a") < col("b"))
+        .select(col(groupCol), col("a"), col("b"))
+    }
+    pairsOn("bandA").unionByName(pairsOn("bandB")).distinct()
+  }
+
+  /** Relational 16-bit SimHash over distinct words: per (doc, bit)
+    * contributions ±1 summed, bit set when the sum is positive. Pure
+    * explode + groupBy, engine-portable arithmetic only (no shift
+    * builtins — divisor/power lookup tables instead, so the DuckDB
+    * oracle reproduces it exactly). */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wordsDf = df.select(col(idCol), explode(array_distinct(words(col(textCol)))).as("w"))
+    val powers = array((0 until 16).map(i => lit(1L << i)): _*)
+    val divisors = array(lit(8), lit(4), lit(2), lit(1))
+    val bits = wordsDf
+      .select(col(idCol), substring(md5(col("w")), 1, 4).as("hx"))
+      .select(col(idCol), explode(sequence(lit(0), lit(15))).as("k"), col("hx"))
+      .withColumn("hexval",
+        instr(lit("0123456789abcdef"),
+          col("hx").substr(floor(col("k") / 4).cast("int") + 1, lit(1))) - 1)
+      .withColumn("bit", floor(col("hexval") / element_at(divisors, (col("k") % 4).cast("int") + 1)) % 2)
+      .select(col(idCol), col("k"), (col("bit") * 2 - 1).as("contrib"))
+    bits
+      .groupBy(col(idCol), col("k"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, element_at(powers, col("k").cast("int") + 1)).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** Exact n-gram (here unigram-set) Jaccard similarity for pairs within
+    * a group, over a pre-filtered subset. Shared-word self-join →
+    * intersection counts; per-doc set sizes joined back (broadcast).
+    * At scale: the common-word stop-list / doc-length filter caps the
+    * fan-out of the shared-token join. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, minJaccard: Double): DataFrame = {
+    val tok = df.select(col(groupCol), col(idCol),
+      explode(array_distinct(words(col(textCol)))).as("w"))
+    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val l = tok.select(col(groupCol), col(idCol).as("a"), col("w"))
+    val r = tok.select(col(groupCol), col(idCol).as("b"), col("w"))
+    val shared = l.join(r, Seq(groupCol, "w")).where(col("a") < col("b"))
+      .groupBy(col(groupCol), col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col(idCol).as("a_id"), col("sz").as("sza"))
+    val sb = sizes.select(col(idCol).as("b_id"), col("sz").as("szb"))
+    shared
+      .join(broadcast(sa), col("a") === col("a_id"))
+      .join(broadcast(sb), col("b") === col("b_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col(groupCol), col("a"), col("b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media as opaque `BINARY` columns with
+  * typed metadata, plus decode / feature-extract / frame-sample stages.
+  *
+  * The Spark-side plumbing — schema, batch shape, partition-local
+  * processing via `mapPartitions` over an iterator of rows (the Scala
+  * analogue of `mapInPandas` batches) — is real and tested; the actual
+  * codec call is STUBBED with a deterministic fake (this container has
+  * no image/audio libs): "decoding" derives frame boundaries and
+  * pseudo-features purely from the bytes. Swap [[FakeCodec]] for a real
+  * codec without touching the pipeline.
+  *
+  * Scale: media rows are heavy, so stages repartition by byte-size
+  * ranges upstream when skewed, and all per-row work is map-only.
+  */
+object Multimodal {
+
+  /** media(id, kind, bytes, meta{mime, width, height, duration_ms}) */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),   // image | audio | video
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  /** Deterministic fake codec — byte-derived, engine-independent. */
+  object FakeCodec {
+    val FrameBytes = 16
+    /** "Decode" = fixed-size framing of the payload. A real impl would
+      * call the codec here (`???` boundary). */
+    def frameCount(payload: Array[Byte]): Int =
+      if (payload == null) 0 else payload.length / FrameBytes
+    /** Per-frame pseudo-feature: mean byte value of the frame. */
+    def frameFeatures(payload: Array[Byte]): Seq[Double] =
+      if (payload == null) Seq.empty
+      else payload.grouped(FrameBytes).filter(_.length == FrameBytes)
+        .map(f => f.map(b => (b & 0xff).toDouble).sum / FrameBytes).toSeq
+  }
+
+  /** Synthesize a media table from the `documents` text (UTF-8 bytes as
+    * the opaque payload) — deterministic, so oracle-checkable. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("kind"),
+      col("text").cast("binary").as("bytes"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        lit(null).cast("integer").as("width"),
+        lit(null).cast("integer").as("height"),
+        (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
+
+  /** Frame-sample stage: every row → (media_id, kind, n_frames,
+    * sampled frame indices). Column-algebra framing (length arithmetic)
+    * keeps it codegen'd; a real decoder would move this into
+    * [[decodePartitions]]. */
+  def frameSample(media: DataFrame, everyNth: Int): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      (length(col("bytes")) / FakeCodec.FrameBytes).cast("long").as("n_frames"))
+      .withColumn("sampled_frames",
+        when(col("n_frames") > 0,
+          size(filter(sequence(lit(0), col("n_frames") - 1),
+            i => i % everyNth === 0))).otherwise(0))
+
+  /** The mapPartitions decode stage — batch-shaped like mapInPandas:
+    * partition iterator in, iterator of feature rows out; the codec is
+    * invoked once per row inside the partition loop. */
+  def decodePartitions(spark: SparkSession, media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("mean_feature", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val feats = FakeCodec.frameFeatures(payload)
+          Row(id, FakeCodec.frameCount(payload),
+            if (feats.isEmpty) null else feats.sum / feats.size)
+        }
+      }(enc)
+  }
+}

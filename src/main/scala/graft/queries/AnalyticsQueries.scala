@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+import Tables._
+
+/** Training-data-pipeline operators (dedup, similarity, multimodal, text
+  * analysis) over the `documents` / `embeddings` tables, each with a
+  * DuckDB oracle. The md5-based portable hash family keeps MinHash /
+  * SimHash / winnowing reproducible across engines; float folds are
+  * left-to-right in double precision on both sides (IEEE-deterministic).
+  */
+object AnalyticsQueries {
+
+  private val wordsSql =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  private def h32(seed: Int, e: String): String =
+    s"CAST(concat('0x', substring(md5(concat('$seed:', $e)), 1, 8)) AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on content digest.
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id")),
+
+    // MinHash signatures over 3-word shingles (4 hash functions).
+    "q21_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", 4, 3)
+        .orderBy("doc_id")),
+
+    // LSH candidate-pair counts per source (unigram MinHash, 2×2 bands).
+    "q22_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(t(s, dir, "documents"), "doc_id", "text", "source")
+        .groupBy("source").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source")),
+
+    // SimHash-16 collision histogram.
+    "q23_simhash" -> ((s, dir) =>
+      Dedup.simhash16(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy("simhash").agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
+        .orderBy("simhash")),
+
+    // n-gram (unigram-set) Jaccard near-dup pairs on short docs.
+    "q24_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+          t(s, dir, "documents").where(col("n_chars") < 120),
+          "doc_id", "text", "source", 0.35)
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(100)),
+
+    // Brute-force cosine top-5 neighbors for 0.1% query sample.
+    "q25_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineTopK(e, e.where(col("vec_id") % 1000 === 0),
+          "vec_id", "embedding", 5)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // Random-hyperplane LSH bucket histogram (8-bit buckets).
+    "q26_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBucketHistogram(t(s, dir, "embeddings"), "vec_id", "embedding", 64, 8)
+        .orderBy("bucket")),
+
+    // Quality scoring: stopword ratio, token stats, exact arithmetic.
+    "q27_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Language ID by marker-word argmax.
+    "q28_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace + BPE-ish alnum/symbol split.
+    "q29_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Winnowing fingerprints (4-gram shingles, window 5).
+    "q30_winnow_fingerprint" -> ((s, dir) =>
+      TextAnalysis.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Multimodal: binary media framing + sampling stats per kind.
+    "q31_media_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")), 4)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          sum("n_frames").as("total_frames"),
+          sum("sampled_frames").as("total_sampled"))
+        .orderBy("kind"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q21_minhash_sig" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |         THEN list_transform(generate_series(1, len(ws)-2), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         |         ELSE CAST([] AS VARCHAR[]) END AS shs FROM w),
+         |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh)
+         |SELECT doc_id,
+         |  min(${h32(1, "sh")}) AS h1, min(${h32(2, "sh")}) AS h2,
+         |  min(${h32(3, "sh")}) AS h3, min(${h32(4, "sh")}) AS h4
+         |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q22_lsh_pairs" ->
+      s"""WITH w AS (SELECT source, doc_id, unnest(list_distinct($wordsSql)) AS wd FROM documents),
+         |sig AS (SELECT source, doc_id,
+         |    concat(CAST(min(${h32(1, "wd")}) AS VARCHAR), '_', CAST(min(${h32(2, "wd")}) AS VARCHAR)) AS bandA,
+         |    concat(CAST(min(${h32(3, "wd")}) AS VARCHAR), '_', CAST(min(${h32(4, "wd")}) AS VARCHAR)) AS bandB
+         |  FROM w GROUP BY source, doc_id),
+         |p AS (
+         |  SELECT l.source, l.doc_id AS a, r.doc_id AS b FROM sig l JOIN sig r
+         |    ON l.source = r.source AND l.bandA = r.bandA AND l.doc_id < r.doc_id
+         |  UNION
+         |  SELECT l.source, l.doc_id, r.doc_id FROM sig l JOIN sig r
+         |    ON l.source = r.source AND l.bandB = r.bandB AND l.doc_id < r.doc_id)
+         |SELECT source, count(*) AS n_pairs FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q23_simhash" ->
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct($wordsSql)) AS wd FROM documents),
+         |h AS (SELECT doc_id, substring(md5(wd), 1, 4) AS hx FROM w),
+         |b AS (SELECT doc_id, k,
+         |        CAST(floor((strpos('0123456789abcdef', substring(hx, CAST(k // 4 AS INT) + 1, 1)) - 1)
+         |             / ([8,4,2,1])[(k % 4) + 1]) AS BIGINT) % 2 AS bit
+         |      FROM h, (SELECT unnest(generate_series(0, 15)) AS k) ks),
+         |s AS (SELECT doc_id, k, sum(bit * 2 - 1) AS s FROM b GROUP BY doc_id, k),
+         |sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN ([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,32768])[k + 1] ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM s GROUP BY doc_id)
+         |SELECT simhash, count(*) AS n, min(doc_id) AS min_doc FROM sh GROUP BY simhash ORDER BY simhash""".stripMargin,
+
+    "q24_jaccard_pairs" ->
+      s"""WITH d AS (SELECT * FROM documents WHERE n_chars < 120),
+         |tok AS (SELECT source, doc_id, unnest(list_distinct($wordsSql)) AS w FROM d),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+         |shared AS (SELECT l.source, l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |           FROM tok l JOIN tok r ON l.source = r.source AND l.w = r.w AND l.doc_id < r.doc_id
+         |           GROUP BY l.source, l.doc_id, r.doc_id),
+         |j AS (SELECT shared.source, a, b,
+         |        CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+         |      FROM shared JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+         |SELECT source, a, b, jaccard FROM j WHERE jaccard >= 0.35
+         |ORDER BY jaccard DESC, a, b LIMIT 100""".stripMargin,
+
+    "q25_cosine_topk" ->
+      """WITH nq AS (
+        |  SELECT vec_id AS q_id, embedding AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nrm
+        |  FROM embeddings WHERE vec_id % 1000 = 0),
+        |q AS (SELECT q_id, list_transform(v, x -> CAST(x AS DOUBLE) / nrm) AS q_vec FROM nq),
+        |nc AS (
+        |  SELECT vec_id AS c_id, embedding AS v,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT c_id, list_transform(v, x -> CAST(x AS DOUBLE) / nrm) AS c_vec FROM nc),
+        |s AS (SELECT q_id, c_id,
+        |        list_reduce(list_transform(generate_series(1, len(q_vec)), i -> q_vec[i] * c_vec[i]), (a,b) -> a + b) AS cosine
+        |      FROM q, c WHERE q_id <> c_id),
+        |r AS (SELECT q_id, c_id, cosine,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
+        |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q26_lsh_buckets" -> {
+      val planeBit = (j: Int) =>
+        s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+           |  i -> CAST(embedding[i] AS DOUBLE) *
+           |       (CASE WHEN (strpos('0123456789abcdef', substring(md5(concat('$j:', CAST(i AS VARCHAR))), 1, 1)) - 1) % 2 = 0
+           |             THEN 1.0 ELSE -1.0 END)), (a,b) -> a + b) > 0
+           |THEN ${1 << j} ELSE 0 END""".stripMargin
+      s"""WITH bk AS (SELECT vec_id,
+         |    ${(0 until 8).map(planeBit).mkString(" + ")} AS bucket
+         |  FROM embeddings)
+         |SELECT bucket, count(*) AS n, min(vec_id) AS min_id
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    "q27_quality" ->
+      s"""WITH w AS (SELECT doc_id, text, $wordsSql AS ws FROM documents),
+         |m AS (SELECT doc_id,
+         |        len(ws) AS n_tokens,
+         |        length(text) AS n_chars_m,
+         |        len(list_filter(ws, x -> x IN ('the','and','of','to','in','is','that','for'))) AS n_stop,
+         |        len(regexp_split_to_array(text, '[.,!?;:]')) - 1 AS n_punct
+         |      FROM w)
+         |SELECT doc_id, n_tokens,
+         |  CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+         |  CAST(n_chars_m AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_word_len,
+         |  (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5 +
+         |  (CAST(n_tokens AS DOUBLE) / CAST(n_chars_m + 1 AS DOUBLE)) * 0.5 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q28_langid" -> {
+      val markers = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+      val scoreCols = markers.map { case (l, ws) =>
+        s"len(list_filter(ws, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
+      }.mkString(",\n        ")
+      val langs = markers.map(_._1)
+      val g = s"greatest(${langs.map(l => s"s_$l").mkString(",")})"
+      val pred = langs.map(l => s"WHEN s_$l = g AND g > 0 THEN '$l'").mkString(" ")
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sc AS (SELECT doc_id, len(ws) AS nw,
+         |        $scoreCols
+         |      FROM w),
+         |gg AS (SELECT *, $g AS g FROM sc)
+         |SELECT doc_id,
+         |  CASE $pred ELSE 'und' END AS lang_pred,
+         |  CAST(g AS DOUBLE) / CAST(greatest(nw, 1) AS DOUBLE) AS confidence
+         |FROM gg ORDER BY doc_id""".stripMargin
+    },
+
+    "q29_token_counts" ->
+      s"""SELECT doc_id,
+         |  len($wordsSql) AS ws_tokens,
+         |  len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x <> '')) AS alnum_tokens,
+         |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS symbol_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_winnow_fingerprint" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+         |         THEN list_transform(generate_series(1, len(ws)-3),
+         |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+         |         ELSE CAST([] AS VARCHAR[]) END AS shs FROM w),
+         |hx AS (SELECT doc_id, list_transform(shs, sg -> ${h32(7, "sg")}) AS hs FROM sh WHERE len(shs) > 0),
+         |px AS (SELECT doc_id, unnest(generate_series(1, len(hs))) AS pos1, hs FROM hx),
+         |p2 AS (SELECT doc_id, pos1 - 1 AS pos, hs[pos1] AS h, len(hs) AS np FROM px),
+         |wm AS (SELECT doc_id, pos, np,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+         |       FROM p2)
+         |SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints, min(wmin) AS min_fp
+         |FROM wm WHERE pos <= np - 5
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q31_media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    octet_length(encode(text)) AS nbytes FROM documents),
+        |f AS (SELECT media_id, kind, nbytes // 16 AS n_frames,
+        |        CASE WHEN nbytes // 16 > 0 THEN (nbytes // 16 + 3) // 4 ELSE 0 END AS sampled_frames
+        |      FROM m)
+        |SELECT kind, count(*) AS n_media,
+        |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+        |  CAST(sum(sampled_frames) AS BIGINT) AS total_sampled
+        |FROM f GROUP BY kind ORDER BY kind""".stripMargin
+  )
+}
