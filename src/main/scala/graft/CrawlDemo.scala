@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.fetch.ProtocolFactory
+import graft.filters._
+import graft.frontier.FrontierStore
+import graft.streaming.CrawlTopology
+
+/** End-to-end demo: crawl a local `file://` site (a directory of HTML /
+  * sitemap / feed files), print per-iteration stats and the final
+  * frontier status counts.
+  *
+  * Usage: runMain graft.CrawlDemo <siteDir> [maxIterations]
+  */
+object CrawlDemo {
+  def main(args: Array[String]): Unit = {
+    val siteDir = args.headOption.getOrElse(
+      sys.error("usage: CrawlDemo <siteDir> [maxIterations]"))
+    val maxIter = args.lift(1).map(_.toInt).getOrElse(5)
+
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-crawl-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val chain = new UrlFilterChain(Seq(
+      new BasicUrlNormalizer(), new BasicUrlFilter(), new SelfUrlFilter(),
+      new MaxDepthFilter(10),
+      RegexUrlFilter.parse(Seq(
+        "-(?i)\\.(?:gif|jpg|jpeg|png|ico|css|zip|exe|js)$", "+."))))
+
+    val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    CrawlTopology.seed(spark, store, Seq(s"file://$siteDir/index.html"), chain)
+
+    val stats = CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+      maxIterations = maxIter, crawlDelayMs = 100, respectRobots = false)
+    stats.zipWithIndex.foreach { case (s, i) =>
+      println(s"iter $i: selected=${s.selected} fetched=${s.fetched} " +
+        s"failed=${s.failed} docs=${s.docs} discovered=${s.discovered}")
+    }
+    println("final frontier:")
+    store.statusCounts(spark).orderBy("status").collect()
+      .foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+    spark.stop()
+  }
+}

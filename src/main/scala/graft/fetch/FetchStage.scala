@@ -1,0 +1,118 @@
+package graft.fetch
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Status
+
+/** The fetch stage — FetcherBolt re-expressed for Spark
+  * (`core/.../bolt/FetcherBolt.java:69,472-791`).
+  *
+  * Shape: `repartition(key)` (the politeness "shuffle" — Storm's
+  * FIELDS(key) grouping, `crawler.flux:53-55`) then `mapPartitions`
+  * with a per-key token bucket: all URLs of one host land in one
+  * partition, so per-host crawl-delay is enforced locally with no
+  * coordination. Robots rules come from an executor-local TTL cache.
+  *
+  * Emits a union row per URL: content fields for FETCHED pages plus a
+  * status for every URL (FetcherBolt routes FETCHED→content stream,
+  * errors/redirects→status stream; here one DataFrame, split by
+  * `filter` downstream — Spark's exchange reuse means the split does
+  * not re-fetch).
+  *
+  * Politeness-vs-batch-completion (SURVEY §7 risk): the per-key
+  * selection upstream bounds URLs/host/batch (`maxURLsPerBucket`), so a
+  * batch's max wait is perBucket × crawlDelay — keep batches small and
+  * frequent rather than sleeping long inside tasks.
+  */
+object FetchStage {
+
+  val outputSchema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("status", StringType, nullable = false),
+    StructField("http_code", IntegerType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("redirect_to", StringType, nullable = true),
+    StructField("fetch_ms", LongType, nullable = false),
+    StructField("metadata", MapType(StringType, ArrayType(StringType), valueContainsNull = false),
+      nullable = true)))
+
+  /** Fetch a batch of (url, key, metadata) rows with politeness.
+    *
+    * @param crawlDelayMs   default per-host delay (reference default 1 s,
+    *                       `crawler-default.yaml:22`)
+    * @param maxCrawlDelayMs robots Crawl-delay above this skips the host
+    *                       (`fetcher.max.crawl.delay`=30 s)
+    * @param respectRobots  robots deny ⇒ ERROR status row
+    *                       (`FetcherBolt.java:576-590`)
+    */
+  def fetch(spark: SparkSession, batch: DataFrame,
+            protocols: ProtocolFactory = new ProtocolFactory(),
+            crawlDelayMs: Long = 1000,
+            maxCrawlDelayMs: Long = 30000,
+            respectRobots: Boolean = true,
+            parallelism: Option[Int] = None): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(outputSchema)
+    val nParts = parallelism.getOrElse(spark.sparkContext.defaultParallelism)
+    val robots = new RobotsCache(protocols)
+
+    val in = batch.select(col("url"), col("key"), col("metadata"))
+    in.repartition(nParts, col("key"))
+      .mapPartitions { rows =>
+        // per-key last-fetch time: politeness token bucket local to the
+        // partition (all rows of a key are co-partitioned)
+        val lastFetch = mutable.Map.empty[String, Long]
+        rows.map { r =>
+          val url = r.getString(0)
+          val key = Option(r.getString(1)).getOrElse("")
+          // values arrive as mutable.ArraySeq — convert to immutable Seq
+          val md: Map[String, Seq[String]] =
+            if (r.isNullAt(2)) Map.empty
+            else r.getMap[String, scala.collection.Seq[String]](2).toMap
+              .map { case (k, v) => k -> v.toSeq }
+          val rules = if (respectRobots) robots.rulesFor(url) else RobotRules.allowAll
+
+          val path = {
+            val i = url.indexOf("://")
+            val rest = if (i < 0) url else url.substring(i + 3)
+            val s = rest.indexOf('/')
+            if (s < 0) "/" else rest.substring(s)
+          }
+          val delay = rules.crawlDelayMs.getOrElse(crawlDelayMs)
+
+          if (respectRobots && !rules.isAllowed(path)) {
+            Row(url, key, Status.Error, -2, null, null, null, 0L,
+              md + ("fetch.error" -> Seq("robots_denied")))
+          } else if (delay > maxCrawlDelayMs) {
+            // host demands a delay we won't honor -> skip (FetcherBolt.java:592-633)
+            Row(url, key, Status.Error, -3, null, null, null, 0L,
+              md + ("fetch.error" -> Seq("crawl_delay_too_long")))
+          } else {
+            // politeness wait
+            val nowMs = System.currentTimeMillis()
+            val waitUntil = lastFetch.getOrElse(key, 0L) + delay
+            if (waitUntil > nowMs) Thread.sleep(waitUntil - nowMs)
+            val t0 = System.currentTimeMillis()
+            val resp = protocols.fetch(url, md)
+            lastFetch(key) = System.currentTimeMillis()
+            val ms = System.currentTimeMillis() - t0
+            val status = Status.fromHttpCode(resp.statusCode)
+            val redirect = if (status == Status.Redirection) resp.header("Location").orNull else null
+            val mdOut = md +
+              ("fetch.statusCode" -> Seq(resp.statusCode.toString)) +
+              ("fetch.byteLength" -> Seq(resp.content.length.toString)) +
+              ("fetch.loadingTime" -> Seq(ms.toString))
+            Row(url, key, status, resp.statusCode,
+              if (status == Status.Fetched) resp.content else null,
+              resp.header("Content-Type").orNull,
+              redirect, ms, mdOut)
+          }
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.fetch
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+import java.time.Duration
+import scala.jdk.CollectionConverters._
+
+/** Per-scheme pluggable fetch, mirroring the reference's `Protocol`
+  * interface + `ProtocolFactory` (`core/.../protocol/Protocol.java:39`,
+  * `ProtocolFactory.java:123`). Implementations are instantiated lazily
+  * once per executor (JVM-singleton objects / lazy vals) — never
+  * serialized per task.
+  */
+final case class ProtocolResponse(
+    content: Array[Byte],
+    statusCode: Int,
+    headers: Map[String, Seq[String]]) {
+  def header(name: String): Option[String] =
+    headers.collectFirst { case (k, vs) if k.equalsIgnoreCase(name) && vs.nonEmpty => vs.head }
+}
+
+trait Protocol extends Serializable {
+  /** Fetch one URL. Never throws: failures become status-code responses
+    * (-1 = transport error), so the fetch stage stays total. */
+  def fetch(url: String, metadata: Map[String, Seq[String]]): ProtocolResponse
+}
+
+/** `file://` fetch for tests and local corpora
+  * (`core/.../protocol/file/FileProtocol.java:27`). */
+object FileProtocol extends Protocol {
+  def fetch(url: String, metadata: Map[String, Seq[String]]): ProtocolResponse = {
+    try {
+      val path = Paths.get(new URI(url).getPath)
+      if (!Files.exists(path)) ProtocolResponse(Array.empty, 404, Map.empty)
+      else {
+        val bytes = Files.readAllBytes(path)
+        val mime =
+          if (url.endsWith(".html") || url.endsWith(".htm")) "text/html"
+          else if (url.endsWith(".xml")) "application/xml"
+          else if (url.endsWith(".rss")) "application/rss+xml"
+          else if (url.endsWith(".txt")) "text/plain"
+          else "application/octet-stream"
+        ProtocolResponse(bytes, 200, Map("Content-Type" -> Seq(mime)))
+      }
+    } catch {
+      case _: Exception => ProtocolResponse(Array.empty, -1, Map.empty)
+    }
+  }
+}
+
+/** HTTP(S) via the JDK 17 HttpClient — GET with content-limit trim,
+  * optional If-Modified-Since, custom request headers; redirects are NOT
+  * followed (the crawl loop handles REDIRECTION statuses itself, like
+  * `okhttp/HttpProtocol.java:287-437`). */
+final class HttpProtocol(
+    contentLimit: Int = 1 << 20,
+    connectTimeoutMs: Int = 10000,
+    requestTimeoutMs: Int = 30000,
+    userAgent: String = "graft-crawler/0.1",
+    extraHeaders: Map[String, String] = Map.empty) extends Protocol {
+
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NEVER)
+    .connectTimeout(Duration.ofMillis(connectTimeoutMs))
+    .build()
+
+  def fetch(url: String, metadata: Map[String, Seq[String]]): ProtocolResponse = {
+    try {
+      val b = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofMillis(requestTimeoutMs))
+        .header("User-Agent", userAgent)
+        .GET()
+      metadata.get("last-modified").flatMap(_.headOption)
+        .foreach(v => b.header("If-Modified-Since", v))
+      extraHeaders.foreach { case (k, v) => b.header(k, v) }
+      val t0 = System.nanoTime()
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+      val ms = (System.nanoTime() - t0) / 1000000
+      val body = resp.body()
+      val trimmed = if (body.length > contentLimit) body.take(contentLimit) else body
+      val hdrs = resp.headers().map().asScala.map { case (k, v) => k -> v.asScala.toSeq }.toMap
+      ProtocolResponse(trimmed, resp.statusCode(),
+        hdrs + ("fetch.loadingTime" -> Seq(ms.toString)))
+    } catch {
+      case _: Exception => ProtocolResponse(Array.empty, -1, Map.empty)
+    }
+  }
+}
+
+/** Routes each URL to one of several protocols by scheme — the simple
+  * core of `DelegatorProtocol` (`core/.../protocol/DelegatorProtocol
+  * .java:70`). */
+final class ProtocolFactory(http: Protocol = new HttpProtocol()) extends Serializable {
+  def forUrl(url: String): Protocol =
+    if (url.startsWith("file:")) FileProtocol else http
+  def fetch(url: String, metadata: Map[String, Seq[String]]): ProtocolResponse =
+    forUrl(url).fetch(url, metadata)
+}

@@ -160,7 +160,11 @@ object Urls {
         lower.startsWith("tel:") || lower.startsWith("about:")) return None
     try {
       val resolved = new URL(new URL(base), r).toExternalForm
-      Some(resolved)
+      // java.net.URL renders empty-authority file URLs as "file:/x";
+      // canonicalize back to the "file:///x" form our normalizer expects
+      if (resolved.startsWith("file:") && !resolved.startsWith("file://"))
+        Some("file://" + resolved.substring(5))
+      else Some(resolved)
     } catch { case _: Exception => None }
   }
 

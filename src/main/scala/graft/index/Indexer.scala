@@ -1,0 +1,51 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.MetadataOps
+
+/** The indexer as a compiled projection — `AbstractIndexerBolt`
+  * (`core/.../indexing/AbstractIndexerBolt.java:46,191-299`): the
+  * `indexer.md.mapping` spec (metadata key → alias, `[i]` value index,
+  * `key.*` glob), text-field trimming (`indexer.text.maxlength`),
+  * canonical-URL handling and the `indexer.md.filter` k=v gate — all of
+  * which compile to a `select(...)` + `filter(...)`, i.e. a SELECT
+  * clause Catalyst prunes columns through. The noindex gate honors the
+  * robots meta directive carried by the parse stage.
+  */
+final case class IndexerMapping(
+    /** metadata key (optionally `key[i]` or `key.*`) → output alias. */
+    mdMapping: Seq[(String, String)] = Nil,
+    textMaxLength: Int = -1,
+    urlFieldName: String = "url",
+    textFieldName: String = "text",
+    /** require metadata k=v to index (indexer.md.filter). */
+    mdFilter: Option[(String, String)] = None,
+    honorNoindex: Boolean = true) {
+
+  private val idxRe = "^(.*)\\[(\\d+)\\]$".r
+
+  private def mdColumn(md: Column, spec: String): Column = spec match {
+    case idxRe(key, i) => element_at(MetadataOps.mdValues(md, key), i.toInt + 1)
+    case g if g.endsWith(".*") => MetadataOps.mdPrefix(md, g.dropRight(1))
+    case key => MetadataOps.mdFirst(md, key)
+  }
+
+  /** Compile to the projection DataFrame. Input needs url/text/metadata
+    * (+ noindex when honored). */
+  def apply(docs: DataFrame): DataFrame = {
+    val gated0 = if (honorNoindex) docs.where(!coalesce(col("noindex"), lit(false))) else docs
+    val gated = mdFilter match {
+      case Some((k, v)) => gated0.where(get(MetadataOps.mdValues(col("metadata"), k), lit(0)) === v)
+      case None => gated0
+    }
+    val textCol =
+      if (textMaxLength > 0) substring(col("text"), 1, textMaxLength) else col("text")
+    val cols =
+      col("url").as(urlFieldName) +:
+      textCol.as(textFieldName) +:
+      mdMapping.map { case (spec, alias) => mdColumn(col("metadata"), spec).as(alias) }
+    gated.select(cols: _*)
+  }
+}

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object MetadataOps {
 
-  /** First value for a key — `Metadata.getFirstValue` (`Metadata.java:91`). */
+  /** First value for a key — `Metadata.getFirstValue` (`Metadata.java:91`).
+    * `get` (0-based) tolerates empty value arrays under ANSI mode. */
   def mdFirst(md: Column, key: String): Column =
-    element_at(element_at(md, key), 1)
+    get(element_at(md, key), lit(0))
 
   /** All values for a key (null-safe empty). */
   def mdValues(md: Column, key: String): Column =

@@ -1,0 +1,71 @@
+package graft.parse
+
+import scala.util.Try
+import scala.xml.XML
+
+/** Sitemap XML parsing — `SiteMapParserBolt`
+  * (`core/.../bolt/SiteMapParserBolt.java:72,96-254`): urlset pages,
+  * sitemapindex sub-sitemaps, lastmod filtering, plus the 300-byte
+  * content sniff used to auto-detect sitemaps.
+  */
+object SitemapParser {
+
+  final case class SitemapEntry(url: String, lastMod: Option[String], isSubSitemap: Boolean)
+
+  /** Content sniff: does this look like a sitemap? (first bytes clue,
+    * `SiteMapParserBolt.java:96-126`). */
+  def sniff(content: Array[Byte]): Boolean = {
+    val head = new String(content.take(300), "UTF-8")
+    head.contains("<urlset") || head.contains("<sitemapindex")
+  }
+
+  /** Parse urlset or sitemapindex; never throws (malformed ⇒ empty). */
+  def parse(content: String): Seq[SitemapEntry] =
+    Try {
+      val root = XML.loadString(content)
+      root.label match {
+        case "urlset" =>
+          (root \ "url").flatMap { u =>
+            (u \ "loc").headOption.map(_.text.trim).filter(_.nonEmpty)
+              .map(loc => SitemapEntry(loc, (u \ "lastmod").headOption.map(_.text.trim), isSubSitemap = false))
+          }
+        case "sitemapindex" =>
+          (root \ "sitemap").flatMap { s =>
+            (s \ "loc").headOption.map(_.text.trim).filter(_.nonEmpty)
+              .map(loc => SitemapEntry(loc, (s \ "lastmod").headOption.map(_.text.trim), isSubSitemap = true))
+          }
+        case _ => Seq.empty
+      }
+    }.getOrElse(Seq.empty)
+}
+
+/** RSS/Atom feed link extraction — `FeedParserBolt`
+  * (`core/.../bolt/FeedParserBolt.java:58,72-161`). */
+object FeedParser {
+
+  final case class FeedEntry(url: String, title: Option[String])
+
+  def sniff(content: Array[Byte]): Boolean = {
+    val head = new String(content.take(300), "UTF-8")
+    head.contains("<rss") || head.contains("<feed") || head.contains("<rdf:RDF")
+  }
+
+  def parse(content: String): Seq[FeedEntry] =
+    Try {
+      val root = XML.loadString(content)
+      root.label match {
+        case "rss" | "RDF" =>
+          (root \\ "item").flatMap { i =>
+            (i \ "link").headOption.map(_.text.trim).filter(_.nonEmpty)
+              .map(l => FeedEntry(l, (i \ "title").headOption.map(_.text.trim)))
+          }
+        case "feed" => // Atom
+          (root \ "entry").flatMap { e =>
+            (e \ "link").flatMap(l => l.attribute("href").map(_.text.trim))
+              .headOption.filter(_.nonEmpty)
+              .map(h => FeedEntry(h, (e \ "title").headOption.map(_.text.trim)))
+          }
+        case _ => Seq.empty
+      }
+    }.getOrElse(Seq.empty)
+}

@@ -1,0 +1,158 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.fetch.{FetchStage, ProtocolFactory}
+import graft.filters.UrlFilterChain
+import graft.frontier.FrontierStore
+import graft.model.Status
+import graft.parse.ParseStage
+
+/** The crawl loop — the reference's standing topology
+  * (`archetype/.../crawler.flux:13-130`) as Spark stages:
+  *
+  *   frontier select (window top-K per key)
+  *     → fetch (repartition(key) + politeness mapPartitions)
+  *     → parse (flatMap: docs ∪ outlinks ∪ redirects)
+  *     → status merge (idempotent upsert on url_sha256)
+  *     → indexable docs out
+  *
+  * Batch mode (`crawlOnce`/`crawl`) is the primary engine: each
+  * iteration is one frontier micro-batch, and exactly-once comes from
+  * the idempotent merge keyed on sha256(url) — strictly stronger than
+  * the reference's at-least-once + dedup-by-docid (SURVEY §2.9).
+  * `startStream` wires the same body behind a Structured Streaming
+  * trigger (rate-source heartbeat + foreachBatch) for continuous runs
+  * with checkpointed progress.
+  */
+object CrawlTopology {
+
+  final case class CrawlStats(selected: Long, fetched: Long, failed: Long,
+                              docs: Long, discovered: Long)
+
+  /** Seed the frontier from (url [, metadata]) rows — FileSpout +
+    * StringTabScheme semantics (`core/.../spout/FileSpout.java:52`). */
+  def seed(spark: SparkSession, store: FrontierStore, urls: Seq[String],
+           chain: UrlFilterChain = UrlFilterChain.default(),
+           at: java.sql.Timestamp = now()): Unit = {
+    import spark.implicits._
+    val rows = urls.flatMap(u => chain(u, None, Map.empty))
+      .map(u => (u, Status.Discovered, Map.empty[String, Seq[String]]))
+    store.merge(spark, rows.toDF("url", "status", "metadata"), at)
+  }
+
+  /** Parse a seed file in the reference's tab-separated format:
+    * `URL \t k=v \t k=v` (`core/.../util/StringTabScheme.java:28`). */
+  def parseSeedLine(line: String): Option[(String, Map[String, Seq[String]])] = {
+    val parts = line.split("\t").map(_.trim).filter(_.nonEmpty)
+    if (parts.isEmpty || parts(0).startsWith("#")) None
+    else Some((parts(0),
+      parts.drop(1).flatMap { kv =>
+        val i = kv.indexOf('=')
+        if (i <= 0) None else Some(kv.substring(0, i) -> Seq(kv.substring(i + 1)))
+      }.toMap))
+  }
+
+  def now(): java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())
+
+  /** One crawl micro-batch. Returns (stats, indexable docs). */
+  def crawlOnce(spark: SparkSession, store: FrontierStore,
+                protocols: ProtocolFactory = new ProtocolFactory(),
+                chain: UrlFilterChain = UrlFilterChain.default(),
+                perBucket: Int = 5, maxKeys: Int = 100, limit: Int = 500,
+                crawlDelayMs: Long = 1000,
+                respectRobots: Boolean = true,
+                batchTime: java.sql.Timestamp = now()): (CrawlStats, DataFrame) = {
+    val batch = store.selectBatch(spark, batchTime, perBucket, maxKeys, limit)
+    val selected = batch.count()
+    if (selected == 0)
+      return (CrawlStats(0, 0, 0, 0, 0), spark.emptyDataFrame)
+
+    val fetched = FetchStage.fetch(spark, batch, protocols,
+      crawlDelayMs = crawlDelayMs, respectRobots = respectRobots)
+    fetched.cache() // two consumers: parse branch + status merge branch
+    val parsed = ParseStage.parse(fetched, chain)
+    parsed.cache()
+
+    val fetchStatuses = fetched.select(
+      col("url"),
+      when(col("redirect_to").isNotNull, Status.Redirection).otherwise(col("status")).as("status"),
+      col("metadata"))
+    val redirectTargets = fetched
+      .where(col("redirect_to").isNotNull)
+      .select(col("redirect_to").as("url"), lit(Status.Discovered).as("status"), col("metadata"))
+    val outlinkStatuses = parsed
+      .where(col("kind").isin("outlink", "redirect"))
+      .select(col("target_url").as("url"),
+        lit(Status.Discovered).as("status"), col("metadata"))
+
+    val updates = fetchStatuses.unionByName(redirectTargets).unionByName(outlinkStatuses)
+    store.merge(spark, updates, batchTime)
+
+    val docs = parsed.where(col("kind") === "doc")
+    val stats = CrawlStats(
+      selected = selected,
+      fetched = fetched.where(col("status") === Status.Fetched).count(),
+      failed = fetched.where(col("status").isin(Status.FetchError, Status.Error)).count(),
+      docs = docs.count(),
+      discovered = outlinkStatuses.count())
+    fetched.unpersist()
+    (stats, docs)
+  }
+
+  /** Iterate crawl batches until the frontier has nothing due or
+    * `maxIterations` is hit; docs accumulate to `docsOut` (parquet). */
+  def crawl(spark: SparkSession, store: FrontierStore,
+            protocols: ProtocolFactory = new ProtocolFactory(),
+            chain: UrlFilterChain = UrlFilterChain.default(),
+            maxIterations: Int = 10,
+            docsOut: Option[String] = None,
+            crawlDelayMs: Long = 1000,
+            respectRobots: Boolean = true): Seq[CrawlStats] = {
+    var stats = Vector.empty[CrawlStats]
+    var i = 0
+    var continue = true
+    while (continue && i < maxIterations) {
+      val (st, docs) = crawlOnce(spark, store, protocols, chain,
+        crawlDelayMs = crawlDelayMs, respectRobots = respectRobots)
+      docsOut.foreach { dir =>
+        if (st.docs > 0)
+          docs.select("url", "title", "text", "signature", "noindex")
+            .write.mode("append").parquet(dir)
+      }
+      stats :+= st
+      continue = st.selected > 0
+      i += 1
+    }
+    stats
+  }
+
+  /** Continuous crawl: a rate-source heartbeat triggers one crawl
+    * micro-batch per tick via foreachBatch — the Structured Streaming
+    * face of the loop. Stop via the returned query handle. */
+  def startStream(spark: SparkSession, store: FrontierStore,
+                  protocols: ProtocolFactory = new ProtocolFactory(),
+                  chain: UrlFilterChain = UrlFilterChain.default(),
+                  intervalMs: Long = 2000, // spout.min.delay.queries=2s analogue
+                  checkpointDir: String,
+                  docsOut: String,
+                  crawlDelayMs: Long = 1000,
+                  respectRobots: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream
+      .format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val (st, docs) = crawlOnce(spark, store, protocols, chain,
+          crawlDelayMs = crawlDelayMs, respectRobots = respectRobots)
+        if (st.docs > 0)
+          docs.select("url", "title", "text", "signature", "noindex")
+            .write.mode("append").parquet(docsOut)
+        ()
+      }
+      .start()
+  }
+}

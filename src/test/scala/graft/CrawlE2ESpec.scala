@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fetch.ProtocolFactory
+import graft.filters.{BasicUrlNormalizer, BasicUrlFilter, RegexUrlFilter, SelfUrlFilter, UrlFilterChain, MaxDepthFilter}
+import graft.frontier.FrontierStore
+import graft.index.IndexerMapping
+import graft.model.Status
+import graft.streaming.CrawlTopology
+
+/** The minimum end-to-end slice of SURVEY §7: seed → filter → merge →
+  * frontier select → file:// fetch → parse → outlink discovery →
+  * re-merge → indexer projection + status counts. */
+class CrawlE2ESpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // file:// URLs have no host — allow-everything regex chain, keep depth cap
+  private val chain = new UrlFilterChain(Seq(
+    new BasicUrlNormalizer(), new BasicUrlFilter(), new SelfUrlFilter(),
+    new MaxDepthFilter(5),
+    RegexUrlFilter.parse(Seq(
+      "-(?i)\\.(?:gif|jpg|jpeg|png|ico|css|zip|exe|js)$",
+      "+."))))
+
+  private def siteDir: Path = {
+    // copy fixtures to a temp dir so file:// urls are self-contained
+    val tmp = Files.createTempDirectory("site")
+    for (f <- Seq("index.html", "a.html", "b.html", "redir.html", "target.html",
+                  "sitemap.xml", "sitemap_index.xml", "feed.rss")) {
+      val in = getClass.getClassLoader.getResourceAsStream(s"site/$f")
+      Files.copy(in, tmp.resolve(f))
+      in.close()
+    }
+    tmp
+  }
+
+  test("mini-crawl over file:// fixtures: fetch, parse, discover, merge, index") {
+    val dir = siteDir
+    val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    CrawlTopology.seed(spark, store, Seq(s"file://$dir/index.html"), chain)
+    assert(store.read(spark).count() == 1)
+
+    val stats = CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+      maxIterations = 5, crawlDelayMs = 0, respectRobots = false)
+
+    // crawl reached every linked page
+    val rows = store.read(spark).collect()
+    val byUrl = rows.map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(byUrl(s"file://$dir/index.html") == Status.Fetched)
+    assert(byUrl(s"file://$dir/a.html") == Status.Fetched)
+    assert(byUrl(s"file://$dir/b.html") == Status.Fetched)
+    assert(byUrl(s"file://$dir/redir.html") == Status.Fetched)
+    // meta-refresh target discovered and fetched
+    assert(byUrl(s"file://$dir/target.html") == Status.Fetched)
+    // 404 page: external link filtered by nothing here (other-domain is http)
+    // nofollow secret.html never discovered
+    assert(!byUrl.contains(s"file://$dir/secret.html"))
+    // jpg filtered by regex chain
+    assert(!byUrl.keys.exists(_.endsWith("pic.jpg")))
+    // the http:// external link was discovered but not fetched (no server):
+    val ext = byUrl.find(_._1.startsWith("http://other-domain.example"))
+    assert(ext.nonEmpty)
+
+    // b.html's base-href link resolved against basehost
+    assert(byUrl.keys.exists(_.startsWith("http://basehost.example/sub/c.html")))
+
+    // total fetched counts match stats accumulation
+    assert(stats.map(_.docs).sum >= 4)
+  }
+
+  test("sitemap + feed branches discover their entries") {
+    val dir = siteDir
+    val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    import spark.implicits._
+    val seeds = Seq(
+      (s"file://$dir/sitemap_index.xml", Status.Discovered, Map("isSitemap" -> Seq("true"))),
+      (s"file://$dir/feed.rss", Status.Discovered, Map("isFeed" -> Seq("true"))))
+      .toDF("url", "status", "metadata")
+    store.merge(spark, seeds)
+
+    CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+      maxIterations = 3, crawlDelayMs = 0, respectRobots = false)
+
+    val urls = store.read(spark).collect().map(_.getAs[String]("url")).toSet
+    // sitemap index -> sub-sitemap -> page urls
+    assert(urls.contains("http://site.example/sitemap.xml"))
+    // feed items discovered
+    assert(urls.contains("http://site.example/i1.html"))
+    assert(urls.contains("http://site.example/i2.html"))
+  }
+
+  test("indexer projection gates noindex docs and maps metadata") {
+    val dir = siteDir
+    val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    CrawlTopology.seed(spark, store, Seq(s"file://$dir/index.html"), chain)
+    val docsOut = Files.createTempDirectory("docs").toString + "/docs"
+    CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+      maxIterations = 5, docsOut = Some(docsOut), crawlDelayMs = 0, respectRobots = false)
+
+    val docs = spark.read.parquet(docsOut)
+    val all = docs.collect().map(_.getAs[String]("url")).toSet
+    assert(all.contains(s"file://$dir/index.html"))
+
+    // a.html has meta robots noindex -> docs row flagged; indexer drops it
+    val indexed = IndexerMapping(textMaxLength = 50)(
+      docs.withColumn("metadata", map().cast("map<string,array<string>>")))
+    val indexedUrls = indexed.collect().map(_.getAs[String]("url")).toSet
+    assert(!indexedUrls.contains(s"file://$dir/a.html"))
+    assert(indexedUrls.contains(s"file://$dir/index.html"))
+    assert(indexed.collect().forall(_.getAs[String]("text").length <= 50))
+  }
+
+  test("politeness: same-host fetches spaced by crawl delay") {
+    val dir = siteDir
+    val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    CrawlTopology.seed(spark, store, Seq(s"file://$dir/index.html"), chain)
+    val t0 = System.currentTimeMillis()
+    // first batch: 1 url; second batch: several same-host urls with 200ms delay
+    CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+      maxIterations = 2, crawlDelayMs = 200, respectRobots = false)
+    val elapsed = System.currentTimeMillis() - t0
+    // batch 2 fetches >= 4 same-key urls -> >= 3 gaps of 200ms
+    assert(elapsed >= 600, s"politeness not enforced: ${elapsed}ms")
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.parse.{FeedParser, HtmlParser, SitemapParser}
+
+/** Parse-stage truth tables over the HTML/sitemap/feed fixtures —
+  * reference style: JSoupParserBoltTest robots-directive table +
+  * link-extraction cases (SURVEY §5.1-5.2). */
+class ParseSpec extends AnyFunSuite {
+
+  private def fixture(name: String): String =
+    scala.io.Source.fromResource(s"site/$name").mkString
+
+  test("link extraction: absolute/relative/dup/nofollow/js links") {
+    val p = HtmlParser.parse(fixture("index.html"), "http://site.example/index.html")
+    val urls = p.links.map(_.url)
+    assert(urls.contains("http://site.example/a.html"))
+    assert(urls.contains("http://site.example/b.html"))
+    assert(urls.contains("http://other-domain.example/x.html"))
+    assert(!urls.exists(_.startsWith("javascript")))
+    // duplicates kept at parse level (dedup happens at emission)
+    assert(urls.count(_ == "http://site.example/a.html") == 2)
+    val secret = p.links.find(_.url.endsWith("secret.html")).get
+    assert(secret.nofollow)
+    assert(HtmlParser.followableLinks(p).forall(!_.url.endsWith("secret.html")))
+    assert(p.title.contains("Graft Test Site"))
+    assert(p.text.contains("Some body text"))
+    assert(!p.text.contains("<p>"))
+  }
+
+  test("robots meta truth table (JSoupParserBoltTest style)") {
+    def parsed(meta: String) =
+      HtmlParser.parse(s"""<html><head>$meta</head><body><a href="x.html">x</a></body></html>""",
+        "http://e.com/")
+    assert(!parsed("").noindex)
+    assert(parsed("""<meta name="robots" content="noindex">""").noindex)
+    assert(parsed("""<meta name="ROBOTS" content="NOINDEX,NOFOLLOW">""").noindex)
+    assert(parsed("""<meta name="robots" content="noindex, nofollow">""").nofollow)
+    assert(parsed("""<meta name="robots" content="none">""").noindex)
+    assert(parsed("""<meta name="robots" content="all">""").noindex == false)
+    val nf = parsed("""<meta name="robots" content="nofollow">""")
+    assert(HtmlParser.followableLinks(nf).isEmpty)
+  }
+
+  test("meta-refresh redirect detected and resolved") {
+    val p = HtmlParser.parse(fixture("redir.html"), "http://site.example/redir.html")
+    assert(p.metaRefreshUrl.contains("http://site.example/target.html"))
+  }
+
+  test("base href changes resolution") {
+    val p = HtmlParser.parse(fixture("b.html"), "http://site.example/b.html")
+    assert(p.links.map(_.url).contains("http://basehost.example/sub/c.html"))
+  }
+
+  test("sitemap urlset + index + sniff") {
+    val entries = SitemapParser.parse(fixture("sitemap.xml"))
+    assert(entries.map(_.url) == Seq("http://site.example/s1.html", "http://site.example/s2.html"))
+    assert(entries.head.lastMod.contains("2024-01-01"))
+    assert(entries.forall(!_.isSubSitemap))
+    val idx = SitemapParser.parse(fixture("sitemap_index.xml"))
+    assert(idx.map(_.url) == Seq("http://site.example/sitemap.xml"))
+    assert(idx.head.isSubSitemap)
+    assert(SitemapParser.sniff(fixture("sitemap.xml").getBytes))
+    assert(!SitemapParser.sniff(fixture("index.html").getBytes))
+  }
+
+  test("rss feed links") {
+    val entries = FeedParser.parse(fixture("feed.rss"))
+    assert(entries.map(_.url) == Seq("http://site.example/i1.html", "http://site.example/i2.html"))
+    assert(entries.head.title.contains("Item 1"))
+    assert(FeedParser.sniff(fixture("feed.rss").getBytes))
+  }
+
+  test("atom feed links") {
+    val atom =
+      """<feed xmlns="http://www.w3.org/2005/Atom">
+        |<entry><title>E1</title><link href="http://site.example/e1"/></entry>
+        |</feed>""".stripMargin
+    assert(FeedParser.parse(atom).map(_.url) == Seq("http://site.example/e1"))
+  }
+
+  test("malformed html/xml never throws") {
+    assert(SitemapParser.parse("<<<not xml").isEmpty)
+    assert(FeedParser.parse("").isEmpty)
+    val p = HtmlParser.parse("<a href=", "http://e.com/")
+    assert(p.links.isEmpty)
+  }
+}

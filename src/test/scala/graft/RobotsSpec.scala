@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fetch.RobotRules
+
+/** Robots semantics (RobotRulesParser reference: `core/.../protocol/
+  * RobotRulesParser.java`, `HttpRobotRulesParserTest`). */
+class RobotsSpec extends AnyFunSuite {
+
+  val robots =
+    """# comment
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/open.html
+      |Crawl-delay: 2
+      |
+      |User-agent: graft-crawler
+      |Disallow: /graft-only/
+      |""".stripMargin
+
+  test("wildcard group: longest match wins, allow beats disallow on tie+") {
+    val r = RobotRules.parse(robots, "some-other-bot")
+    assert(!r.isAllowed("/private/x.html"))
+    assert(r.isAllowed("/private/open.html"))
+    assert(r.isAllowed("/public/x.html"))
+    assert(r.crawlDelayMs.contains(2000L))
+  }
+
+  test("specific group overrides wildcard group") {
+    val r = RobotRules.parse(robots, "graft-crawler/0.1")
+    assert(!r.isAllowed("/graft-only/x"))
+    assert(r.isAllowed("/private/x.html")) // wildcard rules replaced
+    assert(r.crawlDelayMs.isEmpty)
+  }
+
+  test("empty disallow allows everything") {
+    val r = RobotRules.parse("User-agent: *\nDisallow:\n", "bot")
+    assert(r.isAllowed("/anything"))
+  }
+
+  test("deny all") {
+    val r = RobotRules.parse("User-agent: *\nDisallow: /\n", "bot")
+    assert(!r.isAllowed("/"))
+    assert(!r.isAllowed("/x"))
+  }
+}
