@@ -48,6 +48,20 @@ object CrawlDemo {
     println("final frontier:")
     store.statusCounts(spark).orderBy("status").collect()
       .foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+
+    // archive the crawled site as WARC and read it back (WARCSpout /
+    // WARCHdfsBolt roundtrip)
+    // select "2 days from now" so pages re-scheduled after FETCHED are due
+    val batch = store.selectBatch(spark,
+      new java.sql.Timestamp(System.currentTimeMillis() + 2L * 86400 * 1000),
+      perBucket = 100, maxKeys = 100, limit = 1000)
+    val refetched = graft.fetch.FetchStage.fetch(spark, batch,
+      new ProtocolFactory(), crawlDelayMs = 0, respectRobots = false)
+      .where(org.apache.spark.sql.functions.col("status") === "FETCHED")
+    val warcDir = Files.createTempDirectory("warc").toString
+    graft.sources.Warc.write(refetched, warcDir)
+    val replayed = graft.sources.Warc.read(spark, warcDir)
+    println(s"warc roundtrip: archived+replayed ${replayed.count()} responses from $warcDir")
     spark.stop()
   }
 }

@@ -37,9 +37,13 @@ object ParseStage {
     StructField("metadata", MapType(StringType, ArrayType(StringType), valueContainsNull = false),
       nullable = true)))
 
-  /** Parse FETCHED content rows (FetchStage output schema). */
+  /** Parse FETCHED content rows (FetchStage output schema).
+    * `parseFilters` runs the §2.6 enrichment chain on each HTML doc
+    * (signature, domain, mime tag, XPath/LD-JSON extraction, extra
+    * outlinks). */
   def parse(fetched: DataFrame,
             filterChain: UrlFilterChain = UrlFilterChain.default(),
+            parseFilters: ParseFilterChain = ParseFilterChain.default,
             maxOutlinksPerPage: Int = 100): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(outputSchema)
     fetched
@@ -89,16 +93,20 @@ object ParseStage {
               Map("isFeed" -> Seq("true")))
           } else {
             val parsed = HtmlParser.parse(new String(content, "UTF-8"), url)
+            val ctx = parseFilters(ParseContext(url, content, parsed,
+              md + ("parse.Content-Type" -> Seq(ctype))))
+            val signature = ctx.metadata.get("signature").flatMap(_.headOption)
+              .getOrElse(Urls.md5Hex(parsed.text)) // MD5SignatureParseFilter.java:48
             val docRow =
               Row(url, "doc", null, null, null,
                 parsed.title.orNull, parsed.text, parsed.noindex,
-                Urls.md5Hex(parsed.text), // MD5SignatureParseFilter.java:48
-                md + ("parse.Content-Type" -> Seq(ctype)))
+                signature, ctx.metadata)
             val redirectRow = parsed.metaRefreshUrl.map { target =>
               Row(url, "redirect", Status.Redirection, target, null,
                 null, null, false, null, md)
             }
-            val links = HtmlParser.followableLinks(parsed).map(l => (l.url, l.anchor))
+            val links = HtmlParser.followableLinks(parsed).map(l => (l.url, l.anchor)) ++
+              ctx.extraOutlinks.map(u => (u, ""))
             Seq(docRow) ++ redirectRow.toSeq ++ outlinkRows(links, Map.empty)
           }
         }

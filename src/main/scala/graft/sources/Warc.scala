@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC archive source + sink (SURVEY §2.1 `WARCSpout`, §2.8
+  * `WARCHdfsBolt`/`WARCRecordFormat` — `external/warc/.../WARCSpout
+  * .java:64,168-226`, `WARCRecordFormat.java:49`).
+  *
+  * Reader: `binaryFile` scan → flatMap parsing WARC/1.0 records
+  * (response records become content rows). Files are processed whole
+  * per task — WARC's gzip-per-record layout isn't splittable without an
+  * index, so parallelism comes from many files (the standard layout of
+  * web archives: thousands of ~1 GB files — scales horizontally by
+  * file count, which is how the reference consumes them too).
+  *
+  * Writer: one gzipped WARC file per partition via foreachPartition,
+  * warcinfo header record first, response records with verbatim HTTP
+  * headers — time/size rotation maps to Spark's natural
+  * file-per-partition output.
+  */
+object Warc {
+
+  final case class WarcRecord(
+      warcType: String,
+      targetUri: Option[String],
+      date: Option[String],
+      headers: Map[String, String],
+      payload: Array[Byte])
+
+  /** Parse all records of one (possibly gzipped) WARC file. */
+  def parseRecords(bytes: Array[Byte], gzipped: Boolean): Iterator[WarcRecord] = {
+    val in = new java.io.DataInputStream(
+      if (gzipped) new GZIPInputStream(new ByteArrayInputStream(bytes))
+      else new ByteArrayInputStream(bytes))
+
+    def readLine(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c != -1 && c != '\n') {
+        if (c != '\r') sb.append(c.toChar)
+        c = in.read()
+      }
+      if (c == -1 && sb.isEmpty) null else sb.toString
+    }
+
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = advance()
+
+      private def advance(): WarcRecord = {
+        var line = readLine()
+        while (line != null && !line.startsWith("WARC/")) line = readLine()
+        if (line == null) return null
+        val headers = mutable.Map.empty[String, String]
+        var h = readLine()
+        while (h != null && h.nonEmpty) {
+          val i = h.indexOf(':')
+          if (i > 0) headers(h.substring(0, i).trim) = h.substring(i + 1).trim
+          h = readLine()
+        }
+        val len = headers.getOrElse("Content-Length", "0").toInt
+        val payload = new Array[Byte](len)
+        in.readFully(payload)
+        WarcRecord(
+          headers.getOrElse("WARC-Type", "unknown"),
+          headers.get("WARC-Target-URI"),
+          headers.get("WARC-Date"),
+          headers.toMap, payload)
+      }
+
+      def hasNext: Boolean = nextRec != null
+      def next(): WarcRecord = { val r = nextRec; nextRec = advance(); r }
+    }
+  }
+
+  /** Split an HTTP response payload into (status code, headers, body). */
+  def parseHttpResponse(payload: Array[Byte]): (Int, Map[String, String], Array[Byte]) = {
+    val sep = indexOfDoubleCrlf(payload)
+    if (sep < 0) return (200, Map.empty, payload)
+    val head = new String(payload, 0, sep, StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r\n")
+    val code = lines.headOption.flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption).getOrElse(200)
+    val headers = lines.drop(1).flatMap { l =>
+      val i = l.indexOf(':')
+      if (i > 0) Some(l.substring(0, i).trim -> l.substring(i + 1).trim) else None
+    }.toMap
+    (code, headers, payload.drop(sep + 4))
+  }
+
+  private def indexOfDoubleCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  val contentSchema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("http_code", IntegerType, nullable = false),
+    StructField("content", BinaryType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true)))
+
+  /** Read response records of WARC files under `path` as content rows —
+    * the WARCSpout replay source. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(contentSchema)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select(col("path"), col("content"))
+      .mapPartitions { files =>
+        files.flatMap { f =>
+          val path = f.getString(0)
+          val bytes = f.getAs[Array[Byte]](1)
+          parseRecords(bytes, gzipped = path.endsWith(".gz"))
+            .filter(r => r.warcType == "response" && r.targetUri.isDefined)
+            .map { r =>
+              val (code, headers, body) = parseHttpResponse(r.payload)
+              Row(r.targetUri.get, code, body,
+                headers.collectFirst { case (k, v) if k.equalsIgnoreCase("content-type") => v }.orNull,
+                r.date.orNull)
+            }
+        }
+      }(enc)
+  }
+
+  private def record(warcType: String, headers: Seq[(String, String)],
+                     payload: Array[Byte]): Array[Byte] = {
+    val head = new StringBuilder("WARC/1.0\r\n")
+    head.append(s"WARC-Type: $warcType\r\n")
+    headers.foreach { case (k, v) => head.append(s"$k: $v\r\n") }
+    head.append(s"Content-Length: ${payload.length}\r\n\r\n")
+    val out = new ByteArrayOutputStream()
+    out.write(head.toString.getBytes(StandardCharsets.ISO_8859_1))
+    out.write(payload)
+    out.write("\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+    out.toByteArray
+  }
+
+  /** Write content rows (url, http_code, content, content_type) as
+    * gzipped WARC files, one per partition, warcinfo first —
+    * WARCRecordFormat semantics. */
+  def write(df: DataFrame, outDir: String, date: String = "2024-01-01T00:00:00Z"): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    df.select(col("url"), col("http_code"), col("content"), col("content_type"))
+      .foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.hasNext) {
+          val part = org.apache.spark.TaskContext.getPartitionId()
+          val file = Paths.get(outDir, f"part-$part%05d.warc.gz")
+          val out = new GZIPOutputStream(Files.newOutputStream(file))
+          try {
+            val info = "software: graft-crawler 0.1\r\nformat: WARC File Format 1.0\r\n"
+              .getBytes(StandardCharsets.ISO_8859_1)
+            out.write(record("warcinfo",
+              Seq("WARC-Date" -> date, "Content-Type" -> "application/warc-fields"), info))
+            rows.foreach { r =>
+              val url = r.getString(0)
+              val code = r.getInt(1)
+              val body = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+              val ctype = Option(r.getString(3)).getOrElse("application/octet-stream")
+              val http = (s"HTTP/1.1 $code OK\r\nContent-Type: $ctype\r\n" +
+                s"Content-Length: ${body.length}\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1)
+              out.write(record("response",
+                Seq("WARC-Target-URI" -> url, "WARC-Date" -> date,
+                  "Content-Type" -> "application/http; msgtype=response"),
+                http ++ body))
+            }
+          } finally out.close()
+        }
+      }
+  }
+}

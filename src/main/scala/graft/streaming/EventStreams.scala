@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming faces of the engine (SURVEY §2.9 Streaming):
+  * the reference is a continuous dataflow with at-least-once + dedup;
+  * these give the Spark equivalents — event-time windowed aggregation
+  * with watermarks (the StatusMetricsBolt-style rolling counts), and
+  * keyed stateful dedup via flatMapGroupsWithState (the purgatory /
+  * status-updater dedup-cache semantics with a state TTL instead of a
+  * Caffeine cache).
+  */
+object EventStreams {
+
+  /** Rolling count-by-status over event time: tumbling windows +
+    * watermark for late data. Works identically on a batch DataFrame
+    * (tests) and a stream. */
+  def statusCountsWindowed(events: DataFrame, tsCol: String, statusCol: String,
+                           windowDur: String = "5 minutes",
+                           watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(statusCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(statusCol), col("n"))
+
+  final case class Seen(url: String, ts: Timestamp)
+  final case class DedupState(firstSeen: Timestamp)
+
+  /** Streaming URL dedup with TTL — the status-updater's DISCOVERED
+    * dedup cache (`status.updater.cache.spec` expireAfterAccess=1h,
+    * `AbstractStatusUpdaterBolt.java:105-126`) as keyed state: first
+    * occurrence of a URL within the TTL passes, repeats are dropped.
+    * State expires via EVENT-time timeout against the watermark —
+    * deterministic (no wall clock), and the engine only fires timers as
+    * the watermark advances instead of spinning empty batches; state
+    * size stays bounded like the cache's expiry. */
+  def dedupStream(seen: Dataset[Seen], ttlMs: Long = 3600 * 1000,
+                  watermark: String = "10 minutes"): Dataset[Seen] = {
+    import seen.sparkSession.implicits._
+    seen.withWatermark("ts", watermark)
+      .groupByKey(_.url)
+      .flatMapGroupsWithState[DedupState, Seen](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (url: String, rows: Iterator[Seen], state: GroupState[DedupState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toSeq
+            val latest = batch.map(_.ts.getTime).maxOption
+            if (state.exists) {
+              // already seen within TTL -> drop duplicates, refresh TTL
+              latest.foreach(t => state.setTimeoutTimestamp(t + ttlMs))
+              Iterator.empty
+            } else batch.minByOption(_.ts.getTime) match {
+              case Some(f) =>
+                state.update(DedupState(f.ts))
+                state.setTimeoutTimestamp(f.ts.getTime + ttlMs)
+                Iterator.single(f)
+              case None => Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** Per-key EMA of processing time — SchedulingURLBuffer's adaptive
+    * delay (`persistence/urlbuffer/SchedulingURLBuffer.java:74-161`) as
+    * a stateful stream: emits (key, ema_ms) updates. */
+  final case class Timing(key: String, ms: Double)
+  final case class EmaState(ema: Double)
+
+  def processingTimeEma(timings: Dataset[Timing], alpha: Double = 0.3): Dataset[Timing] = {
+    import timings.sparkSession.implicits._
+    timings.groupByKey(_.key)
+      .flatMapGroupsWithState[EmaState, Timing](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Timing], state: GroupState[EmaState]) =>
+          var ema = state.getOption.map(_.ema).getOrElse(Double.NaN)
+          rows.foreach { t =>
+            ema = if (ema.isNaN) t.ms else alpha * t.ms + (1 - alpha) * ema
+          }
+          if (ema.isNaN) Iterator.empty
+          else {
+            state.update(EmaState(ema))
+            Iterator.single(Timing(key, ema))
+          }
+      }
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Seen, Timing}
+
+/** Structured Streaming specs driven by MemoryStream — windowed counts
+  * with watermark, TTL dedup state, per-key EMA state. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed status counts over a stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "status")
+    val q = EventStreams.statusCountsWindowed(df, "ts", "status", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+
+    input.addData(
+      (ts("2024-01-01 00:01:00"), "FETCHED"),
+      (ts("2024-01-01 00:02:00"), "FETCHED"),
+      (ts("2024-01-01 00:03:00"), "DISCOVERED"),
+      (ts("2024-01-01 00:07:00"), "FETCHED"),
+      // late watermark-advancing event so the first window closes
+      (ts("2024-01-01 01:00:00"), "FETCHED"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_counts").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("status")) -> r.getAs[Long]("n"))
+      .toMap
+    assert(rows(("2024-01-01 00:00:00.0", "FETCHED")) == 2L)
+    assert(rows(("2024-01-01 00:00:00.0", "DISCOVERED")) == 1L)
+    assert(rows(("2024-01-01 00:05:00.0", "FETCHED")) == 1L)
+  }
+
+  test("stateful URL dedup drops repeats across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Seen]
+    val q = EventStreams.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    input.addData(Seen("http://a.com/1", ts("2024-01-01 00:00:00")),
+                  Seen("http://a.com/1", ts("2024-01-01 00:00:01")),
+                  Seen("http://a.com/2", ts("2024-01-01 00:00:02")))
+    q.processAllAvailable()
+    // second batch: repeat of /1 and a new url
+    input.addData(Seen("http://a.com/1", ts("2024-01-01 00:10:00")),
+                  Seen("http://a.com/3", ts("2024-01-01 00:10:01")))
+    q.processAllAvailable()
+    q.stop()
+
+    val urls = spark.table("dedup_out").as[Seen].collect().map(_.url).sorted
+    assert(urls.toSeq == Seq("http://a.com/1", "http://a.com/2", "http://a.com/3"))
+  }
+
+  test("per-key EMA state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Timing]
+    val q = EventStreams.processingTimeEma(input.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ema_out")
+      .outputMode("append").start()
+
+    input.addData(Timing("h1", 100.0))
+    q.processAllAvailable()
+    input.addData(Timing("h1", 200.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val emas = spark.table("ema_out").as[Timing].collect().map(t => t.ms)
+    assert(emas.toSeq == Seq(100.0, 150.0)) // 0.5*200 + 0.5*100
+  }
+
+  test("crawl startStream runs micro-batches via foreachBatch") {
+    import java.nio.file.Files
+    val dir = {
+      val tmp = Files.createTempDirectory("site")
+      for (f <- Seq("index.html", "a.html", "b.html", "redir.html", "target.html")) {
+        val in = getClass.getClassLoader.getResourceAsStream(s"site/$f")
+        Files.copy(in, tmp.resolve(f)); in.close()
+      }
+      tmp
+    }
+    val store = new graft.frontier.FrontierStore(
+      Files.createTempDirectory("frontier").toString)
+    val chain = new graft.filters.UrlFilterChain(Seq(
+      new graft.filters.BasicUrlNormalizer(), new graft.filters.SelfUrlFilter(),
+      graft.filters.RegexUrlFilter.parse(Seq("+."))))
+    graft.streaming.CrawlTopology.seed(spark, store, Seq(s"file://$dir/index.html"), chain)
+
+    val docsOut = Files.createTempDirectory("docs").toString + "/docs"
+    val q = graft.streaming.CrawlTopology.startStream(spark, store,
+      new graft.fetch.ProtocolFactory(), chain,
+      intervalMs = 200,
+      checkpointDir = Files.createTempDirectory("ckpt").toString,
+      docsOut = docsOut, crawlDelayMs = 0, respectRobots = false)
+    // let a few triggers fire
+    Thread.sleep(8000)
+    q.stop()
+
+    val statuses = store.statusCounts(spark).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.getOrElse("FETCHED", 0L) >= 3L,
+      s"stream crawl made no progress: $statuses")
+  }
+}
