@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot URL scalar functions —
+  * the "optional niceties" of SURVEY §4: null-safe codegen instead of
+  * Scala-UDF boxing. `doGenCode` emits a static call into
+  * [[UrlExprOps]], so the expression stays inside whole-stage codegen:
+  * one JVM call per row, no encoder round-trip, no closure capture —
+  * measurably cheaper than a UDF at 100 TB scan scale.
+  */
+object UrlExprOps {
+  /** UTF8String-native normalize; null = drop (filter semantics). */
+  def normalize(url: UTF8String): UTF8String =
+    if (url == null) null
+    else Urls.normalize(url.toString).map(UTF8String.fromString).orNull
+
+  def partitionKey(url: UTF8String, mode: UTF8String): UTF8String =
+    if (url == null) null
+    else Urls.partitionKey(url.toString, if (mode == null) "byHost" else mode.toString)
+      .map(UTF8String.fromString).orNull
+}
+
+/** `normalize_url(url)` — BasicURLNormalizer as a Catalyst expression. */
+case class NormalizeUrlExpr(child: Expression) extends UnaryExpression {
+  private val ops = "graft.functions.UrlExprOps$.MODULE$"
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true // malformed urls normalize to null
+
+  override def nullSafeEval(input: Any): Any =
+    UrlExprOps.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        UTF8String ${ev.value} = null;
+        if (!${c.isNull}) {
+          ${ev.value} = $ops.normalize(${c.value});
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeUrlExpr =
+    copy(child = newChild)
+  override def prettyName: String = "normalize_url"
+}
+
+/** `partition_key(url, mode)` — URLPartitioner as a Catalyst expression;
+  * the mode argument is typically a foldable literal, so constant
+  * folding keeps the mode branch out of the per-row loop. */
+case class PartitionKeyExpr(left: Expression, right: Expression) extends BinaryExpression {
+  private val ops = "graft.functions.UrlExprOps$.MODULE$"
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(url: Any, mode: Any): Any =
+    UrlExprOps.partitionKey(url.asInstanceOf[UTF8String], mode.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.isNull} = true;
+        UTF8String ${ev.value} = null;
+        if (!${l.isNull}) {
+          ${ev.value} = $ops.partitionKey(${l.value}, ${r.isNull} ? null : ${r.value});
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "partition_key"
+}
+
+/** Column-API and SQL registration. */
+object UrlExpressions {
+  def normalizeUrl(c: Column): Column =
+    ColumnBridge.column(NormalizeUrlExpr(ColumnBridge.expression(c)))
+  def partitionKey(c: Column, mode: String): Column =
+    ColumnBridge.column(PartitionKeyExpr(ColumnBridge.expression(c),
+      Literal(UTF8String.fromString(mode), StringType)))
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "normalize_url_native", exprs => NormalizeUrlExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "partition_key_native", exprs => PartitionKeyExpr(exprs.head, exprs(1)), "built-in")
+  }
+}
+
+/** SparkSessionExtensions entry point:
+  * `.withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("normalize_url_native"),
+      new ExpressionInfo(classOf[NormalizeUrlExpr].getName, "normalize_url_native"),
+      (exprs: Seq[Expression]) => NormalizeUrlExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("partition_key_native"),
+      new ExpressionInfo(classOf[PartitionKeyExpr].getName, "partition_key_native"),
+      (exprs: Seq[Expression]) => PartitionKeyExpr(exprs.head, exprs(1))))
+  }
+}

@@ -56,15 +56,15 @@ object CrawlQueries {
 
     // BasicURLNormalizer (`filtering/basic/BasicURLNormalizer.java`):
     // lowercase scheme+host, strip fragment + default port, drop session
-    // params. UDF on the Spark side (real normalizer), string ops oracle.
-    "q05_normalize_url" -> ((s, dir) => {
-      UdfRegistry.register(s)
-      t(s, dir, "documents").selectExpr(
-          "doc_id",
-          """normalize_url(concat('HTTP://', upper(source), '.Example.COM:80/Path/',
-            | cast(doc_id as string), '?b=2&sid=abc#frag')) AS url""".stripMargin.replace("\n", " "))
-        .orderBy("doc_id")
-    }),
+    // params. Native Catalyst expression (whole-stage codegen, no UDF
+    // boxing); string-ops oracle.
+    "q05_normalize_url" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          graft.functions.UrlExpressions.normalizeUrl(
+            concat(lit("HTTP://"), upper(col("source")), lit(".Example.COM:80/Path/"),
+              col("doc_id").cast("string"), lit("?b=2&sid=abc#frag"))).as("url"))
+        .orderBy("doc_id")),
 
     // URL filter chain (`URLFilters.java:109-126` fold semantics): the
     // default regex rules drop media extensions and query-noise URLs.
