@@ -45,22 +45,31 @@ object Dedup {
   }
 
   /** Portable 32-bit hash of a string under a seed: first 8 hex chars of
-    * md5("seed:falue") as a long. Matches DuckDB's
+    * md5("seed:value") as a long. Matches DuckDB's
     * `CAST('0x' || substring(md5(seed || ':' || s), 1, 8) AS BIGINT)`. */
   def seededHash(seed: Int, s: Column): Column =
     conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 8), 16, 10).cast("long")
 
+  /** k-th 32-bit chunk (0-based) of ONE md5 — 4 independent hash values
+    * for the price of a single digest (an md5's 128 bits split 4×32).
+    * Halves the dominant cost of MinHash vs. per-seed digests. */
+  def md5Chunk(md5Hex: Column, k: Int): Column =
+    conv(substring(md5Hex, 1 + 8 * k, 8), 16, 10).cast("long")
+
   /** MinHash signatures over k-word shingles: one row per doc with
-    * `numHashes` minimum-hash columns `h1..hN`. Explode + groupBy-min:
-    * partial (map-side) mins make the shuffle tiny. */
+    * `numHashes` ≤ 4 minimum-hash columns `h1..hN`, all derived from one
+    * md5 per shingle. Explode + groupBy-min: partial (map-side) mins
+    * make the shuffle tiny. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 4, shingleK: Int = 3): DataFrame = {
+    require(numHashes <= 4, "one md5 yields 4 chunks")
     val sh = df
       .select(col(idCol), explode(shingles(words(col(textCol)), shingleK)).as("sh"))
+      .select(col(idCol), md5(col("sh")).as("m"))
     sh.groupBy(col(idCol))
       .agg(
-        min(seededHash(1, col("sh"))).as("h1"),
-        (2 to numHashes).map(i => min(seededHash(i, col("sh"))).as(s"h$i")): _*)
+        min(md5Chunk(col("m"), 0)).as("h1"),
+        (2 to numHashes).map(i => min(md5Chunk(col("m"), i - 1)).as(s"h$i")): _*)
   }
 
   /** LSH candidate pairs from unigram MinHash, banded 2×2 (band A =
@@ -72,10 +81,11 @@ object Dedup {
     val sigs = df
       .select(col(groupCol), col(idCol),
         explode(array_distinct(words(col(textCol)))).as("w"))
+      .select(col(groupCol), col(idCol), md5(col("w")).as("m"))
       .groupBy(col(groupCol), col(idCol))
       .agg(
-        min(seededHash(1, col("w"))).as("h1"), min(seededHash(2, col("w"))).as("h2"),
-        min(seededHash(3, col("w"))).as("h3"), min(seededHash(4, col("w"))).as("h4"))
+        min(md5Chunk(col("m"), 0)).as("h1"), min(md5Chunk(col("m"), 1)).as("h2"),
+        min(md5Chunk(col("m"), 2)).as("h3"), min(md5Chunk(col("m"), 3)).as("h4"))
       .select(col(groupCol), col(idCol),
         concat_ws("_", col("h1"), col("h2")).as("bandA"),
         concat_ws("_", col("h3"), col("h4")).as("bandB"))

@@ -77,15 +77,20 @@ object TextAnalysis {
     * per-doc partition — no cross-doc shuffle beyond the doc id. */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
                             shingleK: Int = 4, window: Int = 5): DataFrame = {
-    val sh = df.select(col(idCol),
-        posexplode(Dedup.shingles(Dedup.words(col(textCol)), shingleK)).as(Seq("pos", "sh")))
-      .select(col(idCol), col("pos"), Dedup.seededHash(7, col("sh")).as("h"))
+    // carry the shingle count (derived cheaply from the word count, NOT
+    // from the shingle array — a size(shs) predicate gets pushed below
+    // the projection and re-evaluates the whole array build) through the
+    // explode so the frame filter is a plain column predicate — one
+    // window pass, not two; short docs die on the pos <= np - window
+    // predicate, no pre-filter needed
+    val sh = df.select(col(idCol), Dedup.words(col(textCol)).as("ws"))
+      .select(col(idCol), (size(col("ws")) - (shingleK - 1)).as("np"),
+        posexplode(Dedup.shingles(col("ws"), shingleK)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("np"), col("pos"), Dedup.md5Chunk(md5(col("sh")), 0).as("h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, window - 1)
-    val maxPos = Window.partitionBy(col(idCol))
     sh.withColumn("wmin", min(col("h")).over(win))
-      .withColumn("maxpos", max(col("pos")).over(maxPos))
-      .where(col("pos") <= col("maxpos") - (window - 1))
+      .where(col("pos") <= col("np") - window)
       .groupBy(col(idCol))
       .agg(countDistinct(col("wmin")).as("n_fingerprints"), min(col("wmin")).as("min_fp"))
   }

@@ -21,6 +21,10 @@ object AnalyticsQueries {
   private def h32(seed: Int, e: String): String =
     s"CAST(concat('0x', substring(md5(concat('$seed:', $e)), 1, 8)) AS BIGINT)"
 
+  /** k-th (0-based) 32-bit chunk of one md5 — mirrors Dedup.md5Chunk. */
+  private def chunk(e: String, k: Int): String =
+    s"CAST(concat('0x', substring(md5($e), ${1 + 8 * k}, 8)) AS BIGINT)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on content digest.
@@ -109,15 +113,15 @@ object AnalyticsQueries {
          |         ELSE CAST([] AS VARCHAR[]) END AS shs FROM w),
          |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh)
          |SELECT doc_id,
-         |  min(${h32(1, "sh")}) AS h1, min(${h32(2, "sh")}) AS h2,
-         |  min(${h32(3, "sh")}) AS h3, min(${h32(4, "sh")}) AS h4
+         |  min(${chunk("sh", 0)}) AS h1, min(${chunk("sh", 1)}) AS h2,
+         |  min(${chunk("sh", 2)}) AS h3, min(${chunk("sh", 3)}) AS h4
          |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q22_lsh_pairs" ->
       s"""WITH w AS (SELECT source, doc_id, unnest(list_distinct($wordsSql)) AS wd FROM documents),
          |sig AS (SELECT source, doc_id,
-         |    concat(CAST(min(${h32(1, "wd")}) AS VARCHAR), '_', CAST(min(${h32(2, "wd")}) AS VARCHAR)) AS bandA,
-         |    concat(CAST(min(${h32(3, "wd")}) AS VARCHAR), '_', CAST(min(${h32(4, "wd")}) AS VARCHAR)) AS bandB
+         |    concat(CAST(min(${chunk("wd", 0)}) AS VARCHAR), '_', CAST(min(${chunk("wd", 1)}) AS VARCHAR)) AS bandA,
+         |    concat(CAST(min(${chunk("wd", 2)}) AS VARCHAR), '_', CAST(min(${chunk("wd", 3)}) AS VARCHAR)) AS bandB
          |  FROM w GROUP BY source, doc_id),
          |p AS (
          |  SELECT l.source, l.doc_id AS a, r.doc_id AS b FROM sig l JOIN sig r
@@ -231,7 +235,7 @@ object AnalyticsQueries {
          |         THEN list_transform(generate_series(1, len(ws)-3),
          |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
          |         ELSE CAST([] AS VARCHAR[]) END AS shs FROM w),
-         |hx AS (SELECT doc_id, list_transform(shs, sg -> ${h32(7, "sg")}) AS hs FROM sh WHERE len(shs) > 0),
+         |hx AS (SELECT doc_id, list_transform(shs, sg -> ${chunk("sg", 0)}) AS hs FROM sh WHERE len(shs) > 0),
          |px AS (SELECT doc_id, unnest(generate_series(1, len(hs))) AS pos1, hs FROM hx),
          |p2 AS (SELECT doc_id, pos1 - 1 AS pos, hs[pos1] AS h, len(hs) AS np FROM px),
          |wm AS (SELECT doc_id, pos, np,

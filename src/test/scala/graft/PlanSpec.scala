@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale contract: filters reach the
+  * parquet scan (PushedFilters), projections prune the read schema, and
+  * per-query shuffle counts stay at the minimum the semantics require.
+  * These are the properties that decide whether a plan survives a 100×
+  * scale-up, checked mechanically. */
+class PlanSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // executedPlan is the AQE wrapper (no children pre-execution); the
+  // pre-AQE sparkPlan carries the scans, and shuffle counting needs the
+  // post-EnsureRequirements plan — run the query, then read the final
+  // adaptive plan string.
+  private def scans(name: String) = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+  }
+
+  // counts hash shuffles only — the trailing orderBy for oracle
+  // determinism adds a rangepartitioning exchange that isn't part of
+  // the operator's semantics
+  private def shuffles(name: String): Int = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+  }
+
+  test("q01: shipdate filter pushed to parquet scan, schema pruned") {
+    val s = scans("q01_pricing_summary")
+    assert(s.nonEmpty)
+    val meta = s.head.metadata
+    assert(meta("PushedFilters").contains("l_shipdate"), meta("PushedFilters"))
+    // only the referenced columns are read
+    val readSchema = meta("ReadSchema")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("q06: rlike filter chain evaluates over a pruned 3-column read") {
+    val s = scans("q06_filter_chain")
+    assert(s.nonEmpty)
+    val readSchema = s.head.metadata("ReadSchema")
+    // url is derived from doc_id+source; text/lang never read
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
+  test("q02 frontier top-K plans exactly one shuffle (the window)") {
+    assert(shuffles("q02_frontier_topk") == 1)
+  }
+
+  test("q13 broadcast join keeps the fact table un-shuffled on the dim side") {
+    val df = SparkEntry.queries("q13_join_revenue")(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q25 cosine top-k broadcasts the query side") {
+    val df = SparkEntry.queries("q25_cosine_topk")(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+}
