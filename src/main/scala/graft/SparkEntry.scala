@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AnalyticsQueries, CrawlQueries, RelationalQueries}
+import graft.queries.{AnalyticsQueries, CoverageQueries, CrawlQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ CrawlQueries.queries ++ AnalyticsQueries.queries
+    RelationalQueries.queries ++ CrawlQueries.queries ++
+      AnalyticsQueries.queries ++ CoverageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ CrawlQueries.oracles ++ AnalyticsQueries.oracles
+    RelationalQueries.oracles ++ CrawlQueries.oracles ++
+      AnalyticsQueries.oracles ++ CoverageQueries.oracles
 }

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Remaining SURVEY-inventory shapes as oracle-checked queries: seed-file
+  * parsing (StringTabScheme), metadata-projection globs
+  * (MetadataTransfer), the adaptive scheduler arithmetic, distinct
+  * aggregation, and status-stream unions.
+  */
+object CoverageQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // FileSpout + StringTabScheme (`core/.../util/StringTabScheme.java:28`):
+    // parse `URL \t k=v \t k=v` seed lines relationally — synthesize the
+    // lines from documents, split back out.
+    "q17_seed_tab_parse" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr(
+          """concat('https://', source, '.example.com/d/', cast(doc_id as string),
+            | chr(9), 'lang=', lang, chr(9), 'depth=', cast(doc_id % 4 as string)) AS line"""
+            .stripMargin.replace("\n", ""))
+        .select(split(col("line"), "\t").as("parts"))
+        .select(
+          element_at(col("parts"), 1).as("url"),
+          substring_index(element_at(col("parts"), 2), "=", -1).as("lang"),
+          substring_index(element_at(col("parts"), 3), "=", -1).cast("int").as("depth"))
+        .groupBy("lang", "depth").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "depth")),
+
+    // MetadataTransfer key projection (`MetadataTransfer.java:151-180`):
+    // whitelist exact keys + globs over an open key set; output the kept
+    // keys as a joined string (engine-portable representation).
+    "q18_metadata_transfer" -> ((s, dir) =>
+      t(s, dir, "events")
+        .selectExpr("event_id",
+          """map('depth', cast(event_id % 5 as string),
+            |    'fetch.statusCode', '200',
+            |    'fetch.loadingTime', cast(event_id % 97 as string),
+            |    concat('x.', event_type), 'v',
+            |    'discard', 'y') AS md""".stripMargin.replace("\n", " "))
+        .select(col("event_id"),
+          array_join(array_sort(map_keys(
+            map_filter(col("md"), (k, _) =>
+              k === "depth" || k === "signature" || k.startsWith("fetch.")))), ",").as("kept"))
+        .groupBy("kept").agg(count(lit(1)).as("n"))
+        .orderBy("kept")),
+
+    // AdaptiveScheduler interval arithmetic (`AdaptiveScheduler.java:140-318`):
+    // unchanged content grows the interval ×1.5 capped at max; changed
+    // shrinks ×0.5 floored at min. Pure IEEE arithmetic both engines.
+    "q19_adaptive_schedule" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          col("value").as("prev_mins"),
+          (col("event_id") % 2 === 0).as("unchanged"))
+        .select(col("event_id"),
+          when(col("unchanged"), least(col("prev_mins") * 1.5, lit(10080.0)))
+            .otherwise(greatest(col("prev_mins") * 0.5, lit(60.0))).as("new_mins"))
+        .orderBy("event_id")),
+
+    // Distinct aggregation: distinct active users + event count per type.
+    "q33_distinct_users" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // Stream-union semantics (`crawler.flux:95-130` — many bolts emit
+    // into one status stream): two derived update streams unioned then
+    // counted. unionByName + aggregate, one shuffle.
+    "q34_status_stream_union" -> ((s, dir) => {
+      val v = statusView(s, dir)
+      val fetcherEmits = v.where(col("status") === "FETCHED")
+        .select(col("key"), lit("fetcher").as("emitter"))
+      val parserEmits = v.where(col("status") === "DISCOVERED")
+        .select(col("key"), lit("parser").as("emitter"))
+      fetcherEmits.unionByName(parserEmits)
+        .groupBy("key", "emitter").agg(count(lit(1)).as("n"))
+        .orderBy("key", "emitter")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q17_seed_tab_parse" ->
+      """WITH lines AS (
+        |  SELECT concat('https://', source, '.example.com/d/', CAST(doc_id AS VARCHAR),
+        |    chr(9), 'lang=', lang, chr(9), 'depth=', CAST(doc_id % 4 AS VARCHAR)) AS line
+        |  FROM documents),
+        |parts AS (SELECT string_split(line, chr(9)) AS p FROM lines),
+        |parsed AS (SELECT p[1] AS url,
+        |    split_part(p[2], '=', -1) AS lang,
+        |    CAST(split_part(p[3], '=', -1) AS INT) AS depth
+        |  FROM parts)
+        |SELECT lang, depth, count(*) AS n FROM parsed
+        |GROUP BY lang, depth ORDER BY lang, depth""".stripMargin,
+
+    "q18_metadata_transfer" ->
+      """WITH md AS (SELECT event_id,
+        |    [['depth', CAST(event_id % 5 AS VARCHAR)],
+        |     ['fetch.statusCode', '200'],
+        |     ['fetch.loadingTime', CAST(event_id % 97 AS VARCHAR)],
+        |     [concat('x.', event_type), 'v'],
+        |     ['discard', 'y']] AS kvs
+        |  FROM events),
+        |kept AS (SELECT event_id,
+        |    array_to_string(list_sort(list_transform(
+        |      list_filter(kvs, kv -> kv[1] = 'depth' OR kv[1] = 'signature'
+        |                             OR starts_with(kv[1], 'fetch.')),
+        |      kv -> kv[1])), ',') AS kept
+        |  FROM md)
+        |SELECT kept, count(*) AS n FROM kept GROUP BY kept ORDER BY kept""".stripMargin,
+
+    "q19_adaptive_schedule" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN least(value * 1.5, 10080.0)
+        |       ELSE greatest(value * 0.5, 60.0) END AS new_mins
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q33_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q34_status_stream_union" ->
+      s"""WITH status_view AS (${Tables.statusViewSql}),
+         |u AS (
+         |  SELECT key, 'fetcher' AS emitter FROM status_view WHERE status = 'FETCHED'
+         |  UNION ALL
+         |  SELECT key, 'parser' FROM status_view WHERE status = 'DISCOVERED')
+         |SELECT key, emitter, count(*) AS n FROM u
+         |GROUP BY key, emitter ORDER BY key, emitter""".stripMargin
+  )
+}
