@@ -12,15 +12,18 @@ import graft.model.Status
 /** The frontier/status table: one row per normalized URL, the engine's
   * single piece of long-lived state (SURVEY §1.4).
   *
-  * Backed by versioned parquet directories with a `_CURRENT` pointer —
-  * the merge writes a new version and atomically swaps the pointer, so
-  * readers never see a half-written table (poor-man's Delta; a Delta
+  * Storage = hash-bucketed parquet with a per-bucket version manifest
+  * (`_CURRENT`: one `bucket TAB generation` line per bucket, swapped
+  * atomically). A merge rewrites ONLY the buckets its updates hash
+  * into — at 100 TB a micro-batch touching 2 % of hosts rewrites 2 %
+  * of the table, not all of it; untouched buckets keep their old
+  * files (poor-man's Delta partition-pruned MERGE; a real Delta
   * `MERGE INTO` slots straight into [[merge]]'s interface).
   *
-  * At scale the table is hash-distributed on `url_sha256` (the merge
-  * shuffles both sides once on that key) and range-partitionable on
-  * `bucket` for frontier-query pruning; `next_fetch_date` min/max stats
-  * prune untouched files on select.
+  * The table is hash-distributed on `url_sha256` (the merge shuffles
+  * both sides once on that key); bucket dirs give the frontier query
+  * partition pruning and `next_fetch_date` min/max file stats prune
+  * not-due files on select.
   *
   * Merge semantics = `AbstractStatusUpdaterBolt.execute`
   * (`core/.../persistence/AbstractStatusUpdaterBolt.java:139-242`):
@@ -37,28 +40,71 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
 
   def exists: Boolean = Files.exists(currentFile)
 
-  private def currentVersion: Int =
-    if (exists) new String(Files.readAllBytes(currentFile)).trim.toInt else -1
+  /** bucket -> generation dir (relative), e.g. 7 -> "delta_3". */
+  private def manifest: Map[Int, String] =
+    if (!exists) Map.empty
+    else new String(Files.readAllBytes(currentFile)).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val Array(b, g) = l.split("\t"); b.toInt -> g
+      }.toMap
 
-  /** Read the current frontier table (empty-schema DF when absent). */
-  def read(spark: SparkSession): DataFrame = {
-    val v = currentVersion
-    if (v < 0)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        graft.model.Schemas.status)
-        .withColumn("next_fetch_date", col("next_fetch_date").cast("timestamp_ntz"))
-        .withColumn("error_count", lit(0))
-    else spark.read.parquet(s"$root/v$v")
+  private def emptyFrontier(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.model.Schemas.status)
+      .withColumn("next_fetch_date", col("next_fetch_date").cast("timestamp_ntz"))
+      .withColumn("error_count", lit(0))
+
+  /** Read frontier rows for the given buckets (all when None). One scan
+    * per delta generation (basePath recovers the bucket column), unioned. */
+  private def readBuckets(spark: SparkSession, buckets: Option[Set[Int]]): DataFrame = {
+    val entries = manifest.filter { case (b, _) => buckets.forall(_.contains(b)) }
+    if (entries.isEmpty) emptyFrontier(spark)
+    else entries.groupBy(_._2).map { case (gen, es) =>
+      spark.read
+        .option("basePath", s"$root/$gen")
+        .parquet(es.keys.toSeq.sorted.map(b => s"$root/$gen/bucket=$b"): _*)
+        .withColumn("bucket", col("bucket").cast("int"))
+        .select("url_sha256", "url", "status", "next_fetch_date", "key",
+          "bucket", "metadata", "error_count")
+    }.reduce(_.unionByName(_))
   }
 
-  private def writeVersion(df: DataFrame): Unit = {
-    val v = currentVersion + 1
-    df.write.mode("overwrite").parquet(s"$root/v$v")
+  /** Read the current frontier table (empty-schema DF when absent). */
+  def read(spark: SparkSession): DataFrame = readBuckets(spark, None)
+
+  private def nextGeneration: Int =
+    if (!exists) 0
+    else manifest.values.map(_.stripPrefix("delta_").toInt).maxOption.map(_ + 1).getOrElse(0)
+
+  /** Write the merged content of `touched` buckets as one new delta
+    * generation and swap the manifest pointer atomically. */
+  private def writeDelta(df: DataFrame, touched: Set[Int]): Unit = {
+    val gen = s"delta_$nextGeneration"
+    df.write.partitionBy("bucket").mode("overwrite").parquet(s"$root/$gen")
+    val updated = manifest ++ touched.map(_ -> gen)
     val tmp = Paths.get(root, "_CURRENT.tmp")
     Files.createDirectories(Paths.get(root))
-    Files.write(tmp, v.toString.getBytes)
+    Files.write(tmp, updated.toSeq.sortBy(_._1)
+      .map { case (b, g) => s"$b\t$g" }.mkString("\n").getBytes)
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Delete delta generations no bucket references anymore. */
+  def vacuum(): Unit = {
+    val referenced = manifest.values.toSet
+    val rootPath = Paths.get(root)
+    if (Files.exists(rootPath)) {
+      val it = Files.list(rootPath).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith("delta_") && !referenced.contains(name)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+      }
+    }
   }
 
   /** Normalize incoming status rows (url, status, metadata[, signature])
@@ -70,16 +116,24 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
       .withColumn("bucket", pmod(hash(col("key")), lit(numBuckets)))
 
   /** MERGE INTO status — the §3.3 upsert. `updates` needs columns
-    * (url, status, metadata); `now` stamps scheduling. One shuffle on
+    * (url, status, metadata); `now` stamps scheduling. Only the buckets
+    * the updates hash into are read and rewritten; one shuffle on
     * url_sha256 (window dedup), map-side everything else. */
   def merge(spark: SparkSession, updates: DataFrame,
             now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())): Unit = {
-    val existing = read(spark)
+    val enriched = enrich(updates)
+    enriched.cache()
+    // the touched-bucket set is tiny (≤ numBuckets) — safe to collect
+    val touched = enriched.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) { enriched.unpersist(); return }
+
+    val existing = readBuckets(spark, Some(touched))
       .select(col("url_sha256"), col("url"), col("status"), col("next_fetch_date"),
         col("key"), col("bucket"), col("metadata"), col("error_count"),
         lit(0).as("incoming"))
     val nowC = lit(now).cast("timestamp_ntz")
-    val incoming = enrich(updates)
+    val incoming = enriched
       .select(col("url_sha256"), col("url"), col("status"),
         lit(null).cast("timestamp_ntz").as("next_fetch_date"),
         col("key"), col("bucket"), col("metadata"),
@@ -118,9 +172,10 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
         coalesce(col("next_fetch_date"),
           scheduler.nextFetchDate(col("status"), col("metadata"), nowC)))
 
-    writeVersion(scheduled.select(
+    writeDelta(scheduled.select(
       "url_sha256", "url", "status", "next_fetch_date", "key", "bucket",
-      "metadata", "error_count"))
+      "metadata", "error_count"), touched)
+    enriched.unpersist()
   }
 
   /** Frontier selection — AggregationSpout / SQLSpout semantics

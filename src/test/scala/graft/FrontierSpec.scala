@@ -124,6 +124,31 @@ class FrontierSpec extends AnyFunSuite {
     assert(out(2).getAs[java.time.LocalDateTime]("nfd").toString.startsWith("2024-01-01T01:00")) // custom 60
   }
 
+  test("incremental merge: only touched buckets rewritten; vacuum drops dead generations") {
+    val root = Files.createTempDirectory("frontier").toString
+    val st = new FrontierStore(root, numBuckets = 8)
+    st.merge(spark, statusRows("http://hosta.com/1" -> Status.Discovered), t0)
+    st.merge(spark, statusRows("http://hostb.com/1" -> Status.Discovered), t0)
+    // both rows visible across generations
+    assert(st.read(spark).count() == 2)
+    val gens = new java.io.File(root).list().filter(_.startsWith("delta_")).sorted
+    assert(gens.length == 2, gens.mkString(","))
+
+    // remerging hosta rewrites only its bucket; hostb's generation stays
+    st.merge(spark, statusRows("http://hosta.com/1" -> Status.Fetched), t1)
+    assert(st.read(spark).count() == 2)
+    val byUrl = st.read(spark).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(byUrl("http://hosta.com/1") == Status.Fetched)
+    assert(byUrl("http://hostb.com/1") == Status.Discovered)
+
+    // delta_0 (hosta's first write) is now unreferenced -> vacuumed
+    st.vacuum()
+    val after = new java.io.File(root).list().filter(_.startsWith("delta_")).sorted
+    assert(!after.contains("delta_0"), after.mkString(","))
+    assert(st.read(spark).count() == 2) // still fully readable
+  }
+
   test("statusCounts aggregation") {
     val st = freshStore()
     st.merge(spark, statusRows(
