@@ -10,15 +10,17 @@ import graft.frontier.FrontierStore
 import graft.streaming.CrawlTopology
 
 /** End-to-end demo: crawl a local `file://` site (a directory of HTML /
-  * sitemap / feed files), print per-iteration stats and the final
-  * frontier status counts.
+  * sitemap / feed files) or any http(s)/file URL seed, print
+  * per-iteration stats and the final frontier status counts.
   *
-  * Usage: runMain graft.CrawlDemo <siteDir> [maxIterations]
+  * Usage: runMain graft.CrawlDemo <siteDir | seedUrl> [maxIterations]
   */
 object CrawlDemo {
   def main(args: Array[String]): Unit = {
-    val siteDir = args.headOption.getOrElse(
-      sys.error("usage: CrawlDemo <siteDir> [maxIterations]"))
+    val target = args.headOption.getOrElse(
+      sys.error("usage: CrawlDemo <siteDir|seedUrl> [maxIterations]"))
+    val seedUrl =
+      if (target.contains("://")) target else s"file://$target/index.html"
     val maxIter = args.lift(1).map(_.toInt).getOrElse(5)
 
     val spark = SparkSession.builder()
@@ -37,10 +39,11 @@ object CrawlDemo {
         "-(?i)\\.(?:gif|jpg|jpeg|png|ico|css|zip|exe|js)$", "+."))))
 
     val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
-    CrawlTopology.seed(spark, store, Seq(s"file://$siteDir/index.html"), chain)
+    CrawlTopology.seed(spark, store, Seq(seedUrl), chain)
 
     val stats = CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
-      maxIterations = maxIter, crawlDelayMs = 100, respectRobots = false)
+      maxIterations = maxIter, crawlDelayMs = 100,
+      respectRobots = seedUrl.startsWith("http"))
     stats.zipWithIndex.foreach { case (s, i) =>
       println(s"iter $i: selected=${s.selected} fetched=${s.fetched} " +
         s"failed=${s.failed} docs=${s.docs} discovered=${s.discovered}")

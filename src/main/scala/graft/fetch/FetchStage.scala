@@ -102,7 +102,13 @@ object FetchStage {
             lastFetch(key) = System.currentTimeMillis()
             val ms = System.currentTimeMillis() - t0
             val status = Status.fromHttpCode(resp.statusCode)
-            val redirect = if (status == Status.Redirection) resp.header("Location").orNull else null
+            // Location may be relative — resolve against the page url
+            // (FetcherBolt emits the resolved target as DISCOVERED)
+            val redirect =
+              if (status == Status.Redirection)
+                resp.header("Location")
+                  .flatMap(l => graft.functions.Urls.resolve(url, l)).orNull
+              else null
             val mdOut = md +
               ("fetch.statusCode" -> Seq(resp.statusCode.toString)) +
               ("fetch.byteLength" -> Seq(resp.content.length.toString)) +

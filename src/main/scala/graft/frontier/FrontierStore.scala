@@ -218,4 +218,41 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
   /** Count-by-status — StatusMetricsBolt (`StatusMetricsBolt.java:44`). */
   def statusCounts(spark: SparkSession): DataFrame =
     read(spark).groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** HybridSpout per-queue refill (`external/opensearch/.../HybridSpout
+    * .java:53`): keyset pagination — for each (key, last seen due date),
+    * the next `perKey` due URLs strictly after that date. `cursor` needs
+    * columns (key, last_seen); it is small (one row per active queue) so
+    * it broadcasts. */
+  def refill(spark: SparkSession, cursor: DataFrame, now: java.sql.Timestamp,
+             perKey: Int = 5): DataFrame = {
+    val due = read(spark)
+      .where(col("next_fetch_date").isNotNull &&
+        col("next_fetch_date") <= lit(now).cast("timestamp_ntz") &&
+        col("status") =!= Status.Error)
+    val wk = Window.partitionBy(col("key")).orderBy(col("next_fetch_date"), col("url"))
+    due.join(broadcast(cursor), Seq("key"))
+      .where(col("next_fetch_date") > col("last_seen"))
+      .withColumn("rn", row_number().over(wk))
+      .where(col("rn") <= perKey)
+      .select("url_sha256", "url", "status", "next_fetch_date", "key", "metadata")
+  }
+
+  /** Rows the index must delete — the `deletion` stream
+    * (`AbstractStatusUpdaterBolt.java:269-272`, `DeletionBolt.java:58`):
+    * every ERROR row's doc id. An index sink anti-joins its table
+    * against this set (or applies them as tombstones). */
+  def deletions(spark: SparkSession): DataFrame =
+    read(spark).where(col("status") === Status.Error)
+      .select("url_sha256", "url")
+
+  /** Typed view of the frontier — Dataset[StatusRow] for call sites
+    * that want compile-time field checks. */
+  def readTyped(spark: SparkSession): org.apache.spark.sql.Dataset[graft.model.StatusRow] = {
+    import spark.implicits._
+    read(spark)
+      .select(col("url_sha256"), col("url"), col("status"), col("next_fetch_date").cast("timestamp"),
+        col("key"), col("bucket"), col("metadata"))
+      .as[graft.model.StatusRow]
+  }
 }

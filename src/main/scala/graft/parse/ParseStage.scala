@@ -79,8 +79,10 @@ object ParseStage {
           val isFeed = !isSitemap && (md.get("isFeed").exists(_.contains("true")) ||
             FeedParser.sniff(content))
 
+          val decoded = Charsets.decode(content, Option(ctype).filter(_.nonEmpty))
+
           if (isSitemap) {
-            val entries = SitemapParser.parse(new String(content, "UTF-8"))
+            val entries = SitemapParser.parse(decoded)
             val links = entries.map(e => (e.url, ""))
             val subMd = (isSub: Boolean) =>
               if (isSub) Map("isSitemap" -> Seq("true")) else Map.empty[String, Seq[String]]
@@ -88,11 +90,11 @@ object ParseStage {
               outlinkRows(Seq((e.url, "")), subMd(e.isSubSitemap))
             }
           } else if (isFeed) {
-            val entries = FeedParser.parse(new String(content, "UTF-8"))
+            val entries = FeedParser.parse(decoded)
             outlinkRows(entries.map(e => (e.url, e.title.getOrElse(""))),
               Map("isFeed" -> Seq("true")))
           } else {
-            val parsed = HtmlParser.parse(new String(content, "UTF-8"), url)
+            val parsed = HtmlParser.parse(decoded, url)
             val ctx = parseFilters(ParseContext(url, content, parsed,
               md + ("parse.Content-Type" -> Seq(ctype))))
             val signature = ctx.metadata.get("signature").flatMap(_.headOption)

@@ -1,0 +1,87 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fetch.ProtocolFactory
+import graft.filters._
+import graft.frontier.FrontierStore
+import graft.model.Status
+import graft.streaming.CrawlTopology
+
+/** Real-HTTP crawl: JDK HttpServer serving a tiny site with robots.txt —
+  * exercises HttpProtocol, the robots cache/deny path, and redirect
+  * handling end-to-end (FetcherBoltTest style, SURVEY §5.5). */
+class CrawlHttpSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val pages: Map[String, (Int, String, String)] = Map(
+    "/robots.txt" -> (200, "text/plain",
+      "User-agent: *\nDisallow: /private/\n"),
+    "/index.html" -> (200, "text/html",
+      """<html><head><title>Root</title></head><body>
+        |<a href="/a.html">A</a>
+        |<a href="/private/secret.html">Secret</a>
+        |<a href="/moved.html">Moved</a>
+        |</body></html>""".stripMargin),
+    "/a.html" -> (200, "text/html", "<html><body>Page A</body></html>"),
+    "/private/secret.html" -> (200, "text/html", "<html><body>private</body></html>"),
+    "/target.html" -> (200, "text/html", "<html><body>Landed</body></html>"))
+
+  private def startServer(): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        if (path == "/moved.html") {
+          ex.getResponseHeaders.add("Location", "/target.html")
+          ex.sendResponseHeaders(301, -1)
+        } else pages.get(path) match {
+          case Some((code, ctype, body)) =>
+            val bytes = body.getBytes("UTF-8")
+            ex.getResponseHeaders.add("Content-Type", ctype)
+            ex.sendResponseHeaders(code, bytes.length)
+            ex.getResponseBody.write(bytes)
+          case None =>
+            ex.sendResponseHeaders(404, -1)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    server
+  }
+
+  test("http crawl: robots deny, redirect follow, 404 error") {
+    val server = startServer()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val chain = new UrlFilterChain(Seq(
+        new BasicUrlNormalizer(), new SelfUrlFilter(), RegexUrlFilter.parse(Seq("+."))))
+      val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+      CrawlTopology.seed(spark, store, Seq(s"$base/index.html"), chain)
+
+      CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+        maxIterations = 4, crawlDelayMs = 0, respectRobots = true)
+
+      val byUrl = store.read(spark).collect()
+        .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+      assert(byUrl(s"$base/index.html") == Status.Fetched)
+      assert(byUrl(s"$base/a.html") == Status.Fetched)
+      // robots-denied page: discovered but ERRORed, never fetched
+      assert(byUrl(s"$base/private/secret.html") == Status.Error)
+      // 301 page recorded as REDIRECTION, target discovered + fetched
+      assert(byUrl(s"$base/moved.html") == Status.Redirection)
+      assert(byUrl(s"$base/target.html") == Status.Fetched)
+    } finally server.stop(0)
+  }
+}

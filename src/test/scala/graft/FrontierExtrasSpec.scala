@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier.FrontierStore
+import graft.model.Status
+import graft.parse.Charsets
+
+/** HybridSpout refill, deletion stream, typed reads, charset detect. */
+class FrontierExtrasSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val t1 = Timestamp.valueOf("2024-01-02 00:00:00")
+
+  private def store(rows: (String, String)*): FrontierStore = {
+    import spark.implicits._
+    val st = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    st.merge(spark,
+      rows.map { case (u, s) => (u, s, Map.empty[String, Seq[String]]) }
+        .toDF("url", "status", "metadata"), t0)
+    st
+  }
+
+  test("refill: keyset pagination strictly after the cursor") {
+    import spark.implicits._
+    // 4 DISCOVERED urls on one host, all due at t0
+    val st = store((1 to 4).map(i => s"http://h.com/p$i" -> Status.Discovered): _*)
+    // cursor: already saw everything up to just before t0 -> all 4 match;
+    // perKey = 2 limits the refill
+    val c1 = Seq(("h.com", Timestamp.valueOf("2023-12-31 00:00:00"))).toDF("key", "last_seen")
+    assert(st.refill(spark, c1, t1, perKey = 2).count() == 2)
+    // cursor at t0: strictly-after excludes all of them
+    val c2 = Seq(("h.com", t0)).toDF("key", "last_seen")
+    assert(st.refill(spark, c2, t1, perKey = 2).count() == 0)
+    // unknown key: no rows
+    val c3 = Seq(("other.com", Timestamp.valueOf("2020-01-01 00:00:00"))).toDF("key", "last_seen")
+    assert(st.refill(spark, c3, t1).count() == 0)
+  }
+
+  test("deletions: ERROR rows exposed as the deletion stream") {
+    val st = store("http://h.com/ok" -> Status.Fetched)
+    val stErr = new FrontierStore(st.root, maxFetchErrors = 1)
+    import spark.implicits._
+    stErr.merge(spark,
+      Seq(("http://h.com/bad", Status.FetchError, Map.empty[String, Seq[String]]))
+        .toDF("url", "status", "metadata"), t1)
+    val dels = stErr.deletions(spark).collect()
+    assert(dels.map(_.getAs[String]("url")).toSeq == Seq("http://h.com/bad"))
+    assert(dels.head.getAs[String]("url_sha256").length == 64)
+  }
+
+  test("readTyped: Dataset[StatusRow] round-trips fields") {
+    val st = store("http://h.com/x" -> Status.Discovered)
+    val rows = st.readTyped(spark).collect()
+    assert(rows.length == 1)
+    assert(rows.head.url == "http://h.com/x")
+    assert(rows.head.status == Status.Discovered)
+    assert(rows.head.key.contains("h.com"))
+  }
+
+  test("charset detection: BOM > header > meta > utf-8 default") {
+    val utf8Bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "hi".getBytes("UTF-8")
+    assert(Charsets.decode(utf8Bom, None) == "hi")
+    val latin = "café".getBytes("ISO-8859-1")
+    assert(Charsets.decode(latin, Some("text/html; charset=ISO-8859-1")) == "café")
+    val metaPage = "<html><head><meta charset=\"ISO-8859-1\"></head>café</html>"
+      .getBytes("ISO-8859-1")
+    assert(Charsets.decode(metaPage, None).contains("café"))
+    assert(Charsets.decode("plain".getBytes("UTF-8"), None) == "plain")
+  }
+}
