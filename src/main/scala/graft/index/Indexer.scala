@@ -22,7 +22,10 @@ final case class IndexerMapping(
     textFieldName: String = "text",
     /** require metadata k=v to index (indexer.md.filter). */
     mdFilter: Option[(String, String)] = None,
-    honorNoindex: Boolean = true) {
+    honorNoindex: Boolean = true,
+    /** index under rel=canonical when same paid-level domain
+      * (`AbstractIndexerBolt.java:264-299`). */
+    useCanonical: Boolean = true) {
 
   private val idxRe = "^(.*)\\[(\\d+)\\]$".r
 
@@ -42,8 +45,16 @@ final case class IndexerMapping(
     }
     val textCol =
       if (textMaxLength > 0) substring(col("text"), 1, textMaxLength) else col("text")
+    // canonical resolution with the same-PLD guard
+    val urlCol =
+      if (useCanonical && docs.columns.contains("canonical")) {
+        import graft.functions.CrawlFunctions.{hostCol, pldCol}
+        when(col("canonical").isNotNull &&
+             pldCol(hostCol(col("canonical"))) === pldCol(hostCol(col("url"))),
+          col("canonical")).otherwise(col("url"))
+      } else col("url")
     val cols =
-      col("url").as(urlFieldName) +:
+      urlCol.as(urlFieldName) +:
       textCol.as(textFieldName) +:
       mdMapping.map { case (spec, alias) => mdColumn(col("metadata"), spec).as(alias) }
     gated.select(cols: _*)

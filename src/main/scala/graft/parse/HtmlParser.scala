@@ -25,7 +25,8 @@ object HtmlParser {
       links: Seq[Link],
       metaRobots: Set[String],      // noindex, nofollow, none, ...
       metaRefreshUrl: Option[String],
-      charset: Option[String]) {
+      charset: Option[String],
+      canonicalUrl: Option[String] = None) {
     def noindex: Boolean = metaRobots.contains("noindex") || metaRobots.contains("none")
     def nofollow: Boolean = metaRobots.contains("nofollow") || metaRobots.contains("none")
   }
@@ -40,6 +41,8 @@ object HtmlParser {
   private val hrefRe: Regex = "(?i)\\bhref\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))".r
   private val relRe: Regex = "(?i)\\brel\\s*=\\s*[\"']?([^\"'>]*)".r
   private val metaRe: Regex = "(?is)<meta\\b[^>]*>".r
+  private val canonicalRe: Regex =
+    "(?i)<link\\b[^>]*\\brel\\s*=\\s*[\"']?canonical[\"']?[^>]*\\bhref\\s*=\\s*[\"']?([^\"'\\s>]+)|<link\\b[^>]*\\bhref\\s*=\\s*[\"']?([^\"'\\s>]+)[\"']?[^>]*\\brel\\s*=\\s*[\"']?canonical".r
   private val nameRe: Regex = "(?i)\\bname\\s*=\\s*[\"']?([^\"'\\s>]+)".r
   private val httpEquivRe: Regex = "(?i)\\bhttp-equiv\\s*=\\s*[\"']?([^\"'\\s>]+)".r
   private val contentAttrRe: Regex = "(?i)\\bcontent\\s*=\\s*(\"([^\"]*)\"|'([^']*)'|([^\\s>]+))".r
@@ -100,7 +103,11 @@ object HtmlParser {
       unescape(noTags).replaceAll("\\s+", " ").trim
     }
 
-    ParsedHtml(title, text, links, robots, refreshResolved, charset)
+    val canonical = canonicalRe.findFirstMatchIn(noComments)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+      .flatMap(h => Urls.resolve(base, h))
+
+    ParsedHtml(title, text, links, robots, refreshResolved, charset, canonical)
   }
 
   /** Outlinks to emit as DISCOVERED, honoring page-level and per-link

@@ -33,6 +33,7 @@ object ParseStage {
     StructField("title", StringType, nullable = true),
     StructField("text", StringType, nullable = true),
     StructField("noindex", BooleanType, nullable = false),
+    StructField("canonical", StringType, nullable = true),  // rel=canonical, resolved
     StructField("signature", StringType, nullable = true),  // md5 of text (MD5SignatureParseFilter)
     StructField("metadata", MapType(StringType, ArrayType(StringType), valueContainsNull = false),
       nullable = true)))
@@ -44,7 +45,11 @@ object ParseStage {
   def parse(fetched: DataFrame,
             filterChain: UrlFilterChain = UrlFilterChain.default(),
             parseFilters: ParseFilterChain = ParseFilterChain.default,
-            maxOutlinksPerPage: Int = 100): DataFrame = {
+            maxOutlinksPerPage: Int = 100,
+            sitemapMaxHoursSinceModified: Option[Int] = None): DataFrame = {
+    // sitemap.filter.hours.since.modified (`SiteMapParserBolt.java:96-180`)
+    val lastModCutoffMs = sitemapMaxHoursSinceModified
+      .map(h => System.currentTimeMillis() - h.toLong * 3600 * 1000)
     val enc = org.apache.spark.sql.Encoders.row(outputSchema)
     fetched
       .where(col("status") === Status.Fetched && col("content").isNotNull)
@@ -71,7 +76,7 @@ object ParseStage {
               .distinct.take(maxOutlinksPerPage)
               .map { case (t, anchor) =>
                 Row(url, "outlink", Status.Discovered, t, anchor,
-                  null, null, false, null, outlinkMd ++ extraMd)
+                  null, null, false, null, null, outlinkMd ++ extraMd)
               }
 
           val isSitemap = md.get("isSitemap").exists(_.contains("true")) ||
@@ -83,7 +88,8 @@ object ParseStage {
 
           if (isSitemap) {
             val entries = SitemapParser.parse(decoded)
-            val links = entries.map(e => (e.url, ""))
+              .filter(e => lastModCutoffMs.forall(cut =>
+                e.lastMod.forall(lm => SitemapParser.parseLastMod(lm).forall(_ >= cut))))
             val subMd = (isSub: Boolean) =>
               if (isSub) Map("isSitemap" -> Seq("true")) else Map.empty[String, Seq[String]]
             entries.flatMap { e =>
@@ -102,10 +108,10 @@ object ParseStage {
             val docRow =
               Row(url, "doc", null, null, null,
                 parsed.title.orNull, parsed.text, parsed.noindex,
-                signature, ctx.metadata)
+                parsed.canonicalUrl.orNull, signature, ctx.metadata)
             val redirectRow = parsed.metaRefreshUrl.map { target =>
               Row(url, "redirect", Status.Redirection, target, null,
-                null, null, false, null, md)
+                null, null, false, null, null, md)
             }
             val links = HtmlParser.followableLinks(parsed).map(l => (l.url, l.anchor)) ++
               ctx.extraOutlinks.map(u => (u, ""))

@@ -19,6 +19,13 @@ object SitemapParser {
     head.contains("<urlset") || head.contains("<sitemapindex")
   }
 
+  /** lastmod → epoch millis; supports date-only and full ISO forms. */
+  def parseLastMod(s: String): Option[Long] =
+    Try(java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli).toOption
+      .orElse(Try(java.time.Instant.parse(s).toEpochMilli).toOption)
+      .orElse(Try(java.time.LocalDate.parse(s)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli).toOption)
+
   /** Parse urlset or sitemapindex; never throws (malformed ⇒ empty). */
   def parse(content: String): Seq[SitemapEntry] =
     Try {

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.filters.FilterConfig
+import graft.parse.{HtmlParser, ParseContext}
+
+/** JSON-config chain construction (urlfilters.json / parsefilters.json
+  * shape compatibility). */
+class FilterConfigSpec extends AnyFunSuite {
+
+  test("urlfilters.json builds a working chain") {
+    val chain = FilterConfig.urlFilterChain(
+      """{"urlfilters": [
+        |  {"class": "BasicURLNormalizer", "params": {"queryElementsToRemove": ["sid"]}},
+        |  {"class": "BasicURLFilter", "params": {"maxLength": 100}},
+        |  {"class": "SelfURLFilter"},
+        |  {"class": "MaxDepthFilter", "params": {"maxDepth": 3}},
+        |  {"class": "RegexURLFilter", "params": {"rules": ["-\\.jpg$", "+^https?://"]}}
+        |]}""".stripMargin)
+    assert(chain("HTTP://E.com:80/a?sid=1&b=2#f").contains("http://e.com/a?b=2"))
+    assert(chain("http://e.com/x.jpg").isEmpty)
+    assert(chain("http://e.com/" + "y" * 200).isEmpty)
+    assert(chain("http://e.com/a", None, Map("depth" -> Seq("5"))).isEmpty)
+  }
+
+  test("FastURLFilter scoped config") {
+    val chain = FilterConfig.urlFilterChain(
+      """{"urlfilters": [
+        |  {"class": "FastURLFilter", "params": {
+        |    "hosts": {"www.e.com": ["-/private.*"]},
+        |    "domains": {"e.com": ["+/public.*", "-.*"]},
+        |    "global": ["+.*"]}}
+        |]}""".stripMargin)
+    assert(chain("http://www.e.com/private/x").isEmpty)
+    assert(chain("http://sub.e.com/public/x").isDefined)
+    assert(chain("http://sub.e.com/other").isEmpty)
+    assert(chain("http://other.org/x").isDefined)
+  }
+
+  test("parsefilters.json builds the enrichment chain") {
+    val chain = FilterConfig.parseFilterChain(
+      """{"parsefilters": [
+        |  {"class": "MD5SignatureParseFilter"},
+        |  {"class": "DomainParseFilter"},
+        |  {"class": "MimeTypeNormalization", "params": {"key": "fmt"}},
+        |  {"class": "CollectionTagger", "params": {"collections": [
+        |     {"name": "shop", "includePatterns": ["shop\\."]}]}}
+        |]}""".stripMargin)
+    val html = "<html><body>text</body></html>"
+    val ctx = chain(ParseContext("http://www.shop.example.com/p", html.getBytes,
+      HtmlParser.parse(html, "http://www.shop.example.com/p"),
+      Map("parse.Content-Type" -> Seq("text/html"))))
+    assert(ctx.metadata("signature").head.length == 32)
+    assert(ctx.metadata("domain") == Seq("example.com"))
+    assert(ctx.metadata("fmt") == Seq("html"))
+    assert(ctx.metadata("collections") == Seq("shop"))
+  }
+
+  test("unknown class fails loudly") {
+    intercept[RuntimeException] {
+      FilterConfig.urlFilterChain("""{"urlfilters": [{"class": "Nope"}]}""")
+    }
+  }
+}
