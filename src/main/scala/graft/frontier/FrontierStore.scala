@@ -34,7 +34,8 @@ import graft.model.Status
   */
 final class FrontierStore(val root: String, numBuckets: Int = 64,
                           maxFetchErrors: Int = 3,
-                          scheduler: DefaultScheduler = DefaultScheduler()) extends Serializable {
+                          scheduler: DefaultScheduler = DefaultScheduler(),
+                          adaptive: Option[AdaptiveScheduler] = None) extends Serializable {
 
   private def currentFile = Paths.get(root, "_CURRENT")
 
@@ -89,6 +90,20 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Rewrite the whole table into a single generation and vacuum — run
+    * periodically (the crawl loop does it every `compactEvery` merges)
+    * so reads stay one scan instead of one per historical generation. */
+  def compact(spark: SparkSession): Unit = {
+    if (manifest.values.toSet.size <= 1) return
+    val all = read(spark)
+    val touched = manifest.keySet
+    writeDelta(all, touched)
+    vacuum()
+  }
+
+  /** Number of distinct live generations (compaction trigger metric). */
+  def generationCount: Int = manifest.values.toSet.size
 
   /** Delete delta generations no bucket references anymore. */
   def vacuum(): Unit = {
@@ -150,12 +165,22 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
         .otherwise(2)
     val w = Window.partitionBy(col("url_sha256")).orderBy(rank, col("status"))
 
+    val wAll = Window.partitionBy(col("url_sha256"))
     val unioned = existing.unionByName(incoming)
       .withColumn("rn", row_number().over(w))
       // carry the error history: sum error counts across merged rows,
       // capped escalation handled below
-      .withColumn("total_errors",
-        sum(col("error_count")).over(Window.partitionBy(col("url_sha256"))))
+      .withColumn("total_errors", sum(col("error_count")).over(wAll))
+      // previous signature/interval for the adaptive scheduler
+      // (AdaptiveScheduler.java:140-318) — window-carried so the
+      // surviving row can compare against what the store held
+      .withColumn("old_sig",
+        max(when(col("incoming") === 0,
+          graft.model.MetadataOps.mdFirst(col("metadata"), "signature"))).over(wAll))
+      .withColumn("old_interval",
+        max(when(col("incoming") === 0,
+          graft.model.MetadataOps.mdFirst(col("metadata"), "fetchInterval").cast("double")))
+          .over(wAll))
       .where(col("rn") === 1)
       .drop("rn", "incoming")
 
@@ -167,10 +192,25 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
           Status.Error).otherwise(col("status")))
       .drop("total_errors")
 
-    val scheduled = escalated
-      .withColumn("next_fetch_date",
-        coalesce(col("next_fetch_date"),
-          scheduler.nextFetchDate(col("status"), col("metadata"), nowC)))
+    val defaultNext = coalesce(col("next_fetch_date"),
+      scheduler.nextFetchDate(col("status"), col("metadata"), nowC))
+    val scheduled = adaptive match {
+      case None => escalated.withColumn("next_fetch_date", defaultNext)
+      case Some(ad) =>
+        import graft.model.MetadataOps
+        val sig = MetadataOps.mdFirst(col("metadata"), "signature")
+        val unchanged = sig.isNotNull && sig === col("old_sig")
+        val newInt = ad.newIntervalMins(col("old_interval"), unchanged)
+        escalated
+          .withColumn("next_fetch_date",
+            when(col("status") === Status.Fetched, ad.nextFetchDate(nowC, newInt))
+              .otherwise(defaultNext))
+          .withColumn("metadata",
+            when(col("status") === Status.Fetched,
+              MetadataOps.mdSet(col("metadata"), "fetchInterval",
+                newInt.cast("int").cast("string")))
+              .otherwise(col("metadata")))
+    }
 
     writeDelta(scheduled.select(
       "url_sha256", "url", "status", "next_fetch_date", "key", "bucket",

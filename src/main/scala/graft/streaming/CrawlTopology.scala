@@ -125,6 +125,8 @@ object CrawlTopology {
       stats :+= st
       continue = st.selected > 0
       i += 1
+      // keep reads at a bounded number of generation scans
+      if (store.generationCount > 16) store.compact(spark)
     }
     stats
   }

@@ -69,6 +69,51 @@ class FrontierExtrasSpec extends AnyFunSuite {
     assert(rows.head.key.contains("h.com"))
   }
 
+  test("adaptive scheduler in merge: unchanged grows interval, changed shrinks") {
+    import spark.implicits._
+    import graft.frontier.AdaptiveScheduler
+    val st = new FrontierStore(Files.createTempDirectory("frontier").toString,
+      adaptive = Some(AdaptiveScheduler(defaultMins = 100, minMins = 10,
+        maxMins = 10000, incRate = 0.5, decRate = 0.5)))
+    def fetched(sig: String) = Seq(
+      ("http://h.com/x", Status.Fetched, Map("signature" -> Seq(sig))))
+      .toDF("url", "status", "metadata")
+
+    st.merge(spark, fetched("AAA"), t0)
+    // first fetch: no old signature -> "changed" -> default*0.5 floored
+    val int1 = st.read(spark).collect().head
+      .getAs[Map[String, Seq[String]]]("metadata")("fetchInterval").head.toInt
+    assert(int1 == 50) // 100 * 0.5
+
+    st.merge(spark, fetched("AAA"), t1)
+    // same signature -> unchanged -> grows 50 * 1.5 = 75
+    val row2 = st.read(spark).collect().head
+    val int2 = row2.getAs[Map[String, Seq[String]]]("metadata")("fetchInterval").head.toInt
+    assert(int2 == 75)
+    // next_fetch_date = t1 + 75 min
+    assert(row2.getAs[java.time.LocalDateTime]("next_fetch_date").toString
+      .startsWith("2024-01-02T01:15"))
+
+    st.merge(spark, fetched("BBB"), t1)
+    // changed signature -> shrinks 75 * 0.5 = 37
+    val int3 = st.read(spark).collect().head
+      .getAs[Map[String, Seq[String]]]("metadata")("fetchInterval").head.toInt
+    assert(int3 == 37) // 37.5 cast to int
+  }
+
+  test("compact collapses generations, content preserved") {
+    import spark.implicits._
+    val st = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    for (h <- 1 to 4)
+      st.merge(spark,
+        Seq((s"http://host$h.com/p", Status.Discovered, Map.empty[String, Seq[String]]))
+          .toDF("url", "status", "metadata"), t0)
+    assert(st.generationCount == 4)
+    st.compact(spark)
+    assert(st.generationCount == 1)
+    assert(st.read(spark).count() == 4)
+  }
+
   test("charset detection: BOM > header > meta > utf-8 default") {
     val utf8Bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "hi".getBytes("UTF-8")
     assert(Charsets.decode(utf8Bom, None) == "hi")
