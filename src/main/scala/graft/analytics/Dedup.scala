@@ -56,10 +56,19 @@ object Dedup {
   def md5Chunk(md5Hex: Column, k: Int): Column =
     conv(substring(md5Hex, 1 + 8 * k, 8), 16, 10).cast("long")
 
+  /** k-th 8-hex-char chunk as a STRING. Fixed-length lowercase hex sorts
+    * lexicographically exactly as its numeric value, so `min` can
+    * aggregate the string and the hex→long conversion runs once per
+    * GROUP instead of once per row. */
+  def md5ChunkStr(md5Hex: Column, k: Int): Column =
+    substring(md5Hex, 1 + 8 * k, 8)
+
+  def hexToLong(c: Column): Column = conv(c, 16, 10).cast("long")
+
   /** MinHash signatures over k-word shingles: one row per doc with
     * `numHashes` ≤ 4 minimum-hash columns `h1..hN`, all derived from one
-    * md5 per shingle. Explode + groupBy-min: partial (map-side) mins
-    * make the shuffle tiny. */
+    * md5 per shingle. Explode + groupBy-min: partial (map-side) string
+    * mins make the shuffle tiny; numeric conversion happens per group. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 4, shingleK: Int = 3): DataFrame = {
     require(numHashes <= 4, "one md5 yields 4 chunks")
@@ -68,8 +77,10 @@ object Dedup {
       .select(col(idCol), md5(col("sh")).as("m"))
     sh.groupBy(col(idCol))
       .agg(
-        min(md5Chunk(col("m"), 0)).as("h1"),
-        (2 to numHashes).map(i => min(md5Chunk(col("m"), i - 1)).as(s"h$i")): _*)
+        min(md5ChunkStr(col("m"), 0)).as("s1"),
+        (2 to numHashes).map(i => min(md5ChunkStr(col("m"), i - 1)).as(s"s$i")): _*)
+      .select(col(idCol) +:
+        (1 to numHashes).map(i => hexToLong(col(s"s$i")).as(s"h$i")): _*)
   }
 
   /** LSH candidate pairs from unigram MinHash, banded 2×2 (band A =
@@ -84,11 +95,11 @@ object Dedup {
       .select(col(groupCol), col(idCol), md5(col("w")).as("m"))
       .groupBy(col(groupCol), col(idCol))
       .agg(
-        min(md5Chunk(col("m"), 0)).as("h1"), min(md5Chunk(col("m"), 1)).as("h2"),
-        min(md5Chunk(col("m"), 2)).as("h3"), min(md5Chunk(col("m"), 3)).as("h4"))
+        min(md5ChunkStr(col("m"), 0)).as("s1"), min(md5ChunkStr(col("m"), 1)).as("s2"),
+        min(md5ChunkStr(col("m"), 2)).as("s3"), min(md5ChunkStr(col("m"), 3)).as("s4"))
       .select(col(groupCol), col(idCol),
-        concat_ws("_", col("h1"), col("h2")).as("bandA"),
-        concat_ws("_", col("h3"), col("h4")).as("bandB"))
+        concat_ws("_", hexToLong(col("s1")), hexToLong(col("s2"))).as("bandA"),
+        concat_ws("_", hexToLong(col("s3")), hexToLong(col("s4"))).as("bandB"))
     def pairsOn(band: String): DataFrame = {
       val l = sigs.select(col(groupCol), col(idCol).as("a"), col(band).as("bk"))
       val r = sigs.select(col(groupCol), col(idCol).as("b"), col(band).as("bk"))

@@ -86,12 +86,15 @@ object TextAnalysis {
     val sh = df.select(col(idCol), Dedup.words(col(textCol)).as("ws"))
       .select(col(idCol), (size(col("ws")) - (shingleK - 1)).as("np"),
         posexplode(Dedup.shingles(col("ws"), shingleK)).as(Seq("pos", "sh")))
-      .select(col(idCol), col("np"), col("pos"), Dedup.md5Chunk(md5(col("sh")), 0).as("h"))
+      .select(col(idCol), col("np"), col("pos"), Dedup.md5ChunkStr(md5(col("sh")), 0).as("h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, window - 1)
+    // window-min on the hex STRING (fixed-length hex sorts numerically);
+    // hex→long once per group, not per row
     sh.withColumn("wmin", min(col("h")).over(win))
       .where(col("pos") <= col("np") - window)
       .groupBy(col(idCol))
-      .agg(countDistinct(col("wmin")).as("n_fingerprints"), min(col("wmin")).as("min_fp"))
+      .agg(countDistinct(col("wmin")).as("n_fingerprints"),
+        Dedup.hexToLong(min(col("wmin"))).as("min_fp"))
   }
 }
