@@ -83,4 +83,20 @@ object Similarity {
     corpus.select(lshBucket(col(vecCol), dim, numPlanes).as("bucket"), col(idCol))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id"))
+
+  /** Embedding near-dup candidates, LSH-bucketed: pairwise cosine is
+    * computed only WITHIN a hyperplane bucket — the scale path (the
+    * bucket join replaces the full cross product; more planes ⇒ smaller
+    * buckets ⇒ fewer pairs). Returns the global top-N pairs by cosine. */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, numPlanes: Int, topN: Int): DataFrame = {
+    val n = normalized(corpus, idCol, vecCol, "id", "nv")
+      .withColumn("bucket", lshBucket(col("nv"), dim, numPlanes))
+    val l = n.select(col("bucket"), col("id").as("a"), col("nv").as("va"))
+    val r = n.select(col("bucket"), col("id").as("b"), col("nv").as("vb"))
+    l.join(r, Seq("bucket")).where(col("a") < col("b"))
+      .select(col("bucket"), col("a"), col("b"), dotD(col("va"), col("vb")).as("cosine"))
+      .orderBy(col("cosine").desc, col("a"), col("b"))
+      .limit(topN)
+  }
 }

@@ -70,6 +70,20 @@ object AnalyticsQueries {
       Similarity.lshBucketHistogram(t(s, dir, "embeddings"), "vec_id", "embedding", 64, 8)
         .orderBy("bucket")),
 
+    // LSH-bucketed embedding near-dup: pairwise cosine only within a
+    // 10-plane bucket (the scale path vs. q25's brute force).
+    "q32_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        64, 10, 50)),
+
+    // HLL approximate distinct (no DuckDB oracle - sketch internals
+    // differ; driver records the weaker rows-only check).
+    "q35_approx_users" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")),
+
     // Quality scoring: stopword ratio, token stats, exact arithmetic.
     "q27_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
@@ -173,6 +187,27 @@ object AnalyticsQueries {
         |r AS (SELECT q_id, c_id, cosine,
         |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
         |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "q32_embed_neardup" -> {
+      val planeBit = (j: Int) =>
+        s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+           |  i -> nv[i] *
+           |       (CASE WHEN (strpos('0123456789abcdef', substring(md5(concat('$j:', CAST(i AS VARCHAR))), 1, 1)) - 1) % 2 = 0
+           |             THEN 1.0 ELSE -1.0 END)), (a,b) -> a + b) > 0
+           |THEN ${1 << j} ELSE 0 END""".stripMargin
+      s"""WITH nrm AS (
+         |  SELECT vec_id AS id,
+         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nr,
+         |    embedding AS v
+         |  FROM embeddings),
+         |nv AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE) / nr) AS nv FROM nrm),
+         |bk AS (SELECT id, nv, ${(0 until 10).map(planeBit).mkString(" + ")} AS bucket FROM nv),
+         |p AS (SELECT l.bucket, l.id AS a, r.id AS b,
+         |        list_reduce(list_transform(generate_series(1, 64), i -> l.nv[i] * r.nv[i]), (x,y) -> x + y) AS cosine
+         |      FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.id < r.id)
+         |SELECT bucket, a, b, cosine FROM p
+         |ORDER BY cosine DESC, a, b LIMIT 50""".stripMargin
+    },
 
     "q26_lsh_buckets" -> {
       val planeBit = (j: Int) =>
