@@ -113,8 +113,11 @@ object FetchStage {
               ("fetch.statusCode" -> Seq(resp.statusCode.toString)) +
               ("fetch.byteLength" -> Seq(resp.content.length.toString)) +
               ("fetch.loadingTime" -> Seq(ms.toString))
+            // 304 Not Modified maps to FETCHED (Status.java:26-34) but
+            // carries no body — emit no content so the parse stage
+            // skips it (the previous parse's outcome stands)
             Row(url, key, status, resp.statusCode,
-              if (status == Status.Fetched) resp.content else null,
+              if (status == Status.Fetched && resp.statusCode != 304) resp.content else null,
               resp.header("Content-Type").orNull,
               redirect, ms, mdOut)
           }

@@ -61,6 +61,27 @@ class CrawlHttpSpec extends AnyFunSuite {
     server
   }
 
+  test("304 Not Modified: FETCHED status, no content row to parse") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(304, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val batch = Seq((s"$base/x.html", "127.0.0.1",
+        Map.empty[String, Seq[String]])).toDF("url", "key", "metadata")
+      val out = graft.fetch.FetchStage.fetch(spark, batch,
+        new ProtocolFactory(), crawlDelayMs = 0, respectRobots = false).collect().head
+      assert(out.getAs[String]("status") == Status.Fetched)
+      assert(out.getAs[Int]("http_code") == 304)
+      assert(out.isNullAt(out.fieldIndex("content"))) // nothing to parse
+    } finally server.stop(0)
+  }
+
   test("http crawl: robots deny, redirect follow, 404 error") {
     val server = startServer()
     try {
