@@ -16,6 +16,24 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
       spark.read.parquet(s"$sfDir/documents.parquet").count()
     } catch { case _: Throwable => () }
+    // Machinery warmup on a 2-row in-memory table: the FIRST use of each
+    // execution path in a JVM (regexp inside an aggregate, window exec,
+    // broadcast join, Generate/explode, higher-order lambdas, sort) pays
+    // a one-off multi-second class-loading + codegen cost that would
+    // otherwise be billed to whichever timed query happens to hit that
+    // path first. Data volume here is nil; only the code paths matter.
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val tiny = Seq(("https://a.example.com/x", 1), ("https://b.example.com/y", 2)).toDF("url", "n")
+      tiny.groupBy(regexp_extract(col("url"), "//([^/]+)", 1)).count().count()
+      tiny.withColumn("rn", row_number().over(Window.partitionBy("url").orderBy("n"))).count()
+      tiny.join(broadcast(tiny.select(col("n").as("m"))), col("n") === col("m")).count()
+      tiny.select(explode(split(col("url"), "/")).as("p")).distinct().orderBy("p").count()
+      tiny.select(aggregate(transform(split(col("url"), "/"), x => length(x)),
+        lit(0), (a, b) => a + b)).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

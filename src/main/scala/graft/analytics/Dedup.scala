@@ -67,20 +67,17 @@ object Dedup {
 
   /** MinHash signatures over k-word shingles: one row per doc with
     * `numHashes` ≤ 4 minimum-hash columns `h1..hN`, all derived from one
-    * md5 per shingle. Explode + groupBy-min: partial (map-side) string
-    * mins make the shuffle tiny; numeric conversion happens per group. */
+    * md5 per shingle. Computed in a single codegen'd pass per document
+    * ([[graft.functions.MinhashChunksExpr]]) — no explode, no shuffle:
+    * at 100 TB the signature stage is a pure map over the corpus. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 4, shingleK: Int = 3): DataFrame = {
     require(numHashes <= 4, "one md5 yields 4 chunks")
-    val sh = df
-      .select(col(idCol), explode(shingles(words(col(textCol)), shingleK)).as("sh"))
-      .select(col(idCol), md5(col("sh")).as("m"))
-    sh.groupBy(col(idCol))
-      .agg(
-        min(md5ChunkStr(col("m"), 0)).as("s1"),
-        (2 to numHashes).map(i => min(md5ChunkStr(col("m"), i - 1)).as(s"s$i")): _*)
+    df.select(col(idCol),
+        graft.functions.TextHashExpressions.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
+      .where(col("sig").isNotNull)
       .select(col(idCol) +:
-        (1 to numHashes).map(i => hexToLong(col(s"s$i")).as(s"h$i")): _*)
+        (1 to numHashes).map(i => col("sig").getItem(i - 1).as(s"h$i")): _*)
   }
 
   /** LSH candidate pairs from unigram MinHash, banded 2×2 (band A =
@@ -91,15 +88,12 @@ object Dedup {
                         groupCol: String): DataFrame = {
     val sigs = df
       .select(col(groupCol), col(idCol),
-        explode(array_distinct(words(col(textCol)))).as("w"))
-      .select(col(groupCol), col(idCol), md5(col("w")).as("m"))
-      .groupBy(col(groupCol), col(idCol))
-      .agg(
-        min(md5ChunkStr(col("m"), 0)).as("s1"), min(md5ChunkStr(col("m"), 1)).as("s2"),
-        min(md5ChunkStr(col("m"), 2)).as("s3"), min(md5ChunkStr(col("m"), 3)).as("s4"))
+        graft.functions.TextHashExpressions
+          .minhashSig(col(textCol), 1, 4, distinct = true).as("sig"))
+      .where(col("sig").isNotNull)
       .select(col(groupCol), col(idCol),
-        concat_ws("_", hexToLong(col("s1")), hexToLong(col("s2"))).as("bandA"),
-        concat_ws("_", hexToLong(col("s3")), hexToLong(col("s4"))).as("bandB"))
+        concat_ws("_", col("sig").getItem(0), col("sig").getItem(1)).as("bandA"),
+        concat_ws("_", col("sig").getItem(2), col("sig").getItem(3)).as("bandB"))
     def pairsOn(band: String): DataFrame = {
       val l = sigs.select(col(groupCol), col(idCol).as("a"), col(band).as("bk"))
       val r = sigs.select(col(groupCol), col(idCol).as("b"), col(band).as("bk"))

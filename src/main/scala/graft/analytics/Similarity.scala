@@ -20,26 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product of two float vectors in double precision. */
+  /** Left-fold dot product of two ARRAY<DOUBLE> vectors — native
+    * codegen'd expression ([[graft.functions.DotDExpr]]): the
+    * candidate-pair hot loop stays primitive, no interpreted lambdas. */
   def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
-
-  /** Left-fold L2 norm. */
-  def normD(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+    graft.functions.VecExpressions.dotD(a, b)
 
   /** Pre-normalize: each component divided by the row's L2 norm, so the
     * pair stage is a single dot product per pair (norms are computed
-    * once per row, not once per pair). */
+    * once per row, not once per pair). One native pass per row; the
+    * float→double cast is a codegen'd Cast, and the fold order matches
+    * the portable left-to-right spec the oracles use. */
   def normalized(df: DataFrame, idCol: String, vecCol: String,
                  outId: String, outVec: String): DataFrame =
-    df.select(col(idCol).as(outId), col(vecCol).as("v"))
-      .withColumn("nrm", normD(col("v")))
-      .select(col(outId), transform(col("v"), x => x.cast("double") / col("nrm")).as(outVec))
+    df.select(col(idCol).as(outId),
+      graft.functions.VecExpressions
+        .l2Normalize(col(vecCol).cast("array<double>")).as(outVec))
 
   /** Brute-force cosine top-k: for each query vector (`queries` must be
     * small — it is broadcast), the k nearest corpus vectors by cosine,
@@ -56,26 +52,13 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
   }
 
-  /** Deterministic ±1 hyperplane component for (plane j, dim i):
-    * +1 when the first hex char of md5("j:i") is even. Engine-portable. */
-  private def planeSign(j: Int, i: Column): Column =
-    when(
-      (instr(lit("0123456789abcdef"),
-        substring(md5(concat(lit(s"$j:"), i.cast("string"))), 1, 1)) - 1) % 2 === 0,
-      lit(1.0)).otherwise(lit(-1.0))
-
   /** Random-hyperplane LSH bucket id (`numPlanes` bits) per vector —
-    * the IVF-style coarse quantizer: map-only, no shuffle. */
-  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column = {
-    val bits = (0 until numPlanes).map { j =>
-      val dot = aggregate(
-        zip_with(vecCol, sequence(lit(1), lit(dim)),
-          (x, i) => x.cast("double") * planeSign(j, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, shiftleft(lit(1), j)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+    * the IVF-style coarse quantizer: map-only, no shuffle. Native
+    * expression; the deterministic ±1 sign matrix (+1 when the first
+    * hex char of md5("j:i") is even — engine-portable, reproduced by
+    * the DuckDB oracle) is computed once per JVM, not per row. */
+  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column =
+    graft.functions.VecExpressions.lshBucket(vecCol.cast("array<double>"), dim, numPlanes)
 
   /** Bucket histogram — the partition-balance view an IVF index needs. */
   def lshBucketHistogram(corpus: DataFrame, idCol: String, vecCol: String,

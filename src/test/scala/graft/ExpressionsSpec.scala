@@ -63,6 +63,93 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(vals(3) == "http://a.com/p/3")
   }
 
+  test("minhash_sig expression matches the column-algebra formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.analytics.Dedup
+    import graft.functions.TextHashExpressions
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox"),
+      (3L, "too short"),          // < 3 words → no 3-shingle signature
+      (4L, ""),                   // no words at all
+      (5L, "a  b   c  a b c a")   // repeated whitespace + repeated words
+    ).toDF("id", "text")
+
+    // oracle formulation: explode shingles → md5 → min of each hex chunk
+    val expected = df
+      .select($"id", explode(Dedup.shingles(Dedup.words($"text"), 3)).as("sh"))
+      .select($"id", md5($"sh").as("m"))
+      .groupBy($"id")
+      .agg(
+        min(Dedup.md5ChunkStr($"m", 0)).as("s1"), min(Dedup.md5ChunkStr($"m", 1)).as("s2"),
+        min(Dedup.md5ChunkStr($"m", 2)).as("s3"), min(Dedup.md5ChunkStr($"m", 3)).as("s4"))
+      .select($"id",
+        Dedup.hexToLong($"s1").as("h1"), Dedup.hexToLong($"s2").as("h2"),
+        Dedup.hexToLong($"s3").as("h3"), Dedup.hexToLong($"s4").as("h4"))
+      .orderBy($"id").collect()
+
+    val actual = Dedup.minhashSignatures(df, "id", "text", 4, 3).orderBy($"id").collect()
+    assert(actual.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+    assert(actual.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L)) // 3 and 4 drop
+
+    // distinct-unigram variant (k=1): each distinct word hashed once
+    val uni = df.where($"id" === 5L)
+      .select(TextHashExpressions.minhashSig($"text", 1, 4, distinct = true).as("sig"))
+      .head().getSeq[Long](0)
+    val uniExpected = df.where($"id" === 5L)
+      .select(explode(array_distinct(Dedup.words($"text"))).as("w"))
+      .select(md5($"w").as("m"))
+      .agg(min(Dedup.md5ChunkStr($"m", 0)), min(Dedup.md5ChunkStr($"m", 1)),
+           min(Dedup.md5ChunkStr($"m", 2)), min(Dedup.md5ChunkStr($"m", 3)))
+      .head().toSeq.map(s => java.lang.Long.parseLong(s.asInstanceOf[String], 16))
+    assert(uni == uniExpected)
+  }
+
+  test("vector expressions match the higher-order-function formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VecExpressions
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, -3.0f, 0.5f)),
+      (2L, Array(-0.25f, 4.0f, 0.0f, 1.5f))
+    ).toDF("id", "v").select($"id", $"v".cast("array<double>").as("v"))
+
+    // dot product vs zip_with/aggregate fold
+    val pair = df.where($"id" === 1).select($"v".as("a"))
+      .crossJoin(df.where($"id" === 2).select($"v".as("b")))
+    val dotNative = pair.select(VecExpressions.dotD($"a", $"b").as("d")).head().getDouble(0)
+    val dotHof = pair.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("d"))
+      .head().getDouble(0)
+    assert(dotNative == dotHof)
+
+    // l2 normalize vs transform/aggregate fold
+    val nNative = df.select($"id", VecExpressions.l2Normalize($"v").as("n")).orderBy($"id")
+      .collect().map(_.getSeq[Double](1))
+    val nHof = df
+      .select($"id", $"v",
+        sqrt(aggregate(transform($"v", x => x * x), lit(0.0), (acc, x) => acc + x)).as("nrm"))
+      .select($"id", transform($"v", x => x / $"nrm").as("n")).orderBy($"id")
+      .collect().map(_.getSeq[Double](1))
+    assert(nNative.toSeq == nHof.toSeq)
+
+    // lsh bucket vs the md5-sign column formulation (via the oracle's spec)
+    val bNative = df.select(VecExpressions.lshBucket($"v", 4, 6).as("b")).orderBy($"b")
+      .collect().map(_.getInt(0))
+    def planeSign(j: Int, i: org.apache.spark.sql.Column) =
+      when((instr(lit("0123456789abcdef"),
+        substring(md5(concat(lit(s"$j:"), i.cast("string"))), 1, 1)) - 1) % 2 === 0,
+        lit(1.0)).otherwise(lit(-1.0))
+    val bits = (0 until 6).map { j =>
+      val dot = aggregate(zip_with($"v", sequence(lit(1), lit(4)),
+        (x, i) => x * planeSign(j, i)), lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, shiftleft(lit(1), j)).otherwise(lit(0))
+    }
+    val bHof = df.select(bits.reduce(_ + _).as("b")).orderBy($"b").collect().map(_.getInt(0))
+    assert(bNative.toSeq == bHof.toSeq)
+  }
+
   test("extensions class applies cleanly; registration works on a cloned session") {
     // getOrCreate in a shared-JVM test suite returns the existing
     // session, so withExtensions can't be observed end-to-end here —
