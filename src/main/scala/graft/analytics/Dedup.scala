@@ -103,30 +103,16 @@ object Dedup {
     pairsOn("bandA").unionByName(pairsOn("bandB")).distinct()
   }
 
-  /** Relational 16-bit SimHash over distinct words: per (doc, bit)
-    * contributions ±1 summed, bit set when the sum is positive. Pure
-    * explode + groupBy, engine-portable arithmetic only (no shift
-    * builtins — divisor/power lookup tables instead, so the DuckDB
-    * oracle reproduces it exactly). */
-  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wordsDf = df.select(col(idCol), explode(array_distinct(words(col(textCol)))).as("w"))
-    val powers = array((0 until 16).map(i => lit(1L << i)): _*)
-    val divisors = array(lit(8), lit(4), lit(2), lit(1))
-    val bits = wordsDf
-      .select(col(idCol), substring(md5(col("w")), 1, 4).as("hx"))
-      .select(col(idCol), explode(sequence(lit(0), lit(15))).as("k"), col("hx"))
-      .withColumn("hexval",
-        instr(lit("0123456789abcdef"),
-          col("hx").substr(floor(col("k") / 4).cast("int") + 1, lit(1))) - 1)
-      .withColumn("bit", floor(col("hexval") / element_at(divisors, (col("k") % 4).cast("int") + 1)) % 2)
-      .select(col(idCol), col("k"), (col("bit") * 2 - 1).as("contrib"))
-    bits
-      .groupBy(col(idCol), col("k"))
-      .agg(sum(col("contrib")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, element_at(powers, col("k").cast("int") + 1)).otherwise(0L))
-        .as("simhash"))
-  }
+  /** 16-bit SimHash over distinct words: per-bit ±1 contributions
+    * summed, bit set when the sum is positive. Single codegen'd pass
+    * per document ([[graft.functions.SimHash16Expr]]) — the
+    * explode-per-(word,bit) relational formulation is kept as the
+    * DuckDB oracle; this computes the same hash without the 16×|words|
+    * row blowup or any shuffle. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.TextHashExpressions.simhash16(col(textCol)).as("simhash"))
+      .where(col("simhash").isNotNull)
 
   /** Exact n-gram (here unigram-set) Jaccard similarity for pairs within
     * a group, over a pre-filtered subset. Shared-word self-join →

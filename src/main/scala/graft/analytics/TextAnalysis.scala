@@ -73,28 +73,17 @@ object TextAnalysis {
 
   /** Winnowing fingerprints (Schleimer et al., MOSS): hash every k-word
     * shingle, take the min hash of each sliding window of `w` positions,
-    * count the distinct window-minima per doc. The window runs inside a
-    * per-doc partition — no cross-doc shuffle beyond the doc id. */
+    * count the distinct window-minima per doc. Fingerprinting is
+    * document-local, so it runs as ONE codegen'd pass per row
+    * ([[graft.functions.WinnowFpExpr]]) — no posexplode, no window
+    * shuffle: at scale the fingerprint stage is a pure map. The
+    * windowed relational formulation survives as the DuckDB oracle. */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
-                            shingleK: Int = 4, window: Int = 5): DataFrame = {
-    // carry the shingle count (derived cheaply from the word count, NOT
-    // from the shingle array — a size(shs) predicate gets pushed below
-    // the projection and re-evaluates the whole array build) through the
-    // explode so the frame filter is a plain column predicate — one
-    // window pass, not two; short docs die on the pos <= np - window
-    // predicate, no pre-filter needed
-    val sh = df.select(col(idCol), Dedup.words(col(textCol)).as("ws"))
-      .select(col(idCol), (size(col("ws")) - (shingleK - 1)).as("np"),
-        posexplode(Dedup.shingles(col("ws"), shingleK)).as(Seq("pos", "sh")))
-      .select(col(idCol), col("np"), col("pos"), Dedup.md5ChunkStr(md5(col("sh")), 0).as("h"))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, window - 1)
-    // window-min on the hex STRING (fixed-length hex sorts numerically);
-    // hex→long once per group, not per row
-    sh.withColumn("wmin", min(col("h")).over(win))
-      .where(col("pos") <= col("np") - window)
-      .groupBy(col(idCol))
-      .agg(countDistinct(col("wmin")).as("n_fingerprints"),
-        Dedup.hexToLong(min(col("wmin"))).as("min_fp"))
-  }
+                            shingleK: Int = 4, window: Int = 5): DataFrame =
+    df.select(col(idCol),
+        graft.functions.TextHashExpressions.winnowFp(col(textCol), shingleK, window).as("wf"))
+      .where(col("wf").isNotNull)
+      .select(col(idCol),
+        col("wf").getItem(0).as("n_fingerprints"),
+        col("wf").getItem(1).as("min_fp"))
 }

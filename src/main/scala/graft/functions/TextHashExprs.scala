@@ -80,6 +80,145 @@ object TextHashOps {
   }
 }
 
+object TextHashOps2 {
+  /** 16-bit SimHash over distinct words: bit k of the hash of word w is
+    * bit (3 - k%4) of hex digit k/4 of md5(w)'s first 4 hex chars; per
+    * bit, ±1 contributions summed over the word set; simhash bit k set
+    * when the sum is positive. Matches the relational formulation
+    * (divisor lookup `[8,4,2,1][k%4]`) the DuckDB oracle uses.
+    * Null when the doc has no words. */
+  def simhash16(text: UTF8String): Any = {
+    if (text == null) return null
+    val raw = text.toString.split(' ')
+    val seen = new java.util.HashSet[String]()
+    val sums = new Array[Int](16)
+    val md = MessageDigest.getInstance("MD5")
+    var any = false
+    var i = 0
+    while (i < raw.length) {
+      val w = raw(i)
+      if (w.nonEmpty && seen.add(w)) {
+        any = true
+        val d = md.digest(w.getBytes(StandardCharsets.UTF_8))
+        md.reset()
+        // first 4 hex chars = first 2 bytes, high nibble first
+        val nibbles = Array((d(0) >> 4) & 0xf, d(0) & 0xf, (d(1) >> 4) & 0xf, d(1) & 0xf)
+        var k = 0
+        while (k < 16) {
+          val bit = (nibbles(k / 4) >> (3 - (k % 4))) & 1
+          sums(k) += 2 * bit - 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    var h = 0L
+    var k = 0
+    while (k < 16) { if (sums(k) > 0) h |= 1L << k; k += 1 }
+    h
+  }
+
+  /** Winnowing fingerprints (the rolling-hash document fingerprint of
+    * Schleimer/Wilkerson/Aiken's winnowing scheme, relationally: min of
+    * each `window`-wide frame of shingle hashes, full frames only):
+    * returns (n distinct window-minima, smallest minimum) or null when
+    * the doc has fewer than `shingleK + window - 1` words. Hash of a
+    * shingle = first 32-bit chunk of its md5 — identical to the
+    * windowed column formulation and its DuckDB oracle. */
+  def winnowing(text: UTF8String, shingleK: Int, window: Int): ArrayData = {
+    if (text == null) return null
+    val raw = text.toString.split(' ')
+    var nw = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) { raw(nw) = raw(i); nw += 1 }; i += 1 }
+    val np = nw - (shingleK - 1)
+    if (np < window) return null
+    val md = MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder()
+    val h = new Array[Long](np)
+    var s = 0
+    while (s < np) {
+      sb.setLength(0)
+      var o = 0
+      while (o < shingleK) { if (o > 0) sb.append(' '); sb.append(raw(s + o)); o += 1 }
+      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
+      md.reset()
+      h(s) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      s += 1
+    }
+    val mins = new java.util.HashSet[Long]()
+    var minFp = Long.MaxValue
+    var pos = 0
+    while (pos <= np - window) {
+      var m = h(pos)
+      var j = pos + 1
+      while (j < pos + window) { if (h(j) < m) m = h(j); j += 1 }
+      mins.add(m)
+      if (m < minFp) minFp = m
+      pos += 1
+    }
+    new GenericArrayData(Array(mins.size.toLong, minFp))
+  }
+}
+
+/** `simhash16(text)` — single codegen'd pass per document. */
+case class SimHash16Expr(child: Expression) extends UnaryExpression {
+  private val ops = "graft.functions.TextHashOps2$.MODULE$"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true // wordless docs have no hash
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps2.simhash16(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${c.isNull}) {
+          Object r = $ops.simhash16(${c.value});
+          if (r != null) { ${ev.value} = ((java.lang.Long) r).longValue(); ${ev.isNull} = false; }
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16Expr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash16"
+}
+
+/** `winnow_fp(text)` → [n_fingerprints, min_fp], one pass per doc. */
+case class WinnowFpExpr(child: Expression, shingleK: Int, window: Int)
+    extends UnaryExpression {
+  private val ops = "graft.functions.TextHashOps2$.MODULE$"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // short docs have no full frame
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashOps2.winnowing(input.asInstanceOf[UTF8String], shingleK, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${c.isNull}) {
+          ${ev.value} = $ops.winnowing(${c.value}, $shingleK, $window);
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpExpr =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fp"
+}
+
 /** `minhash_sig(text)` with foldable k/numHashes/distinct baked in at
   * construction — they come from the operator call site, not the data. */
 case class MinhashChunksExpr(child: Expression, k: Int, numHashes: Int,
@@ -115,4 +254,8 @@ case class MinhashChunksExpr(child: Expression, k: Int, numHashes: Int,
 object TextHashExpressions {
   def minhashSig(text: Column, k: Int, numHashes: Int, distinct: Boolean = false): Column =
     ColumnBridge.column(MinhashChunksExpr(ColumnBridge.expression(text), k, numHashes, distinct))
+  def simhash16(text: Column): Column =
+    ColumnBridge.column(SimHash16Expr(ColumnBridge.expression(text)))
+  def winnowFp(text: Column, shingleK: Int, window: Int): Column =
+    ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), shingleK, window))
 }

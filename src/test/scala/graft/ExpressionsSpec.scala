@@ -106,6 +106,55 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(uni == uniExpected)
   }
 
+  test("simhash16 and winnow_fp match the relational formulations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.analytics.Dedup
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "tiny doc"),
+      (4L, "")
+    ).toDF("id", "text")
+
+    // simhash16 vs explode-per-(word,bit) relational formulation
+    val wordsDf = df.select($"id", explode(array_distinct(Dedup.words($"text"))).as("w"))
+    val powers = array((0 until 16).map(i => lit(1L << i)): _*)
+    val divisors = array(lit(8), lit(4), lit(2), lit(1))
+    val expectedSim = wordsDf
+      .select($"id", substring(md5($"w"), 1, 4).as("hx"))
+      .select($"id", explode(sequence(lit(0), lit(15))).as("k"), $"hx")
+      .withColumn("hexval", instr(lit("0123456789abcdef"),
+        $"hx".substr(floor($"k" / 4).cast("int") + 1, lit(1))) - 1)
+      .withColumn("bit", floor($"hexval" / element_at(divisors, ($"k" % 4).cast("int") + 1)) % 2)
+      .groupBy($"id", $"k").agg(sum($"bit" * 2 - 1).as("s"))
+      .groupBy($"id")
+      .agg(sum(when($"s" > 0, element_at(powers, $"k".cast("int") + 1)).otherwise(0L)).as("simhash"))
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val actualSim = Dedup.simhash16(df, "id", "text")
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(actualSim.toSeq == expectedSim.toSeq)
+    assert(actualSim.map(_._1).toSeq == Seq(1L, 2L, 3L)) // empty doc drops
+
+    // winnow_fp vs posexplode + window-min formulation (k=4, window=5)
+    val sh = df.select($"id", Dedup.words($"text").as("ws"))
+      .select($"id", (size($"ws") - 3).as("np"),
+        posexplode(Dedup.shingles($"ws", 4)).as(Seq("pos", "sh")))
+      .select($"id", $"np", $"pos", Dedup.md5ChunkStr(md5($"sh"), 0).as("h"))
+    val win = Window.partitionBy($"id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, 4)
+    val expectedWf = sh.withColumn("wmin", min($"h").over(win))
+      .where($"pos" <= $"np" - 5)
+      .groupBy($"id")
+      .agg(countDistinct($"wmin").as("n_fingerprints"), Dedup.hexToLong(min($"wmin")).as("min_fp"))
+      .orderBy($"id").collect().map(_.toSeq)
+    val actualWf = graft.analytics.TextAnalysis.winnowingFingerprints(df, "id", "text")
+      .orderBy($"id").collect().map(_.toSeq)
+    assert(actualWf.toSeq == expectedWf.toSeq)
+    assert(actualWf.nonEmpty) // doc 1 (14 words -> 11 shingles) qualifies
+  }
+
   test("vector expressions match the higher-order-function formulation") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
