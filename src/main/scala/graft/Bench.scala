@@ -33,6 +33,12 @@ object Bench {
       tiny.select(explode(split(col("url"), "/")).as("p")).distinct().orderBy("p").count()
       tiny.select(aggregate(transform(split(col("url"), "/"), x => length(x)),
         lit(0), (a, b) => a + b)).count()
+      tiny.groupBy(graft.functions.CrawlFunctions
+        .pldCol(graft.functions.CrawlFunctions.hostCol(col("url")))).count().count()
+      tiny.rollup(col("url"), col("n")).count().count()
+      tiny.withColumn("lv", last(col("url"), ignoreNulls = true).over(
+        Window.partitionBy("n").orderBy("n")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

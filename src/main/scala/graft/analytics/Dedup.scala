@@ -86,21 +86,24 @@ object Dedup {
     * a < b. The group restriction + banding bound the join fan-out. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String): DataFrame = {
-    val sigs = df
+    // one band-tagged row per (doc, band) — band identity rides in the
+    // join key, so ONE self-join covers both bands (instead of a join
+    // per band unioned after, which would evaluate the signature
+    // expression once per join side per band)
+    val bands = df
       .select(col(groupCol), col(idCol),
         graft.functions.TextHashExpressions
           .minhashSig(col(textCol), 1, 4, distinct = true).as("sig"))
       .where(col("sig").isNotNull)
       .select(col(groupCol), col(idCol),
-        concat_ws("_", col("sig").getItem(0), col("sig").getItem(1)).as("bandA"),
-        concat_ws("_", col("sig").getItem(2), col("sig").getItem(3)).as("bandB"))
-    def pairsOn(band: String): DataFrame = {
-      val l = sigs.select(col(groupCol), col(idCol).as("a"), col(band).as("bk"))
-      val r = sigs.select(col(groupCol), col(idCol).as("b"), col(band).as("bk"))
-      l.join(r, Seq(groupCol, "bk")).where(col("a") < col("b"))
-        .select(col(groupCol), col("a"), col("b"))
-    }
-    pairsOn("bandA").unionByName(pairsOn("bandB")).distinct()
+        explode(array(
+          concat_ws("_", lit("A"), col("sig").getItem(0), col("sig").getItem(1)),
+          concat_ws("_", lit("B"), col("sig").getItem(2), col("sig").getItem(3)))).as("bk"))
+    val l = bands.select(col(groupCol), col(idCol).as("a"), col("bk"))
+    val r = bands.select(col(groupCol), col(idCol).as("b"), col("bk"))
+    l.join(r, Seq(groupCol, "bk")).where(col("a") < col("b"))
+      .select(col(groupCol), col("a"), col("b"))
+      .distinct()
   }
 
   /** 16-bit SimHash over distinct words: per-bit ±1 contributions

@@ -87,6 +87,33 @@ object RelationalQueries {
         .where(col("rnk") <= 3)
         .select(col("n_name"), col("c_custkey"), col("rnk"))
         .orderBy("n_name", "rnk")
+    }),
+
+    // Multi-level aggregation: ROLLUP over (key, status) on the frontier
+    // view — per-host-per-status counts, per-host subtotals, grand total
+    // in ONE pass (Catalyst expands the grouping sets into a single
+    // Expand + hash agg; partial aggregation still combines map-side).
+    "q36_status_rollup" -> ((s, dir) =>
+      statusView(s, dir)
+        .rollup(col("key"), col("status"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_event"))
+        .orderBy(col("key").asc_nulls_first, col("status").asc_nulls_first)),
+
+    // Backward as-of join (operators.AsofJoin): each event picks up the
+    // most recent order of the same user at-or-before its timestamp.
+    // Union + one window pass — single hash shuffle on the key, no
+    // range-join blowup (see AsofJoin scaladoc).
+    "q37_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id").as("k"), col("ts").as("t"), col("event_id"))
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"),
+          col("o_orderdate").cast("timestamp_ntz").as("t"), col("o_orderkey"))
+        // state side must be unique per (key, time): latest orderkey wins
+        .groupBy("k", "t").agg(max(col("o_orderkey")).as("asof_orderkey"))
+      graft.operators.AsofJoin.asofJoin(e, o, "k", "t")
+        .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
+        .orderBy("event_id")
     })
   )
 
@@ -132,6 +159,22 @@ object RelationalQueries {
         |  SELECT n_name, c_custkey,
         |    row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey) x
-        |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
+        |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin,
+
+    "q36_status_rollup" ->
+      s"""WITH v AS (${Tables.statusViewSql})
+         |SELECT key, status, count(*) AS n, min(event_id) AS min_event
+         |FROM v GROUP BY ROLLUP (key, status)
+         |ORDER BY key NULLS FIRST, status NULLS FIRST""".stripMargin,
+
+    "q37_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS t,
+        |         max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id AS k, CAST(ts AS TIMESTAMP) AS t FROM events)
+        |SELECT e.event_id, e.k AS user_id, o.asof_orderkey
+        |FROM e ASOF LEFT JOIN o ON e.k = o.k AND e.t >= o.t
+        |ORDER BY event_id""".stripMargin
   )
 }
