@@ -227,7 +227,8 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
   def selectBatch(spark: SparkSession, now: java.sql.Timestamp,
                   perBucket: Int = 5, maxKeys: Int = 100,
                   limit: Int = 500,
-                  excludeInFlight: Option[DataFrame] = None): DataFrame = {
+                  excludeInFlight: Option[DataFrame] = None,
+                  saltBuckets: Int = 1): DataFrame = {
     val due = read(spark)
       .where(col("next_fetch_date").isNotNull &&
         col("next_fetch_date") <= lit(now).cast("timestamp_ntz") &&
@@ -246,9 +247,28 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
       .orderBy(col("key_min"), col("key"))
       .limit(maxKeys)
     val wk = Window.partitionBy(col("key")).orderBy(col("next_fetch_date"), col("url"))
-    afterPurgatory
-      .join(broadcast(topKeys), Seq("key"))
-      .withColumn("rn", row_number().over(wk))
+    val joined = afterPurgatory.join(broadcast(topKeys), Seq("key"))
+    // Hot-key defense: a host with millions of due URLs would make the
+    // per-key window fully sort that key's partition (the straggler at
+    // 100 TB). With saltBuckets > 1, phase 1 takes the top-K within
+    // each (key, salt) shard — parallel, each shard a fraction of the
+    // key — and phase 2 re-ranks only the ≤ saltBuckets×perBucket
+    // survivors per key. Same result set (per-key top-K by (due, url)
+    // is the top-K of the union of per-shard top-Ks); the second
+    // shuffle carries ≤ maxKeys×saltBuckets×perBucket rows, i.e. ~nothing.
+    val ranked =
+      if (saltBuckets <= 1) joined.withColumn("rn", row_number().over(wk))
+      else {
+        val ws = Window.partitionBy(col("key"), col("__salt"))
+          .orderBy(col("next_fetch_date"), col("url"))
+        joined
+          .withColumn("__salt", pmod(hash(col("url")), lit(saltBuckets)))
+          .withColumn("__rn1", row_number().over(ws))
+          .where(col("__rn1") <= perBucket)
+          .drop("__salt", "__rn1")
+          .withColumn("rn", row_number().over(wk))
+      }
+    ranked
       .where(col("rn") <= perBucket)
       .orderBy(col("key_min"), col("key"), col("rn"))
       .limit(limit)

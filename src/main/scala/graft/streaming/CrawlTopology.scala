@@ -64,8 +64,10 @@ object CrawlTopology {
                 perBucket: Int = 5, maxKeys: Int = 100, limit: Int = 500,
                 crawlDelayMs: Long = 1000,
                 respectRobots: Boolean = true,
-                batchTime: java.sql.Timestamp = now()): (CrawlStats, DataFrame) = {
-    val batch = store.selectBatch(spark, batchTime, perBucket, maxKeys, limit)
+                batchTime: java.sql.Timestamp = now(),
+                saltBuckets: Int = 1): (CrawlStats, DataFrame) = {
+    val batch = store.selectBatch(spark, batchTime, perBucket, maxKeys, limit,
+      saltBuckets = saltBuckets)
     val selected = batch.count()
     if (selected == 0)
       return (CrawlStats(0, 0, 0, 0, 0), spark.emptyDataFrame)

@@ -108,6 +108,25 @@ class FrontierSpec extends AnyFunSuite {
     assert(stF.selectBatch(spark, t1, 5, 5, 10).count() == 1)
   }
 
+  test("selectBatch: salted two-phase top-K matches the single-window result on a skewed frontier") {
+    val st = freshStore()
+    // one hot host with 40 due urls, two cold hosts with 2 each — the
+    // shape where the per-key window sort becomes the straggler at scale
+    val urls = (1 to 40).map(p => f"http://hot.com/p$p%03d") ++
+      (for (h <- Seq("c1", "c2"); p <- Seq("a", "b", "c", "d")) yield s"http://$h.com/$p")
+    st.merge(spark, statusRows(urls.map(_ -> Status.Discovered): _*), t0)
+
+    def rows(salt: Int) =
+      st.selectBatch(spark, t1, perBucket = 3, maxKeys = 3, limit = 100,
+        saltBuckets = salt)
+        .orderBy("key", "url").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("url")))
+    val unsalted = rows(1)
+    assert(unsalted.length == 9) // 3 keys x 3 per bucket
+    assert(rows(8).toSeq == unsalted.toSeq)
+    assert(rows(3).toSeq == unsalted.toSeq)
+  }
+
   test("scheduler column expressions: custom intervals and never-refetch") {
     import spark.implicits._
     val sched = DefaultScheduler(customs = Seq(
