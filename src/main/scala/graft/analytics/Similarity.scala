@@ -67,6 +67,32 @@ object Similarity {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("min_id"))
 
+  /** IVF-style ANN search with multi-probe: the corpus is coarsely
+    * quantized into hyperplane buckets (map-only); each query probes its
+    * own bucket plus the `nprobe - 1` neighboring cells across its
+    * lowest-margin planes (the standard multi-probe LSH recall boost —
+    * probing neighbors costs far less than adding tables). The probe
+    * set is tiny (queries × nprobe rows) so it BROADCASTS: the search
+    * is one map pass over the corpus touching only probed buckets — on
+    * a bucket-partitioned corpus table the non-probed partitions prune
+    * at the scan. Returns top-k per query by cosine among candidates. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, dim: Int, numPlanes: Int, k: Int,
+              nprobe: Int): DataFrame = {
+    val c = normalized(corpus, idCol, vecCol, "c_id", "c_vec")
+      .withColumn("bucket", lshBucket(col("c_vec"), dim, numPlanes))
+    val q = normalized(queries, idCol, vecCol, "q_id", "q_vec")
+      .select(col("q_id"), col("q_vec"),
+        explode(graft.functions.VecExpressions
+          .multiProbeBuckets(col("q_vec"), dim, numPlanes, nprobe)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), dotD(col("q_vec"), col("c_vec")).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
+  }
+
   /** Embedding near-dup candidates, LSH-bucketed: pairwise cosine is
     * computed only WITHIN a hyperplane bucket — the scale path (the
     * bucket join replaces the full cross product; more planes ⇒ smaller

@@ -62,6 +62,8 @@ object VecOps {
     * is deterministic, so it is computed once per (planes, dim) per JVM
     * and reused across every row — the md5s never run in the row loop. */
   private val signCache = TrieMap.empty[(Int, Int), Array[Array[Double]]]
+  private[functions] def signsFor(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    signs(numPlanes, dim)
   private def signs(numPlanes: Int, dim: Int): Array[Array[Double]] =
     signCache.getOrElseUpdate((numPlanes, dim), {
       val md = MessageDigest.getInstance("MD5")
@@ -89,6 +91,39 @@ object VecOps {
       j += 1
     }
     bucket
+  }
+}
+
+object VecOps2 {
+  /** Multi-probe bucket list for IVF-style ANN search: the query's own
+    * hyperplane bucket first, then the buckets reached by flipping one
+    * plane bit at a time in order of increasing |projection| — the
+    * planes the vector sits closest to, i.e. the neighboring cells most
+    * likely to hold near neighbors (multi-probe LSH). Returns
+    * `min(nprobe, numPlanes + 1)` distinct bucket ids. */
+  def multiProbeBuckets(a: ArrayData, dim: Int, numPlanes: Int, nprobe: Int): ArrayData = {
+    val proj = new Array[Double](numPlanes)
+    val sg = VecOps.signsFor(numPlanes, dim)
+    var j = 0
+    while (j < numPlanes) {
+      val row = sg(j)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.numElements(), dim)
+      while (i < n) { acc += a.getDouble(i) * row(i); i += 1 }
+      proj(j) = acc
+      j += 1
+    }
+    var base = 0
+    j = 0
+    while (j < numPlanes) { if (proj(j) > 0) base |= 1 << j; j += 1 }
+    val order = (0 until numPlanes).sortBy(j => (math.abs(proj(j)), j))
+    val nOut = math.min(nprobe, numPlanes + 1)
+    val out = new Array[Int](nOut)
+    out(0) = base
+    var p = 1
+    while (p < nOut) { out(p) = base ^ (1 << order(p - 1)); p += 1 }
+    new GenericArrayData(out)
   }
 }
 
@@ -142,6 +177,24 @@ case class LshBucketExpr(child: Expression, dim: Int, numPlanes: Int)
   override def prettyName: String = "lsh_bucket"
 }
 
+/** `multi_probe_buckets(v)` → the nprobe bucket ids to search. */
+case class MultiProbeBucketsExpr(child: Expression, dim: Int, numPlanes: Int,
+                                 nprobe: Int) extends UnaryExpression {
+  private val ops = "graft.functions.VecOps2$.MODULE$"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    VecOps2.multiProbeBuckets(a.asInstanceOf[ArrayData], dim, numPlanes, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      a => s"${ev.value} = $ops.multiProbeBuckets($a, $dim, $numPlanes, $nprobe);")
+
+  override protected def withNewChildInternal(newChild: Expression): MultiProbeBucketsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "multi_probe_buckets"
+}
+
 object VecExpressions {
   def dotD(a: Column, b: Column): Column =
     ColumnBridge.column(DotDExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -149,4 +202,6 @@ object VecExpressions {
     ColumnBridge.column(L2NormalizeExpr(ColumnBridge.expression(v)))
   def lshBucket(v: Column, dim: Int, numPlanes: Int): Column =
     ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(v), dim, numPlanes))
+  def multiProbeBuckets(v: Column, dim: Int, numPlanes: Int, nprobe: Int): Column =
+    ColumnBridge.column(MultiProbeBucketsExpr(ColumnBridge.expression(v), dim, numPlanes, nprobe))
 }

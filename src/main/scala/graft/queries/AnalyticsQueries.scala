@@ -76,6 +76,18 @@ object AnalyticsQueries {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         64, 10, 50)),
 
+    // IVF multi-probe ANN: bucket the corpus once, probe each query's
+    // own + 2 neighboring hyperplane cells, top-5 by cosine among the
+    // candidates. Probe set broadcasts; corpus stays map-only. No SQL
+    // oracle (the probe-selection is procedural) — rows-only check;
+    // exactness & recall properties are covered by SimilaritySpec.
+    "q38_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") % 500 === 0),
+          "vec_id", "embedding", 64, 6, 5, 3)
+        .orderBy("q_id", "rnk")
+    }),
+
     // HLL approximate distinct (no DuckDB oracle - sketch internals
     // differ; driver records the weaker rows-only check).
     "q35_approx_users" -> ((s, dir) =>

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fetch.ContentStore
+
+/** Content cache keyed by sha256(url): newest capture wins, cache-check
+  * splits a batch into hits and misses (S3Cacher/S3CacheChecker). */
+class ContentStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("store, re-capture supersedes, split serves hits and routes misses") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("content").toString
+    val cs = new ContentStore(dir)
+
+    cs.store(Seq(
+      ("http://a.com/x", "v1".getBytes, ts("2024-01-01 00:00:00")),
+      ("http://a.com/y", "yy".getBytes, ts("2024-01-01 00:00:00"))
+    ).toDF("url", "content", "fetch_time"))
+    // re-fetch of /x appends; read() must surface only the newest bytes
+    cs.store(Seq(
+      ("http://a.com/x", "v2".getBytes, ts("2024-02-01 00:00:00"))
+    ).toDF("url", "content", "fetch_time"))
+
+    val view = cs.read(spark).collect()
+    assert(view.length == 2)
+    val x = view.find(_.getAs[String]("url") == "http://a.com/x").get
+    assert(new String(x.getAs[Array[Byte]]("content")) == "v2")
+
+    val batch = Seq("http://a.com/x", "http://b.com/new").toDF("url")
+    val (hits, misses) = cs.split(spark, batch)
+    val hit = hits.collect()
+    assert(hit.map(_.getAs[String]("url")).toSeq == Seq("http://a.com/x"))
+    assert(new String(hit.head.getAs[Array[Byte]]("content")) == "v2")
+    assert(misses.select("url").as[String].collect().toSeq == Seq("http://b.com/new"))
+
+    // sharded layout: partition dirs named by the first digest byte
+    val shards = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard="))
+    assert(shards.nonEmpty && shards.forall(_.matches("shard=[0-9a-f]{2}")))
+  }
+}
