@@ -32,13 +32,25 @@ class ContentStore(path: String) {
         col("fetch_time").cast("timestamp_ntz").as("fetch_time"))
       .write.mode("append").partitionBy("shard").parquet(path)
 
-  /** Current view: newest capture per digest. */
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("url_sha256", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("fetch_time", org.apache.spark.sql.types.TimestampNTZType),
+    org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType)))
+
+  /** Current view: newest capture per digest. Empty (typed) before the
+    * first write — a cache miss, not an error. */
   def read(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("url_sha256"))
       .orderBy(col("fetch_time").desc)
-    spark.read.parquet(path)
-      .withColumn("__rn", row_number().over(w))
+    val dir = new java.io.File(path)
+    val hasData = dir.isDirectory && dir.listFiles().exists(_.getName.startsWith("shard="))
+    val raw =
+      if (hasData) spark.read.parquet(path)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    raw.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn", "shard")
   }
 

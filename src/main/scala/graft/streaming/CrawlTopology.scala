@@ -65,15 +65,39 @@ object CrawlTopology {
                 crawlDelayMs: Long = 1000,
                 respectRobots: Boolean = true,
                 batchTime: java.sql.Timestamp = now(),
-                saltBuckets: Int = 1): (CrawlStats, DataFrame) = {
+                saltBuckets: Int = 1,
+                contentStore: Option[graft.fetch.ContentStore] = None): (CrawlStats, DataFrame) = {
     val batch = store.selectBatch(spark, batchTime, perBucket, maxKeys, limit,
       saltBuckets = saltBuckets)
     val selected = batch.count()
     if (selected == 0)
       return (CrawlStats(0, 0, 0, 0, 0), spark.emptyDataFrame)
 
-    val fetched = FetchStage.fetch(spark, batch, protocols,
+    // Cache check (S3CacheChecker semantics): hits skip the network and
+    // re-enter the pipeline as synthetic FETCHED rows; only misses go
+    // through the fetch stage, whose new captures append to the store.
+    val (toFetch, cachedRows) = contentStore match {
+      case Some(cs) =>
+        val (hits, misses) = cs.split(spark, batch)
+        val hitRows = hits.select(
+          col("url"), col("key"), lit(Status.Fetched).as("status"),
+          lit(200).as("http_code"), col("content"),
+          lit(null).cast("string").as("content_type"),
+          lit(null).cast("string").as("redirect_to"), lit(0L).as("fetch_ms"),
+          map_concat(coalesce(col("metadata"), map()),
+            map(lit("cache.hit"), array(lit("true")))).as("metadata"))
+        (misses, Some(hitRows))
+      case None => (batch, None)
+    }
+    val fetchedLive = FetchStage.fetch(spark, toFetch, protocols,
       crawlDelayMs = crawlDelayMs, respectRobots = respectRobots)
+    contentStore.foreach { cs =>
+      fetchedLive.cache() // store() is an action: populate before reuse
+      cs.store(fetchedLive
+        .where(col("status") === Status.Fetched && col("content").isNotNull)
+        .select(col("url"), col("content"), lit(batchTime).as("fetch_time")))
+    }
+    val fetched = cachedRows.map(fetchedLive.unionByName(_)).getOrElse(fetchedLive)
     fetched.cache() // two consumers: parse branch + status merge branch
     val parsed = ParseStage.parse(fetched, chain)
     parsed.cache()
@@ -101,6 +125,7 @@ object CrawlTopology {
       docs = docs.count(),
       discovered = outlinkStatuses.count())
     fetched.unpersist()
+    if (contentStore.isDefined) fetchedLive.unpersist()
     (stats, docs)
   }
 

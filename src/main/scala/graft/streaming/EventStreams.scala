@@ -68,6 +68,20 @@ object EventStreams {
       }
   }
 
+  /** Watermark-bounded streaming dedup via the engine-native operator:
+    * `dropDuplicatesWithinWatermark` keeps state only until the
+    * watermark passes each key's event time — the zero-custom-code
+    * route when "dedup within the late-data horizon" is the contract
+    * (vs [[dedupStream]]'s explicit refresh-on-access TTL, which
+    * mirrors the reference's Caffeine expireAfterAccess exactly).
+    * State eviction is the engine's own, so at scale this is the
+    * cheaper operator: no user state object per key, RocksDB-backed
+    * store compatible. */
+  def dedupWithinWatermark(events: DataFrame, keyCol: String, tsCol: String,
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Per-key EMA of processing time — SchedulingURLBuffer's adaptive
     * delay (`persistence/urlbuffer/SchedulingURLBuffer.java:74-161`) as
     * a stateful stream: emits (key, ema_ms) updates. */

@@ -51,4 +51,37 @@ class ContentStoreSpec extends AnyFunSuite {
       .map(_.getName).filter(_.startsWith("shard="))
     assert(shards.nonEmpty && shards.forall(_.matches("shard=[0-9a-f]{2}")))
   }
+
+  test("crawl loop serves hits from the cache instead of fetching") {
+    import graft.fetch.ProtocolFactory
+    import graft.filters.UrlFilterChain
+    import graft.frontier.FrontierStore
+    import graft.streaming.CrawlTopology
+
+    val page = Files.createTempDirectory("page").resolve("p.html")
+    Files.write(page, "<html><body>cached page</body></html>".getBytes)
+    val url = s"file://$page"
+    val cs = new ContentStore(Files.createTempDirectory("content2").toString)
+    val chain = new UrlFilterChain(Seq()) // single page, nothing to filter
+
+    // first crawl populates the content store over the wire
+    val st1 = new FrontierStore(Files.createTempDirectory("f1").toString)
+    CrawlTopology.seed(spark, st1, Seq(url), chain)
+    val (s1, _) = CrawlTopology.crawlOnce(spark, st1, new ProtocolFactory(), chain,
+      crawlDelayMs = 0, respectRobots = false, contentStore = Some(cs))
+    assert(s1.fetched == 1)
+    assert(cs.read(spark).count() == 1)
+
+    // delete the file: any real fetch now FAILS — success proves the
+    // second crawl was served from the cache
+    Files.delete(page)
+    val st2 = new FrontierStore(Files.createTempDirectory("f2").toString)
+    CrawlTopology.seed(spark, st2, Seq(url), chain)
+    val (s2, docs) = CrawlTopology.crawlOnce(spark, st2, new ProtocolFactory(), chain,
+      crawlDelayMs = 0, respectRobots = false, contentStore = Some(cs))
+    assert(s2.fetched == 1, s2)
+    assert(docs.count() == 1)
+    val row = st2.read(spark).collect().head
+    assert(row.getAs[String]("status") == graft.model.Status.Fetched)
+  }
 }

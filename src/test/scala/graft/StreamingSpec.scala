@@ -72,6 +72,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(urls.toSeq == Seq("http://a.com/1", "http://a.com/2", "http://a.com/3"))
   }
 
+  test("dropDuplicatesWithinWatermark dedup: repeats inside the horizon drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Seen]
+    val q = EventStreams.dedupWithinWatermark(input.toDF(), "url", "ts",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wm_dedup_out")
+      .outputMode("append").start()
+
+    input.addData(Seen("http://a.com/1", ts("2024-01-01 00:00:00")),
+                  Seen("http://a.com/1", ts("2024-01-01 00:00:05")),
+                  Seen("http://a.com/2", ts("2024-01-01 00:00:06")))
+    q.processAllAvailable()
+    // repeat of /1 arrives within the watermark horizon -> dropped
+    input.addData(Seen("http://a.com/1", ts("2024-01-01 00:05:00")),
+                  Seen("http://a.com/3", ts("2024-01-01 00:05:01")))
+    q.processAllAvailable()
+    q.stop()
+
+    val urls = spark.table("wm_dedup_out").as[Seen].collect().map(_.url).sorted
+    assert(urls.toSeq == Seq("http://a.com/1", "http://a.com/2", "http://a.com/3"))
+  }
+
   test("per-key EMA state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
