@@ -58,7 +58,8 @@ final class HttpProtocol(
     connectTimeoutMs: Int = 10000,
     requestTimeoutMs: Int = 30000,
     userAgent: String = "graft-crawler/0.1",
-    extraHeaders: Map[String, String] = Map.empty) extends Protocol {
+    extraHeaders: Map[String, String] = Map.empty,
+    useCookies: Boolean = true) extends Protocol {
 
   @transient private lazy val client: HttpClient = HttpClient.newBuilder()
     .followRedirects(HttpClient.Redirect.NEVER)
@@ -73,6 +74,12 @@ final class HttpProtocol(
         .GET()
       metadata.get("last-modified").flatMap(_.headOption)
         .foreach(v => b.header("If-Modified-Since", v))
+      // cookies remembered from earlier responses (CookieConverter
+      // semantics: domain/path/expiry/secure gates against this URL)
+      if (useCookies)
+        metadata.get("set-cookie").filter(_.nonEmpty)
+          .flatMap(scs => Cookies.header(scs, url))
+          .foreach(v => b.header("Cookie", v))
       extraHeaders.foreach { case (k, v) => b.header(k, v) }
       val t0 = System.nanoTime()
       val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())

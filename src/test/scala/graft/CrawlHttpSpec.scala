@@ -82,6 +82,29 @@ class CrawlHttpSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("cookies from metadata reach the request when applicable") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenCookie: String = null
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        seenCookie = ex.getRequestHeaders.getFirst("Cookie")
+        val body = "<html></html>".getBytes
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val proto = new graft.fetch.HttpProtocol()
+      // applicable cookie + one gated out by Secure on plain http
+      val md = Map("set-cookie" -> Seq("sid=abc; Path=/", "tok=x; Secure"))
+      val resp = proto.fetch(s"$base/a.html", md)
+      assert(resp.statusCode == 200)
+      assert(seenCookie == "sid=abc")
+    } finally server.stop(0)
+  }
+
   test("http crawl: robots deny, redirect follow, 404 error") {
     val server = startServer()
     try {
