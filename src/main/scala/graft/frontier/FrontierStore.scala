@@ -41,6 +41,16 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
 
   def exists: Boolean = Files.exists(currentFile)
 
+  /** Opaque signature of the table's current version — changes exactly
+    * when a merge/compact swaps the manifest pointer. Lets pollers
+    * (e.g. the streaming frontier source) detect "new frontier state"
+    * with one small file read, no table scan. */
+  def versionSignature: String =
+    if (!exists) "absent"
+    else java.security.MessageDigest.getInstance("MD5")
+      .digest(Files.readAllBytes(currentFile))
+      .map(b => f"$b%02x").mkString
+
   /** bucket -> generation dir (relative), e.g. 7 -> "delta_3". */
   private def manifest: Map[Int, String] =
     if (!exists) Map.empty

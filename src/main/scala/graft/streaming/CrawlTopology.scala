@@ -184,4 +184,24 @@ object CrawlTopology {
       }
       .start()
   }
+
+  /** The frontier as a streaming DataFrame via the custom DSv2 source
+    * ([[graft.sources.FrontierSource]]): each micro-batch is one
+    * frontier selection, scheduled only when a merge changed the store
+    * — the push-based alternative to [[startStream]]'s fixed-interval
+    * heartbeat. Compose downstream with `foreachBatch { fetch → parse
+    * → merge }`; the merge both persists results and (by bumping the
+    * store version) schedules the next selection, closing the crawl
+    * loop through the source itself. */
+  def frontierStream(spark: SparkSession, frontierRoot: String,
+                     perBucket: Int = 5, maxKeys: Int = 100,
+                     limit: Int = 500, saltBuckets: Int = 1): DataFrame =
+    spark.readStream
+      .format("graft.sources.FrontierSource")
+      .option("path", frontierRoot)
+      .option("perBucket", perBucket.toString)
+      .option("maxKeys", maxKeys.toString)
+      .option("limit", limit.toString)
+      .option("saltBuckets", saltBuckets.toString)
+      .load()
 }

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier.FrontierStore
+import graft.model.Status
+
+/** The custom crawl source: frontier table as a DSv2 micro-batch
+  * stream — offsets advance only on merges, batches are the frontier
+  * selection, partitions are keyed for politeness. */
+class FrontierSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def statusRows(rows: (String, String)*) = {
+    import spark.implicits._
+    rows.map { case (u, s) => (u, s, Map.empty[String, Seq[String]]) }
+      .toDF("url", "status", "metadata")
+  }
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+
+  test("streaming read of the frontier: one batch per merge, selection semantics") {
+    val root = Files.createTempDirectory("frontier_src").toString
+    val store = new FrontierStore(root)
+    store.merge(spark, statusRows(
+      "http://h1.com/a" -> Status.Discovered,
+      "http://h1.com/b" -> Status.Discovered,
+      "http://h2.com/a" -> Status.Discovered), t0)
+
+    val q = spark.readStream
+      .format("graft.sources.FrontierSource")
+      .option("path", root)
+      .option("perBucket", "1").option("maxKeys", "10").option("limit", "10")
+      .load()
+      .writeStream.format("memory").queryName("frontier_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val batch1 = spark.table("frontier_out").collect()
+      // perBucket=1 -> one url per host
+      assert(batch1.map(_.getAs[String]("key")).sorted.toSeq == Seq("h1.com", "h2.com"))
+      assert(batch1.forall(_.getAs[String]("status") == Status.Discovered))
+
+      // no merge -> version unchanged -> processAllAvailable adds nothing
+      q.processAllAvailable()
+      assert(spark.table("frontier_out").count() == 2)
+
+      // a merge advances the version -> next poll selects again (the
+      // new host appears; at-least-once means h1/h2 may repeat)
+      store.merge(spark, statusRows("http://h3.com/x" -> Status.Discovered), t0)
+      q.processAllAvailable()
+      val keys = spark.table("frontier_out").collect().map(_.getAs[String]("key")).toSet
+      assert(keys.contains("h3.com"))
+    } finally q.stop()
+  }
+
+  test("closed crawl loop through the source: each merge schedules the next batch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.fetch.{FetchStage, ProtocolFactory}
+    import graft.filters.UrlFilterChain
+    import graft.parse.ParseStage
+    import graft.streaming.CrawlTopology
+
+    // two-page site: a links to b
+    val site = Files.createTempDirectory("src_site")
+    Files.write(site.resolve("a.html"),
+      """<html><body><a href="b.html">next</a></body></html>""".getBytes)
+    Files.write(site.resolve("b.html"),
+      "<html><body>leaf</body></html>".getBytes)
+
+    val root = Files.createTempDirectory("frontier_loop").toString
+    val store = new FrontierStore(root)
+    val chain = new UrlFilterChain(Seq())
+    CrawlTopology.seed(spark, store, Seq(s"file://$site/a.html"), chain)
+
+    val q = CrawlTopology.frontierStream(spark, root, perBucket = 5, maxKeys = 5, limit = 10)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val fetched = FetchStage.fetch(spark, batch, new ProtocolFactory(),
+            crawlDelayMs = 0, respectRobots = false)
+          fetched.cache()
+          val parsed = ParseStage.parse(fetched, chain)
+          val statuses = fetched.select(col("url"),
+            when(col("redirect_to").isNotNull, Status.Redirection)
+              .otherwise(col("status")).as("status"), col("metadata"))
+          val outlinks = parsed.where(col("kind").isin("outlink", "redirect"))
+            .select(col("target_url").as("url"),
+              lit(Status.Discovered).as("status"), col("metadata"))
+          // this merge is what schedules the NEXT micro-batch: it bumps
+          // the store version the source polls
+          store.merge(spark, statuses.unionByName(outlinks), CrawlTopology.now())
+          fetched.unpersist()
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val byUrl = store.read(spark).collect()
+        .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+      // a crawled in batch 1; its merge scheduled batch 2 which crawled
+      // the discovered b; b's merge scheduled a final empty selection
+      assert(byUrl(s"file://$site/a.html") == Status.Fetched)
+      assert(byUrl(s"file://$site/b.html") == Status.Fetched)
+    } finally q.stop()
+  }
+}
