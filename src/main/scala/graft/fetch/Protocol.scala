@@ -104,3 +104,31 @@ final class ProtocolFactory(http: Protocol = new HttpProtocol()) extends Seriali
   def fetch(url: String, metadata: Map[String, Seq[String]]): ProtocolResponse =
     forUrl(url).fetch(url, metadata)
 }
+
+/** Full `DelegatorProtocol` semantics (`core/.../protocol/
+  * DelegatorProtocol.java:70`): an ordered rule list, each pairing a
+  * protocol with optional gates — ALL configured metadata key=value
+  * pairs must be present and a URL regex (if any) must find a match.
+  * First matching rule wins; a rule with no gates is the catch-all.
+  * Useful for e.g. routing `js=true`-tagged URLs to a rendering
+  * protocol while everything else takes the plain HTTP path. */
+object DelegatorProtocol {
+  final case class Rule(protocol: Protocol,
+                        urlPattern: Option[scala.util.matching.Regex] = None,
+                        metadataEquals: Map[String, String] = Map.empty)
+      extends Serializable {
+    def matches(url: String, metadata: Map[String, Seq[String]]): Boolean =
+      urlPattern.forall(_.findFirstIn(url).isDefined) &&
+        metadataEquals.forall { case (k, v) => metadata.get(k).exists(_.contains(v)) }
+  }
+}
+
+final class DelegatorProtocol(rules: Seq[DelegatorProtocol.Rule]) extends Protocol {
+  require(rules.nonEmpty, "DelegatorProtocol needs at least one rule")
+  def fetch(url: String, metadata: Map[String, Seq[String]]): ProtocolResponse =
+    rules.find(_.matches(url, metadata)) match {
+      case Some(r) => r.protocol.fetch(url, metadata)
+      case None    => ProtocolResponse(Array.empty, -1,
+        Map("fetch.error" -> Seq("no protocol rule matched")))
+    }
+}

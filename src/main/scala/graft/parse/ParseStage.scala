@@ -90,10 +90,12 @@ object ParseStage {
             val entries = SitemapParser.parse(decoded)
               .filter(e => lastModCutoffMs.forall(cut =>
                 e.lastMod.forall(lm => SitemapParser.parseLastMod(lm).forall(_ >= cut))))
-            val subMd = (isSub: Boolean) =>
-              if (isSub) Map("isSitemap" -> Seq("true")) else Map.empty[String, Seq[String]]
             entries.flatMap { e =>
-              outlinkRows(Seq((e.url, "")), subMd(e.isSubSitemap))
+              val entryMd =
+                (if (e.isSubSitemap) Map("isSitemap" -> Seq("true"))
+                 else Map.empty[String, Seq[String]]) ++
+                  e.media.map { case (k, v) => s"sitemap.$k" -> v } // extensions
+              outlinkRows(Seq((e.url, "")), entryMd)
             }
           } else if (isFeed) {
             val entries = FeedParser.parse(decoded)

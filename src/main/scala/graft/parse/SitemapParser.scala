@@ -10,7 +10,12 @@ import scala.xml.XML
   */
 object SitemapParser {
 
-  final case class SitemapEntry(url: String, lastMod: Option[String], isSubSitemap: Boolean)
+  /** One sitemap line. `media` carries the sitemap-extension payloads
+    * the reference extracts via crawler-commons (`SiteMapParserBolt`
+    * extension handling: news/image/video): kind → locations/titles. */
+  final case class SitemapEntry(url: String, lastMod: Option[String],
+                                isSubSitemap: Boolean,
+                                media: Map[String, Seq[String]] = Map.empty)
 
   /** Content sniff: does this look like a sitemap? (first bytes clue,
     * `SiteMapParserBolt.java:96-126`). */
@@ -34,7 +39,19 @@ object SitemapParser {
         case "urlset" =>
           (root \ "url").flatMap { u =>
             (u \ "loc").headOption.map(_.text.trim).filter(_.nonEmpty)
-              .map(loc => SitemapEntry(loc, (u \ "lastmod").headOption.map(_.text.trim), isSubSitemap = false))
+              .map { loc =>
+                // sitemap extensions (image/video/news); `\` matches on
+                // local names so any namespace prefix works
+                val images = (u \ "image" \ "loc").map(_.text.trim).filter(_.nonEmpty)
+                val videos = ((u \ "video" \ "content_loc") ++ (u \ "video" \ "player_loc"))
+                  .map(_.text.trim).filter(_.nonEmpty)
+                val news = (u \ "news" \ "title").map(_.text.trim).filter(_.nonEmpty)
+                val media = Seq(
+                  "image" -> images, "video" -> videos, "news.title" -> news)
+                  .filter(_._2.nonEmpty).toMap
+                SitemapEntry(loc, (u \ "lastmod").headOption.map(_.text.trim),
+                  isSubSitemap = false, media = media)
+              }
           }
         case "sitemapindex" =>
           (root \ "sitemap").flatMap { s =>

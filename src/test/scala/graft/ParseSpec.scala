@@ -64,6 +64,31 @@ class ParseSpec extends AnyFunSuite {
     assert(!SitemapParser.sniff(fixture("index.html").getBytes))
   }
 
+  test("sitemap extensions: image/video/news payloads land in media") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+        |        xmlns:image="http://www.google.com/schemas/sitemap-image/1.1"
+        |        xmlns:video="http://www.google.com/schemas/sitemap-video/1.1"
+        |        xmlns:news="http://www.google.com/schemas/sitemap-news/0.9">
+        |  <url>
+        |    <loc>http://site.example/article.html</loc>
+        |    <image:image><image:loc>http://site.example/a.jpg</image:loc></image:image>
+        |    <image:image><image:loc>http://site.example/b.jpg</image:loc></image:image>
+        |    <video:video><video:content_loc>http://site.example/v.mp4</video:content_loc></video:video>
+        |    <news:news><news:title>Headline</news:title></news:news>
+        |  </url>
+        |  <url><loc>http://site.example/plain.html</loc></url>
+        |</urlset>""".stripMargin
+    val entries = SitemapParser.parse(xml)
+    assert(entries.length == 2)
+    val rich = entries.head
+    assert(rich.media("image") == Seq("http://site.example/a.jpg", "http://site.example/b.jpg"))
+    assert(rich.media("video") == Seq("http://site.example/v.mp4"))
+    assert(rich.media("news.title") == Seq("Headline"))
+    assert(entries(1).media.isEmpty)
+  }
+
   test("rss feed links") {
     val entries = FeedParser.parse(fixture("feed.rss"))
     assert(entries.map(_.url) == Seq("http://site.example/i1.html", "http://site.example/i2.html"))
