@@ -238,7 +238,8 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
                   perBucket: Int = 5, maxKeys: Int = 100,
                   limit: Int = 500,
                   excludeInFlight: Option[DataFrame] = None,
-                  saltBuckets: Int = 1): DataFrame = {
+                  saltBuckets: Int = 1,
+                  keyPriority: Option[DataFrame] = None): DataFrame = {
     val due = read(spark)
       .where(col("next_fetch_date").isNotNull &&
         col("next_fetch_date") <= lit(now).cast("timestamp_ntz") &&
@@ -252,10 +253,22 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     // small aggregate + TakeOrdered (never a global window over URL
     // rows — that would single-partition the sort at scale), then the
     // per-key top-K window joins only the surviving keys.
-    val topKeys = afterPurgatory
+    // Default key order = earliest due date (AggregationSpout's min-agg
+    // bucket sort). With `keyPriority` (key, priority) — e.g. recent ack
+    // counts — keys sort by priority desc first: the PriorityURLBuffer
+    // behavior (`persistence/urlbuffer/PriorityURLBuffer.java:40,97-106`
+    // re-sorts queues by acks every 30 s). The priority frame is tiny
+    // (one row per active key) and broadcasts.
+    val keyAgg = afterPurgatory
       .groupBy(col("key")).agg(min(col("next_fetch_date")).as("key_min"))
-      .orderBy(col("key_min"), col("key"))
-      .limit(maxKeys)
+    val topKeys = (keyPriority match {
+      case Some(pr) => keyAgg
+        .join(broadcast(pr.select(col("key"), col("priority"))), Seq("key"), "left")
+        .withColumn("__pr", coalesce(col("priority"), lit(0L)))
+        .orderBy(col("__pr").desc, col("key_min"), col("key"))
+        .drop("priority", "__pr")
+      case None => keyAgg.orderBy(col("key_min"), col("key"))
+    }).limit(maxKeys)
     val wk = Window.partitionBy(col("key")).orderBy(col("next_fetch_date"), col("url"))
     val joined = afterPurgatory.join(broadcast(topKeys), Seq("key"))
     // Hot-key defense: a host with millions of due URLs would make the

@@ -103,7 +103,46 @@ object UrlExpressions {
       "normalize_url_native", exprs => NormalizeUrlExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "partition_key_native", exprs => PartitionKeyExpr(exprs.head, exprs(1)), "built-in")
+    TextVecRegistry.register(spark)
   }
+}
+
+/** SQL names for the text-hash and vector expressions. Count/size
+  * arguments (shingle k, plane counts, …) must be foldable literals —
+  * they select the compiled form of the expression, they are not data. */
+object TextVecRegistry {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[functions] val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_sig" -> { exprs =>
+      MinhashChunksExpr(exprs.head, intLit(exprs(1), "k"),
+        intLit(exprs(2), "numHashes"),
+        exprs.lift(3).exists { case Literal(b: Boolean, _) => b; case _ => false })
+    },
+    "simhash16" -> { exprs => SimHash16Expr(exprs.head) },
+    "winnow_fp" -> { exprs =>
+      WinnowFpExpr(exprs.head, intLit(exprs(1), "shingleK"), intLit(exprs(2), "window"))
+    },
+    "dot_d" -> { exprs => DotDExpr(exprs.head, exprs(1)) },
+    "l2_normalize" -> { exprs => L2NormalizeExpr(exprs.head) },
+    "lsh_bucket" -> { exprs =>
+      LshBucketExpr(exprs.head, intLit(exprs(1), "dim"), intLit(exprs(2), "numPlanes"))
+    },
+    "multi_probe_buckets" -> { exprs =>
+      MultiProbeBucketsExpr(exprs.head, intLit(exprs(1), "dim"),
+        intLit(exprs(2), "numPlanes"), intLit(exprs(3), "nprobe"))
+    })
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
 }
 
 /** SparkSessionExtensions entry point:
@@ -119,5 +158,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("partition_key_native"),
       new ExpressionInfo(classOf[PartitionKeyExpr].getName, "partition_key_native"),
       (exprs: Seq[Expression]) => PartitionKeyExpr(exprs.head, exprs(1))))
+    TextVecRegistry.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[MinhashChunksExpr].getName, name),
+        builder))
+    }
   }
 }

@@ -199,6 +199,27 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(bNative.toSeq == bHof.toSeq)
   }
 
+  test("text-hash and vector expressions are callable from SQL") {
+    graft.functions.UrlExpressions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  minhash_sig('a b c d e', 3, 4) AS mh,
+        |  simhash16('hello world') AS sh,
+        |  winnow_fp('a b c d e f g h i j k l', 4, 5) AS wf,
+        |  dot_d(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  l2_normalize(array(3.0d, 4.0d)) AS nv,
+        |  lsh_bucket(array(0.6d, 0.8d), 2, 4) AS bk,
+        |  multi_probe_buckets(array(0.6d, 0.8d), 2, 4, 2) AS probes
+        |""".stripMargin).collect().head
+    assert(r.getSeq[Long](0).length == 4)
+    assert(r.getLong(1) != 0L)
+    assert(r.getSeq[Long](2).length == 2)
+    assert(r.getDouble(3) == 11.0)
+    assert(math.abs(r.getSeq[Double](4).map(x => x * x).sum - 1.0) < 1e-12)
+    val probes = r.getSeq[Int](6)
+    assert(probes.length == 2 && probes.head == r.getInt(5)) // own bucket first
+  }
+
   test("extensions class applies cleanly; registration works on a cloned session") {
     // getOrCreate in a shared-JVM test suite returns the existing
     // session, so withExtensions can't be observed end-to-end here —

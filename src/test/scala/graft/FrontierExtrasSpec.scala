@@ -48,6 +48,31 @@ class FrontierExtrasSpec extends AnyFunSuite {
     assert(st.refill(spark, c3, t1).count() == 0)
   }
 
+  test("keyPriority re-orders key selection by recent throughput") {
+    import spark.implicits._
+    // h1 is due EARLIER (would win the default min-due ordering)
+    val st = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    st.merge(spark, Seq(
+      ("http://h1.com/a", graft.model.Status.Discovered, Map.empty[String, Seq[String]]))
+      .toDF("url", "status", "metadata"), t0)
+    st.merge(spark, Seq(
+      ("http://h2.com/a", graft.model.Status.Discovered, Map.empty[String, Seq[String]]))
+      .toDF("url", "status", "metadata"), t1)
+
+    val later = Timestamp.valueOf("2024-01-03 00:00:00")
+    // default ordering: earliest due date -> h1 wins the single key slot
+    val def1 = st.selectBatch(spark, later, perBucket = 5, maxKeys = 1, limit = 10)
+      .collect().map(_.getAs[String]("key")).distinct
+    assert(def1.toSeq == Seq("h1.com"))
+
+    // PriorityURLBuffer behavior: acks favor h2 -> it takes the slot
+    val acks = Seq(("h2.com", 50L), ("h1.com", 3L)).toDF("key", "priority")
+    val pri = st.selectBatch(spark, later, perBucket = 5, maxKeys = 1, limit = 10,
+        keyPriority = Some(acks))
+      .collect().map(_.getAs[String]("key")).distinct
+    assert(pri.toSeq == Seq("h2.com"))
+  }
+
   test("deletions: ERROR rows exposed as the deletion stream") {
     val st = store("http://h.com/ok" -> Status.Fetched)
     val stErr = new FrontierStore(st.root, maxFetchErrors = 1)
