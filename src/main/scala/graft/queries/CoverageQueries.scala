@@ -81,6 +81,26 @@ object CoverageQueries {
       fetcherEmits.unionByName(parserEmits)
         .groupBy("key", "emitter").agg(count(lit(1)).as("n"))
         .orderBy("key", "emitter")
+    }),
+
+    // Set difference at (user, day) grain: days a user viewed but did
+    // not purchase — EXCEPT compiles to a left-anti over hash-distinct
+    // sides, one shuffle each.
+    "q39_except_users" -> ((s, dir) => {
+      val v = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      v.where(col("event_type") === "view").select("user_id", "d").distinct()
+        .except(v.where(col("event_type") === "purchase").select("user_id", "d").distinct())
+        .orderBy("user_id", "d")
+    }),
+
+    // Set intersection: (user, day) pairs with both a click and a signup.
+    "q40_intersect_users" -> ((s, dir) => {
+      val v = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      v.where(col("event_type") === "click").select("user_id", "d").distinct()
+        .intersect(v.where(col("event_type") === "signup").select("user_id", "d").distinct())
+        .orderBy("user_id", "d")
     })
   )
 
@@ -131,6 +151,18 @@ object CoverageQueries {
          |  UNION ALL
          |  SELECT key, 'parser' FROM status_view WHERE status = 'DISCOVERED')
          |SELECT key, emitter, count(*) AS n FROM u
-         |GROUP BY key, emitter ORDER BY key, emitter""".stripMargin
+         |GROUP BY key, emitter ORDER BY key, emitter""".stripMargin,
+
+    "q39_except_users" ->
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, d""".stripMargin,
+
+    "q40_intersect_users" ->
+      """SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id, d""".stripMargin
   )
 }

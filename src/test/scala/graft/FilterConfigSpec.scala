@@ -8,6 +8,32 @@ import graft.parse.{HtmlParser, ParseContext}
   * shape compatibility). */
 class FilterConfigSpec extends AnyFunSuite {
 
+  test("reloadable chain: picks up config edits, keeps last good on breakage") {
+    import java.nio.file.{Files, Paths}
+    val f = Files.createTempFile("urlfilters", ".json")
+    def write(s: String, mtimeMs: Long): Unit = {
+      Files.write(f, s.getBytes)
+      Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    val t = 1700000000000L
+    write("""{"urlfilters": [{"class": "RegexURLFilter", "params": {"rules": ["-\\.jpg$", "+."]}}]}""", t)
+    val rc = new graft.filters.ReloadableUrlFilterChain(f.toString, checkEveryMs = 100)
+
+    assert(rc.current(t).apply("http://e.com/a.jpg").isEmpty)
+    assert(rc.current(t).apply("http://e.com/a.html").isDefined)
+
+    // config flips to deny .html; next check after the interval reloads
+    write("""{"urlfilters": [{"class": "RegexURLFilter", "params": {"rules": ["-\\.html$", "+."]}}]}""", t + 5000)
+    assert(rc.current(t + 50).apply("http://e.com/a.html").isDefined) // within interval: old chain
+    assert(rc.current(t + 200).apply("http://e.com/a.html").isEmpty)  // reloaded
+    assert(rc.current(t + 200).apply("http://e.com/a.jpg").isDefined)
+
+    // broken JSON: keep the last good chain
+    write("{not json", t + 9000)
+    assert(rc.current(t + 400).apply("http://e.com/a.html").isEmpty)
+  }
+
   test("urlfilters.json builds a working chain") {
     val chain = FilterConfig.urlFilterChain(
       """{"urlfilters": [

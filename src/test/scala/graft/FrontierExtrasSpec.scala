@@ -48,6 +48,30 @@ class FrontierExtrasSpec extends AnyFunSuite {
     assert(st.refill(spark, c3, t1).count() == 0)
   }
 
+  test("adaptive query date: freezes on full batches, resets on partial/empty/timeout") {
+    import graft.frontier.AdaptiveQueryDate
+    val aq = new AdaptiveQueryDate(resetAfterMs = 1000)
+    val t = 1700000000000L
+
+    // first poll at t: date == now
+    assert(aq.queryDate(t).getTime == t)
+    // full batch -> freeze the horizon at t
+    aq.observe(selected = 10, limit = 10, nowMs = t)
+    assert(aq.isFrozen)
+    assert(aq.queryDate(t + 300).getTime == t) // later poll keeps digging at t
+    aq.observe(10, 10, t + 300)                // still full: freeze time unchanged
+    assert(aq.queryDate(t + 600).getTime == t)
+    // partial batch -> reset: next date jumps to now
+    aq.observe(selected = 3, limit = 10, nowMs = t + 600)
+    assert(!aq.isFrozen)
+    assert(aq.queryDate(t + 700).getTime == t + 700)
+    // freeze again, then exceed resetAfterMs measured from the FIRST freeze
+    aq.observe(10, 10, t + 700)
+    assert(aq.queryDate(t + 800).getTime == t + 700)
+    assert(aq.queryDate(t + 1800).getTime == t + 1800) // 1.1s after freeze: reset
+    assert(!aq.isFrozen)
+  }
+
   test("keyPriority re-orders key selection by recent throughput") {
     import spark.implicits._
     // h1 is due EARLIER (would win the default min-due ordering)
