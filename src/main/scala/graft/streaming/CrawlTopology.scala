@@ -137,13 +137,20 @@ object CrawlTopology {
             maxIterations: Int = 10,
             docsOut: Option[String] = None,
             crawlDelayMs: Long = 1000,
-            respectRobots: Boolean = true): Seq[CrawlStats] = {
+            respectRobots: Boolean = true,
+            selectionLimit: Int = 500): Seq[CrawlStats] = {
     var stats = Vector.empty[CrawlStats]
     var i = 0
     var continue = true
+    // backlog-digging horizon (AggregationSpout's adaptive queryDate):
+    // frozen while selections come back full, reset on empty/partial
+    val adaptiveDate = new graft.frontier.AdaptiveQueryDate()
     while (continue && i < maxIterations) {
       val (st, docs) = crawlOnce(spark, store, protocols, chain,
-        crawlDelayMs = crawlDelayMs, respectRobots = respectRobots)
+        limit = selectionLimit,
+        crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
+        batchTime = adaptiveDate.queryDate())
+      adaptiveDate.observe(st.selected, selectionLimit)
       docsOut.foreach { dir =>
         if (st.docs > 0)
           docs.select("url", "title", "text", "signature", "noindex")
