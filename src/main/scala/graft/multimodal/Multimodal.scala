@@ -72,6 +72,50 @@ object Multimodal {
           size(filter(sequence(lit(0), col("n_frames") - 1),
             i => i % everyNth === 0))).otherwise(0))
 
+  /** Pseudo-embedding stage: media bytes → a deterministic
+    * `dim`-float unit vector (seeded per 32-byte chunk via the byte
+    * content) — the shape of a real encoder's output, so the ANN
+    * operators ([[graft.analytics.Similarity]]) compose directly:
+    * media → embed → lshBucket/ivfTopK/nearDupPairs is the full
+    * training-data path with only this stage's internals stubbed. */
+  def pseudoEmbeddings(spark: SparkSession, media: DataFrame, dim: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          val v = new Array[Float](dim)
+          var i = 0
+          while (i < payload.length) {
+            v(i % dim) += ((payload(i) & 0xff) - 127.5f) / 127.5f
+            i += 1
+          }
+          var norm = 0.0
+          var j = 0
+          while (j < dim) { norm += v(j) * v(j); j += 1 }
+          val n = math.sqrt(norm)
+          if (n > 0) { j = 0; while (j < dim) { v(j) = (v(j) / n).toFloat; j += 1 } }
+          Row(id, v.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Size-aware repartition: media rows vary by orders of magnitude in
+    * byte size, so row-count partitioning under-fills some tasks and
+    * blows the memory of others. Sizes the partition count from the
+    * TOTAL byte volume (one cheap agg), then hash-distributes — at
+    * 100 TB this is what keeps a decode stage's tasks uniform. */
+  def sizeAwareRepartition(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
+    val total = media.select(sum(coalesce(length(col("bytes")), lit(0))))
+      .head().getLong(0)
+    val n = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
+    media.repartition(n, col("media_id"))
+  }
+
   /** The mapPartitions decode stage — batch-shaped like mapInPandas:
     * partition iterator in, iterator of feature rows out; the codec is
     * invoked once per row inside the partition loop. */
