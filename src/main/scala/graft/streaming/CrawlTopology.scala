@@ -192,6 +192,33 @@ object CrawlTopology {
       .start()
   }
 
+  /** Continuous seed ingestion — FileSpout as a STREAM
+    * (`core/.../spout/FileSpout.java:52` keeps reading seed files
+    * dropped into a directory): watch `seedDir` with the file stream
+    * source, parse `URL \t k=v …` lines (StringTabScheme), apply the
+    * filter chain, merge as DISCOVERED. New files appearing in the
+    * directory flow into the frontier on the next trigger; the merge's
+    * NOT-MATCHED semantics dedupe re-delivered seeds. */
+  def seedStream(spark: SparkSession, store: FrontierStore, seedDir: String,
+                 chain: UrlFilterChain = UrlFilterChain.default(),
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.text(seedDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect().toSeq // seed batches are small
+          .flatMap(r => parseSeedLine(r.getString(0)))
+          .flatMap { case (url, md) =>
+            chain(url, None, md).map(u => (u, Status.Discovered, md))
+          }
+        if (rows.nonEmpty) {
+          import spark.implicits._
+          store.merge(spark, rows.toDF("url", "status", "metadata"))
+        }
+        ()
+      }
+      .start()
+
   /** The frontier as a streaming DataFrame via the custom DSv2 source
     * ([[graft.sources.FrontierSource]]): each micro-batch is one
     * frontier selection, scheduled only when a merge changed the store

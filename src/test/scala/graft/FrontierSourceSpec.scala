@@ -64,6 +64,31 @@ class FrontierSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("seedStream: seed files dropped into a directory flow into the frontier") {
+    import graft.filters.UrlFilterChain
+    import graft.streaming.CrawlTopology
+    val seedDir = Files.createTempDirectory("seeds")
+    val root = Files.createTempDirectory("frontier_seed").toString
+    val store = new FrontierStore(root)
+    Files.write(seedDir.resolve("batch1.txt"),
+      "http://h1.com/a\tdepth=0\nhttp://h1.com/a\n# not a url\n".getBytes)
+
+    val q = CrawlTopology.seedStream(spark, store, seedDir.toString,
+      new UrlFilterChain(Seq()),
+      Files.createTempDirectory("seed_ckpt").toString)
+    try {
+      q.processAllAvailable()
+      assert(store.read(spark).count() == 1) // dup line deduped by merge
+      // drop another file: picked up on the next trigger
+      Files.write(seedDir.resolve("batch2.txt"), "http://h2.com/b\n".getBytes)
+      q.processAllAvailable()
+      val urls = store.read(spark).collect().map(_.getAs[String]("url")).sorted
+      assert(urls.toSeq == Seq("http://h1.com/a", "http://h2.com/b"))
+      assert(store.read(spark).collect()
+        .forall(_.getAs[String]("status") == Status.Discovered))
+    } finally q.stop()
+  }
+
   test("closed crawl loop through the source: each merge schedules the next batch") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
