@@ -82,6 +82,19 @@ final class MetadataFilter(required: Map[String, String]) extends UrlFilter {
     if (required.forall { case (k, v) => md.get(k).exists(_.contains(v)) }) Some(url) else None
 }
 
+/** SitemapFilter (`filtering/sitemap/SitemapFilter.java:47,63-…`): once
+  * sitemaps have been discovered for a host — the source's metadata
+  * carries the found flag — plain-link discoveries from that host are
+  * dropped, treating sitemap coverage as authoritative; sitemap
+  * discoveries themselves always pass. */
+final class SitemapUrlFilter(foundKey: String = "sitemap.found") extends UrlFilter {
+  def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] = {
+    val found = md.get(foundKey).exists(_.contains("true"))
+    val isSitemap = md.get("isSitemap").exists(_.contains("true"))
+    if (found && !isSitemap) None else Some(url)
+  }
+}
+
 /** Nutch-style ordered `+`/`-` regex rules; first match wins, no match =>
   * drop (`filtering/regex/RegexURLFilterBase.java:152`). */
 final class RegexUrlFilter(rules: Seq[(Boolean, Regex)]) extends UrlFilter {

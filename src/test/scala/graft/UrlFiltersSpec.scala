@@ -43,6 +43,17 @@ class UrlFiltersSpec extends AnyFunSuite {
     assert(f("u", None, noMd).isEmpty)
   }
 
+  test("SitemapUrlFilter: plain links drop once a host's sitemaps were found") {
+    val f = new SitemapUrlFilter()
+    // no sitemap found yet: everything passes
+    assert(f("http://e.com/a", None, noMd).isDefined)
+    // sitemaps found: plain-link discoveries drop ...
+    assert(f("http://e.com/a", None, Map("sitemap.found" -> Seq("true"))).isEmpty)
+    // ... but sitemap discoveries still pass
+    assert(f("http://e.com/sitemap.xml", None,
+      Map("sitemap.found" -> Seq("true"), "isSitemap" -> Seq("true"))).isDefined)
+  }
+
   test("RegexUrlFilter: ordered +/- rules, first match wins, no match drops") {
     val f = RegexUrlFilter.parse(Seq(
       "# comment",
