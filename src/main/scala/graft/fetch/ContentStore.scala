@@ -10,18 +10,29 @@ import org.apache.spark.sql.functions._
   *
   * Layout: parquet partitioned by the first hex byte of the digest
   * (256 dirs) — object-store friendly (no hot prefix, bounded listing)
-  * and lets a digest-filtered read prune 255/256 partitions. Writes
-  * append; readers dedupe to the newest row per digest, so re-fetches
-  * supersede older captures without rewrites (same idea as the frontier
-  * store's generation model, but append-only because content is
-  * immutable history, not mutable state).
+  * and the digest prefix doubles as the partition key for pruning.
+  * Writes append; readers dedupe to the newest row per digest, so
+  * re-fetches supersede older captures without rewrites (same idea as
+  * the frontier store's generation model, but append-only because
+  * content is immutable history, not mutable state).
   *
-  * `split` is the cache-checker: ONE broadcast of the batch's digests
-  * (a crawl batch is small next to the store) splits it into hits —
-  * served from the store, no fetch — and misses to go through
-  * [[FetchStage]]. Both sides stay DataFrames; nothing collects.
+  * `split` is the cache-checker, and it is careful about which side is
+  * small: the crawl BATCH is bounded (frontier selection limit); the
+  * STORE is unbounded. So the batch's digests broadcast into a
+  * semi-join against the store — never the store's digest set into the
+  * batch — and the store scan is pre-filtered to the batch's shard
+  * partitions (≤256 values, derived from the bounded batch), so the
+  * newest-capture window runs over only the semi-joined sliver of the
+  * store, not the whole table.
   */
 class ContentStore(path: String) {
+
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("url_sha256", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("fetch_time", org.apache.spark.sql.types.TimestampNTZType),
+    org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType)))
 
   /** Append content rows (url + content bytes + fetch time). */
   def store(df: DataFrame): Unit =
@@ -32,36 +43,60 @@ class ContentStore(path: String) {
         col("fetch_time").cast("timestamp_ntz").as("fetch_time"))
       .write.mode("append").partitionBy("shard").parquet(path)
 
-  private val schema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("url_sha256", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType),
-    org.apache.spark.sql.types.StructField("fetch_time", org.apache.spark.sql.types.TimestampNTZType),
-    org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType)))
+  /** Raw scan of all captures (empty typed frame before the first
+    * write; filesystem probe goes through the Hadoop FS API so hdfs://
+    * and s3a:// paths work, not just local disk). */
+  private def raw(spark: SparkSession): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(hPath) &&
+      fs.listStatus(hPath).exists(_.getPath.getName.startsWith("shard="))
+    // pin the schema: partition-column type inference would read an
+    // all-digits shard population ("22", "97", …) as DOUBLE and then
+    // fail comparing against hex strings like "f9"
+    if (hasData) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
-  /** Current view: newest capture per digest. Empty (typed) before the
-    * first write — a cache miss, not an error. */
-  def read(spark: SparkSession): DataFrame = {
+  private def newestPerDigest(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("url_sha256"))
-      .orderBy(col("fetch_time").desc)
-    val dir = new java.io.File(path)
-    val hasData = dir.isDirectory && dir.listFiles().exists(_.getName.startsWith("shard="))
-    val raw =
-      if (hasData) spark.read.parquet(path)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    raw.withColumn("__rn", row_number().over(w))
+    val w = Window.partitionBy(col("url_sha256")).orderBy(col("fetch_time").desc)
+    df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn", "shard")
   }
 
+  /** Current view: newest capture per digest. Full-table window — use
+    * for offline analytics over the whole store, not per-batch checks
+    * (that's [[split]]). */
+  def read(spark: SparkSession): DataFrame = newestPerDigest(raw(spark))
+
   /** Cache check for a fetch batch: (hits with content, misses).
-    * The batch digest set broadcasts; the store is only read on the
-    * hit side, digest-filtered so partition pruning applies. */
-  def split(spark: SparkSession, batch: DataFrame): (DataFrame, DataFrame) = {
+    *
+    * @param maxAgeMs serve a hit only when its capture is younger than
+    *                 this, measured against `asOfMs` — a due re-crawl
+    *                 older than the recrawl horizon must re-fetch, or
+    *                 the cache would mask every content change forever.
+    *                 None = any age (pure replay mode, e.g. WARC-style
+    *                 reprocessing). */
+  def split(spark: SparkSession, batch: DataFrame,
+            maxAgeMs: Option[Long] = None,
+            asOfMs: Long = System.currentTimeMillis()): (DataFrame, DataFrame) = {
     val keyed = batch.withColumn("url_sha256", sha2(col("url"), 256))
-    val cached = read(spark).select(
+    // the batch is bounded by the frontier selection limit: collecting
+    // its ≤256 distinct shard prefixes is driver-cheap and turns the
+    // store scan into a partition-pruned read
+    val shards = keyed.select(substring(col("url_sha256"), 1, 2).as("s"))
+      .distinct().collect().map(_.getString(0))
+    val sliver = raw(spark).where(col("shard").isin(shards.toSeq: _*))
+      .join(broadcast(keyed.select(col("url_sha256"))), Seq("url_sha256"), "left_semi")
+    val freshEnough = maxAgeMs match {
+      case Some(age) => newestPerDigest(sliver).where(
+        col("fetch_time") >= lit(new java.sql.Timestamp(asOfMs - age)).cast("timestamp_ntz"))
+      case None => newestPerDigest(sliver)
+    }
+    val cached = freshEnough.select(
       col("url_sha256"), col("content"), col("fetch_time").as("cached_at"))
-    val hits = keyed.join(cached, Seq("url_sha256"))
+    val hits = keyed.join(broadcast(cached), Seq("url_sha256"))
     val misses = keyed.join(broadcast(cached.select(col("url_sha256"))),
       Seq("url_sha256"), "left_anti")
     (hits, misses)

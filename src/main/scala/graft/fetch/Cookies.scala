@@ -25,9 +25,18 @@ object Cookies {
     }.headOption
 
   /** The `name=value` pairs of the given set-cookie strings that apply
-    * to `targetUrl` at time `nowMs`, in input order. */
+    * to `targetUrl` at time `nowMs`, in input order.
+    *
+    * `originHost` is the host that SET the cookies (carried alongside
+    * them in metadata). Per RFC 6265, a cookie without a `Domain`
+    * attribute is host-only: it applies exactly to the origin host.
+    * When the origin is unknown (None), domain-less cookies are
+    * withheld entirely — metadata can travel across hosts through the
+    * crawl graph, and leaking one site's session cookie to another is
+    * worse than re-fetching without it. */
   def applicable(setCookies: Seq[String], targetUrl: String,
-                 nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+                 nowMs: Long = System.currentTimeMillis(),
+                 originHost: Option[String] = None): Seq[String] = {
     val uri =
       try URI.create(targetUrl)
       catch { case _: Exception => return Seq.empty }
@@ -46,9 +55,12 @@ object Cookies {
           else (a.substring(0, i).trim.toLowerCase(Locale.ROOT), a.substring(i + 1).trim)
         }.toMap
         val fresh = attrs.get("expires").flatMap(parseExpires).forall(_ >= nowMs)
-        val domainOk = attrs.get("domain").forall { d =>
-          val dom = d.stripPrefix(".").toLowerCase(Locale.ROOT)
-          host == dom || host.endsWith("." + dom)
+        val domainOk = attrs.get("domain") match {
+          case Some(d) =>
+            val dom = d.stripPrefix(".").toLowerCase(Locale.ROOT)
+            host == dom || host.endsWith("." + dom)
+          case None => // host-only cookie: exact origin match required
+            originHost.exists(_.equalsIgnoreCase(host))
         }
         val pathOk = attrs.get("path").forall(p => path.startsWith(p))
         val secureOk = !attrs.contains("secure") || https
@@ -59,8 +71,9 @@ object Cookies {
 
   /** `Cookie` header value, or None when nothing applies. */
   def header(setCookies: Seq[String], targetUrl: String,
-             nowMs: Long = System.currentTimeMillis()): Option[String] = {
-    val cs = applicable(setCookies, targetUrl, nowMs)
+             nowMs: Long = System.currentTimeMillis(),
+             originHost: Option[String] = None): Option[String] = {
+    val cs = applicable(setCookies, targetUrl, nowMs, originHost)
     if (cs.isEmpty) None else Some(cs.mkString("; "))
   }
 }

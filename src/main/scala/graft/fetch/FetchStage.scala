@@ -109,7 +109,17 @@ object FetchStage {
                 resp.header("Location")
                   .flatMap(l => graft.functions.Urls.resolve(url, l)).orNull
               else null
-            val mdOut = md +
+            // remember Set-Cookie responses (+ the origin host, so the
+            // protocol's RFC 6265 gate can refuse host-only cookies on
+            // other hosts) — CookieConverter round-trip via metadata
+            val setCookies = resp.headers.collect {
+              case (k, vs) if k.equalsIgnoreCase("Set-Cookie") => vs
+            }.flatten.toSeq
+            val cookieMd =
+              if (setCookies.isEmpty) Map.empty[String, Seq[String]]
+              else Map("set-cookie" -> setCookies,
+                "set-cookie.origin" -> graft.functions.Urls.host(url).toSeq)
+            val mdOut = md ++ cookieMd +
               ("fetch.statusCode" -> Seq(resp.statusCode.toString)) +
               ("fetch.byteLength" -> Seq(resp.content.length.toString)) +
               ("fetch.loadingTime" -> Seq(ms.toString))

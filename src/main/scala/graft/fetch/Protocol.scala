@@ -78,7 +78,8 @@ final class HttpProtocol(
       // semantics: domain/path/expiry/secure gates against this URL)
       if (useCookies)
         metadata.get("set-cookie").filter(_.nonEmpty)
-          .flatMap(scs => Cookies.header(scs, url))
+          .flatMap(scs => Cookies.header(scs, url,
+            originHost = metadata.get("set-cookie.origin").flatMap(_.headOption)))
           .foreach(v => b.header("Cookie", v))
       extraHeaders.foreach { case (k, v) => b.header(k, v) }
       val t0 = System.nanoTime()

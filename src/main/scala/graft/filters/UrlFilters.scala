@@ -83,15 +83,20 @@ final class MetadataFilter(required: Map[String, String]) extends UrlFilter {
 }
 
 /** SitemapFilter (`filtering/sitemap/SitemapFilter.java:47,63-…`): once
-  * sitemaps have been discovered for a host — the source's metadata
-  * carries the found flag — plain-link discoveries from that host are
-  * dropped, treating sitemap coverage as authoritative; sitemap
-  * discoveries themselves always pass. */
+  * sitemaps have been discovered for a host, discoveries that did NOT
+  * come from sitemap parsing are dropped — sitemap coverage is
+  * authoritative. The found flag (`sitemap.found=true`) is frontier
+  * state the operator propagates into outlink metadata (e.g. via
+  * MetadataTransfer) once a host's sitemap has been fetched; sitemap-
+  * derived discoveries carry `sitemap.source=true` (every urlset/index
+  * entry — ParseStage tags them) or `isSitemap=true` (sub-sitemaps)
+  * and always pass. */
 final class SitemapUrlFilter(foundKey: String = "sitemap.found") extends UrlFilter {
   def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] = {
     val found = md.get(foundKey).exists(_.contains("true"))
-    val isSitemap = md.get("isSitemap").exists(_.contains("true"))
-    if (found && !isSitemap) None else Some(url)
+    val fromSitemap = md.get("sitemap.source").exists(_.contains("true")) ||
+      md.get("isSitemap").exists(_.contains("true"))
+    if (found && !fromSitemap) None else Some(url)
   }
 }
 

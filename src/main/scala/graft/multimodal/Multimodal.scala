@@ -78,7 +78,7 @@ object Multimodal {
     * operators ([[graft.analytics.Similarity]]) compose directly:
     * media → embed → lshBucket/ivfTopK/nearDupPairs is the full
     * training-data path with only this stage's internals stubbed. */
-  def pseudoEmbeddings(spark: SparkSession, media: DataFrame, dim: Int): DataFrame = {
+  def pseudoEmbeddings(media: DataFrame, dim: Int): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false)))
@@ -110,8 +110,9 @@ object Multimodal {
     * TOTAL byte volume (one cheap agg), then hash-distributes — at
     * 100 TB this is what keeps a decode stage's tasks uniform. */
   def sizeAwareRepartition(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
-    val total = media.select(sum(coalesce(length(col("bytes")), lit(0))))
-      .head().getLong(0)
+    val total = media
+      .select(coalesce(sum(coalesce(length(col("bytes")), lit(0))), lit(0L)))
+      .head().getLong(0) // coalesce: sum() is NULL on an empty input
     val n = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
     media.repartition(n, col("media_id"))
   }

@@ -42,20 +42,27 @@ object AsofJoin {
     require(pPay.intersect(sPay).isEmpty,
       s"payload columns must be disjoint: ${pPay.intersect(sPay).mkString(",")}")
 
+    // The state payload travels as ONE struct: `last(struct, ignoreNulls)`
+    // then picks the whole latest state ROW. Per-column last() would
+    // resurrect stale values into columns that are genuinely NULL in the
+    // latest state row, fabricating a row that never existed.
+    val stateStructType = org.apache.spark.sql.types.StructType(
+      sPay.map(c => state.schema(state.schema.fieldIndex(c))))
     val taggedState = state.select(
       (col(keyCol) +: col(timeCol).as("__t") +: lit(0).as("__tag") +:
-        (pPay.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++ sPay.map(col))): _*)
+        pPay.map(c => lit(null).cast(probe.schema(c).dataType).as(c))) :+
+        struct(sPay.map(col): _*).as("__state"): _*)
     val taggedProbe = probe.select(
       (col(keyCol) +: col(timeCol).as("__t") +: lit(1).as("__tag") +:
-        (pPay.map(col) ++ sPay.map(c => lit(null).cast(state.schema(c).dataType).as(c)))): _*)
+        pPay.map(col)) :+ lit(null).cast(stateStructType).as("__state"): _*)
 
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedState.unionByName(taggedProbe)
-      .select((col(keyCol) +: col("__t") +: col("__tag") +:
-        (pPay.map(col) ++ sPay.map(c => last(col(c), ignoreNulls = true).over(w).as(c)))): _*)
+      .withColumn("__asof", last(col("__state"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
-      .select((col(keyCol) +: col("__t").as(timeCol) +: (pPay ++ sPay).map(col)): _*)
+      .select((col(keyCol) +: col("__t").as(timeCol) +: pPay.map(col)) ++
+        sPay.map(c => col(s"__asof.$c").as(c)): _*)
   }
 }

@@ -93,7 +93,8 @@ object ParseStage {
             entries.flatMap { e =>
               val entryMd =
                 (if (e.isSubSitemap) Map("isSitemap" -> Seq("true"))
-                 else Map.empty[String, Seq[String]]) ++
+                 else Map.empty[String, Seq[String]]) +
+                  ("sitemap.source" -> Seq("true")) ++ // SitemapUrlFilter exemption
                   e.media.map { case (k, v) => s"sitemap.$k" -> v } // extensions
               outlinkRows(Seq((e.url, "")), entryMd)
             }

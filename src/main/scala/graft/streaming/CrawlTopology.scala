@@ -66,9 +66,15 @@ object CrawlTopology {
                 respectRobots: Boolean = true,
                 batchTime: java.sql.Timestamp = now(),
                 saltBuckets: Int = 1,
-                contentStore: Option[graft.fetch.ContentStore] = None): (CrawlStats, DataFrame) = {
-    val batch = store.selectBatch(spark, batchTime, perBucket, maxKeys, limit,
-      saltBuckets = saltBuckets)
+                contentStore: Option[graft.fetch.ContentStore] = None,
+                contentMaxAgeMs: Option[Long] = None,
+                selectTime: Option[java.sql.Timestamp] = None): (CrawlStats, DataFrame) = {
+    // selection may run at an adaptive horizon (backlog digging), but
+    // merges/schedules always stamp wall-clock batchTime — scheduling
+    // new discoveries at a frozen horizon would make them immediately
+    // due and defeat the freeze
+    val batch = store.selectBatch(spark, selectTime.getOrElse(batchTime),
+      perBucket, maxKeys, limit, saltBuckets = saltBuckets)
     val selected = batch.count()
     if (selected == 0)
       return (CrawlStats(0, 0, 0, 0, 0), spark.emptyDataFrame)
@@ -78,13 +84,17 @@ object CrawlTopology {
     // through the fetch stage, whose new captures append to the store.
     val (toFetch, cachedRows) = contentStore match {
       case Some(cs) =>
-        val (hits, misses) = cs.split(spark, batch)
+        val (hits, misses) = cs.split(spark, batch, contentMaxAgeMs, batchTime.getTime)
         val hitRows = hits.select(
           col("url"), col("key"), lit(Status.Fetched).as("status"),
           lit(200).as("http_code"), col("content"),
           lit(null).cast("string").as("content_type"),
           lit(null).cast("string").as("redirect_to"), lit(0L).as("fetch_ms"),
-          map_concat(coalesce(col("metadata"), map()),
+          // strip any previous cache.hit first — a second cache hit on
+          // the same URL would otherwise die on map_concat's duplicate-
+          // key EXCEPTION policy
+          map_concat(
+            map_filter(coalesce(col("metadata"), map()), (k, _) => k =!= "cache.hit"),
             map(lit("cache.hit"), array(lit("true")))).as("metadata"))
         (misses, Some(hitRows))
       case None => (batch, None)
@@ -149,7 +159,7 @@ object CrawlTopology {
       val (st, docs) = crawlOnce(spark, store, protocols, chain,
         limit = selectionLimit,
         crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
-        batchTime = adaptiveDate.queryDate())
+        selectTime = Some(adaptiveDate.queryDate()))
       adaptiveDate.observe(st.selected, selectionLimit)
       docsOut.foreach { dir =>
         if (st.docs > 0)

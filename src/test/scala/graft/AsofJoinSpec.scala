@@ -41,6 +41,18 @@ class AsofJoinSpec extends AnyFunSuite {
       (100L, null), (101L, 10L), (102L, 11L), (200L, 20L), (300L, null)))
   }
 
+  test("a NULL payload in the latest state row stays NULL (no stale resurrection)") {
+    import spark.implicits._
+    val probe = Seq((1L, ts("2024-01-03 00:00:00"), 100L)).toDF("k", "t", "event_id")
+    val state = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Some(5L), Some(7L)),
+      (1L, ts("2024-01-02 00:00:00"), Some(9L), None) // b legitimately NULL
+    ).toDF("k", "t", "a", "b")
+    val row = AsofJoin.asofJoin(probe, state, "k", "t").collect().head
+    assert(row.getAs[Long]("a") == 9L)
+    assert(row.isNullAt(row.fieldIndex("b"))) // NOT 7 from the older row
+  }
+
   test("probe columns and order of payloads survive; one shuffle in the plan") {
     import spark.implicits._
     val probe = Seq((1L, ts("2024-01-02 00:00:00"), "a", 1.5)).toDF("k", "t", "tag", "x")

@@ -52,6 +52,20 @@ class ContentStoreSpec extends AnyFunSuite {
     assert(shards.nonEmpty && shards.forall(_.matches("shard=[0-9a-f]{2}")))
   }
 
+  test("freshness gate: captures older than maxAge become misses (recrawl refreshes)") {
+    import spark.implicits._
+    val cs = new ContentStore(Files.createTempDirectory("content3").toString)
+    cs.store(Seq(("http://a.com/x", "old".getBytes, ts("2024-01-01 00:00:00")))
+      .toDF("url", "content", "fetch_time"))
+    val batch = Seq("http://a.com/x").toDF("url")
+    val asOf = ts("2024-02-01 00:00:00").getTime // 31 days later
+    val day = 24L * 3600 * 1000
+    val (h1, m1) = cs.split(spark, batch, maxAgeMs = Some(7 * day), asOfMs = asOf)
+    assert(h1.count() == 0 && m1.count() == 1) // too old: re-fetch
+    val (h2, m2) = cs.split(spark, batch, maxAgeMs = Some(60 * day), asOfMs = asOf)
+    assert(h2.count() == 1 && m2.count() == 0) // young enough: serve
+  }
+
   test("crawl loop serves hits from the cache instead of fetching") {
     import graft.fetch.ProtocolFactory
     import graft.filters.UrlFilterChain

@@ -97,8 +97,10 @@ class CrawlHttpSpec extends AnyFunSuite {
     try {
       val base = s"http://127.0.0.1:${server.getAddress.getPort}"
       val proto = new graft.fetch.HttpProtocol()
-      // applicable cookie + one gated out by Secure on plain http
-      val md = Map("set-cookie" -> Seq("sid=abc; Path=/", "tok=x; Secure"))
+      // applicable cookie + one gated out by Secure on plain http;
+      // origin host rides along, as FetchStage records it
+      val md = Map("set-cookie" -> Seq("sid=abc; Path=/", "tok=x; Secure"),
+        "set-cookie.origin" -> Seq("127.0.0.1"))
       val resp = proto.fetch(s"$base/a.html", md)
       assert(resp.statusCode == 200)
       assert(seenCookie == "sid=abc")

@@ -45,7 +45,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("pseudo-embeddings are unit vectors and feed the ANN operators") {
     val media = Multimodal.mediaFromDocuments(docs)
-    val emb = Multimodal.pseudoEmbeddings(spark, media, dim = 16)
+    val emb = Multimodal.pseudoEmbeddings(media, dim = 16)
     emb.cache()
     assert(emb.count() == media.count())
     val norms = emb.select(

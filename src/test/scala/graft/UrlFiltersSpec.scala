@@ -47,11 +47,14 @@ class UrlFiltersSpec extends AnyFunSuite {
     val f = new SitemapUrlFilter()
     // no sitemap found yet: everything passes
     assert(f("http://e.com/a", None, noMd).isDefined)
-    // sitemaps found: plain-link discoveries drop ...
+    // sitemaps found: plain-link (HTML) discoveries drop ...
     assert(f("http://e.com/a", None, Map("sitemap.found" -> Seq("true"))).isEmpty)
-    // ... but sitemap discoveries still pass
+    // ... but sub-sitemap discoveries pass ...
     assert(f("http://e.com/sitemap.xml", None,
       Map("sitemap.found" -> Seq("true"), "isSitemap" -> Seq("true"))).isDefined)
+    // ... and so do the urlset CONTENT urls (ParseStage tags them)
+    assert(f("http://e.com/page.html", None,
+      Map("sitemap.found" -> Seq("true"), "sitemap.source" -> Seq("true"))).isDefined)
   }
 
   test("RegexUrlFilter: ordered +/- rules, first match wins, no match drops") {
