@@ -101,7 +101,33 @@ object CoverageQueries {
       v.where(col("event_type") === "click").select("user_id", "d").distinct()
         .intersect(v.where(col("event_type") === "signup").select("user_id", "d").distinct())
         .orderBy("user_id", "d")
-    })
+    }),
+
+    // Pivot: status-count matrix per key (StatusMetricsBolt as a wide
+    // table). Fixed pivot values keep the schema static; one shuffle,
+    // the pivot itself is a conditional aggregation.
+    "q41_status_pivot" -> ((s, dir) =>
+      statusView(s, dir)
+        .groupBy("key")
+        .pivot("status", Seq("DISCOVERED", "FETCHED", "REDIRECTION", "FETCH_ERROR"))
+        .agg(count(lit(1)))
+        .select(col("key"),
+          coalesce(col("DISCOVERED"), lit(0L)).as("n_discovered"),
+          coalesce(col("FETCHED"), lit(0L)).as("n_fetched"),
+          coalesce(col("REDIRECTION"), lit(0L)).as("n_redirection"),
+          coalesce(col("FETCH_ERROR"), lit(0L)).as("n_fetch_error"))
+        .orderBy("key")),
+
+    // Exact interpolated quantiles of fetch-time per event type —
+    // percentile() (exact: sort + interpolate, deterministic) so the
+    // DuckDB quantile_cont oracle matches bit-for-bit.
+    "q42_value_quantiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"))
+        .orderBy("event_type"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -163,6 +189,21 @@ object CoverageQueries {
       """SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'click'
         |INTERSECT
         |SELECT DISTINCT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'signup'
-        |ORDER BY user_id, d""".stripMargin
+        |ORDER BY user_id, d""".stripMargin,
+
+    "q41_status_pivot" ->
+      s"""WITH v AS (${Tables.statusViewSql})
+         |SELECT key,
+         |  count(*) FILTER (status = 'DISCOVERED')  AS n_discovered,
+         |  count(*) FILTER (status = 'FETCHED')     AS n_fetched,
+         |  count(*) FILTER (status = 'REDIRECTION') AS n_redirection,
+         |  count(*) FILTER (status = 'FETCH_ERROR') AS n_fetch_error
+         |FROM v GROUP BY key ORDER BY key""".stripMargin,
+
+    "q42_value_quantiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5)  AS p50,
+        |  quantile_cont(value, 0.95) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

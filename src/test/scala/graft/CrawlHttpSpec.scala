@@ -107,6 +107,30 @@ class CrawlHttpSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("FetchStage records Set-Cookie responses with their origin host") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getResponseHeaders.add("Set-Cookie", "sid=xyz; Path=/")
+        val body = "<html></html>".getBytes
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.start()
+    try {
+      import spark.implicits._
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val batch = Seq((s"$base/x.html", "127.0.0.1",
+        Map.empty[String, Seq[String]])).toDF("url", "key", "metadata")
+      val out = graft.fetch.FetchStage.fetch(spark, batch,
+        new ProtocolFactory(), crawlDelayMs = 0, respectRobots = false).collect().head
+      val md = out.getMap[String, scala.collection.Seq[String]](out.fieldIndex("metadata"))
+      assert(md("set-cookie").toSeq == Seq("sid=xyz; Path=/"))
+      assert(md("set-cookie.origin").toSeq == Seq("127.0.0.1"))
+    } finally server.stop(0)
+  }
+
   test("http crawl: robots deny, redirect follow, 404 error") {
     val server = startServer()
     try {
