@@ -23,6 +23,12 @@ final case class RobotRules(
   }
 }
 
+object RobotsCache {
+  private val jvmCache = new ConcurrentHashMap[String, (Long, RobotRules)]()
+  /** Test hook: drop all cached rules in this JVM. */
+  def clearForTesting(): Unit = jvmCache.clear()
+}
+
 object RobotRules {
   val allowAll: RobotRules = RobotRules(Nil, Nil, None)
 
@@ -78,14 +84,19 @@ object RobotRules {
 }
 
 /** Executor-local TTL cache of robots rules per host, fetched through
-  * the given protocol factory. */
+  * the given protocol factory. The backing map is a JVM singleton
+  * (companion object): RobotsCache instances are captured in task
+  * closures and deserialized per task, so an instance-held map would
+  * start empty on every micro-batch and re-fetch robots.txt for every
+  * host on every trigger — the shared map is what makes the 6 h TTL
+  * real across batches. Entries are keyed by (host, agent) so caches
+  * configured for different agents don't cross-talk. */
 final class RobotsCache(protocols: ProtocolFactory,
                         ttlMs: Long = 6L * 3600 * 1000,
                         errorTtlMs: Long = 3600 * 1000,
                         agent: String = "graft-crawler") extends Serializable {
 
-  @transient private lazy val cache =
-    new ConcurrentHashMap[String, (Long, RobotRules)]()
+  private def cache = RobotsCache.jvmCache
 
   private def hostKey(url: String): Option[String] = {
     val i = url.indexOf("://")
@@ -101,7 +112,8 @@ final class RobotsCache(protocols: ProtocolFactory,
     case None => RobotRules.allowAll
     case Some(hk) =>
       val nowMs = System.currentTimeMillis()
-      val cached = cache.get(hk)
+      val key = s"$hk|$agent"
+      val cached = cache.get(key)
       if (cached != null && cached._1 > nowMs) cached._2
       else {
         val resp = protocols.fetch(s"$hk/robots.txt", Map.empty)
@@ -111,7 +123,7 @@ final class RobotsCache(protocols: ProtocolFactory,
           case c if c >= 500 || c < 0 => (RobotRules.allowAll, errorTtlMs)
           case _ => (RobotRules.allowAll, ttlMs) // 404: allow all
         }
-        cache.put(hk, (nowMs + ttl, rules))
+        cache.put(key, (nowMs + ttl, rules))
         rules
       }
   }

@@ -25,24 +25,33 @@ import java.sql.Timestamp
 final class AdaptiveQueryDate(resetAfterMs: Long = 120000L) extends Serializable {
   private var frozen: Option[Timestamp] = None
   private var frozenAtMs: Long = 0L
+  private var lastIssued: Timestamp = _
 
   /** The date to query with at `nowMs`. */
-  def queryDate(nowMs: Long = System.currentTimeMillis()): Timestamp =
-    frozen match {
+  def queryDate(nowMs: Long = System.currentTimeMillis()): Timestamp = {
+    lastIssued = frozen match {
       case Some(d) if nowMs - frozenAtMs < resetAfterMs => d
       case _ =>
         frozen = None
         new Timestamp(nowMs)
     }
+    lastIssued
+  }
 
   /** Record a poll outcome: `selected` rows out of a `limit`-row cap,
     * polled at `nowMs` with the date returned by [[queryDate]]. */
   def observe(selected: Long, limit: Long,
               nowMs: Long = System.currentTimeMillis()): Unit =
     if (selected >= limit) {
-      // full batch: freeze the horizon (keep the existing freeze time
-      // so resetAfterMs bounds total staleness, not per-poll staleness)
-      if (frozen.isEmpty) { frozen = Some(new Timestamp(nowMs)); frozenAtMs = nowMs }
+      // full batch: freeze at the date that PRODUCED it — observe runs
+      // after a whole fetch iteration, and freezing at observe-time
+      // would let everything that became due during the iteration leak
+      // into the "frozen" horizon. Keep the first freeze time so
+      // resetAfterMs bounds total staleness, not per-poll staleness.
+      if (frozen.isEmpty) {
+        frozen = Some(Option(lastIssued).getOrElse(new Timestamp(nowMs)))
+        frozenAtMs = nowMs
+      }
     } else {
       frozen = None // empty or partial: jump to now on the next poll
     }

@@ -115,20 +115,27 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
   /** Number of distinct live generations (compaction trigger metric). */
   def generationCount: Int = manifest.values.toSet.size
 
-  /** Delete delta generations no bucket references anymore. */
+  /** Delete delta generations no bucket references anymore. Streams
+    * are closed explicitly — the crawl driver vacuums for days on end
+    * and leaked directory-stream fds would eventually hit the ulimit. */
   def vacuum(): Unit = {
     val referenced = manifest.values.toSet
     val rootPath = Paths.get(root)
     if (Files.exists(rootPath)) {
-      val it = Files.list(rootPath).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val name = p.getFileName.toString
-        if (name.startsWith("delta_") && !referenced.contains(name)) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => Files.deleteIfExists(f))
+      val listing = Files.list(rootPath)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("delta_") && !referenced.contains(name)) {
+            val walk = Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => Files.deleteIfExists(f))
+            finally walk.close()
+          }
         }
-      }
+      } finally listing.close()
     }
   }
 
@@ -173,7 +180,15 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
       when(col("incoming") === 1 && col("status") =!= Status.Discovered, 0)
         .when(col("incoming") === 0, 1)
         .otherwise(2)
-    val w = Window.partitionBy(col("url_sha256")).orderBy(rank, col("status"))
+    // Tie-breaks make the surviving row DETERMINISTIC under task retry
+    // (the exactly-once argument rests on idempotent replay): among
+    // duplicate DISCOVERED rows the shallowest discovery wins (its
+    // outlinks have the most depth budget left), then a content hash
+    // of the metadata as a total order of last resort.
+    val depthC = graft.model.MetadataOps.mdFirst(col("metadata"), "depth").cast("int")
+    val w = Window.partitionBy(col("url_sha256"))
+      .orderBy(rank, col("status"), depthC.asc_nulls_first,
+        xxhash64(to_json(col("metadata"))))
 
     val wAll = Window.partitionBy(col("url_sha256"))
     val unioned = existing.unionByName(incoming)
@@ -192,7 +207,7 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
           graft.model.MetadataOps.mdFirst(col("metadata"), "fetchInterval").cast("double")))
           .over(wAll))
       .where(col("rn") === 1)
-      .drop("rn", "incoming")
+      .drop("rn")
 
     val escalated = unioned
       .withColumn("error_count",
@@ -209,14 +224,21 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
       case Some(ad) =>
         import graft.model.MetadataOps
         val sig = MetadataOps.mdFirst(col("metadata"), "signature")
-        val unchanged = sig.isNotNull && sig === col("old_sig")
+        // unchanged when the fresh signature matches the stored one OR
+        // the server answered 304 Not Modified (no body, no new
+        // signature — AdaptiveScheduler.java's HTTP 304 branch)
+        val unchanged = (sig.isNotNull && sig === col("old_sig")) ||
+          MetadataOps.mdFirst(col("metadata"), "fetch.statusCode") === "304"
         val newInt = ad.newIntervalMins(col("old_interval"), unchanged)
+        // adapt ONLY on an incoming fetch result: a surviving EXISTING
+        // row (rediscovered by a duplicate DISCOVERED) must keep its
+        // schedule, or every rediscovery would push the refetch out
+        val adapt = col("status") === Status.Fetched && col("incoming") === 1
         escalated
           .withColumn("next_fetch_date",
-            when(col("status") === Status.Fetched, ad.nextFetchDate(nowC, newInt))
-              .otherwise(defaultNext))
+            when(adapt, ad.nextFetchDate(nowC, newInt)).otherwise(defaultNext))
           .withColumn("metadata",
-            when(col("status") === Status.Fetched,
+            when(adapt,
               MetadataOps.mdSet(col("metadata"), "fetchInterval",
                 newInt.cast("int").cast("string")))
               .otherwise(col("metadata")))

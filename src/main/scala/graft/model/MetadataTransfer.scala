@@ -9,7 +9,12 @@ package graft.model
   * the indexer mapping globs.
   */
 final case class MetadataTransfer(
-    transferKeys: Seq[String] = Seq("isSitemap", "isFeed", "max.depth"),
+    // NOTE: isSitemap/isFeed are deliberately NOT transferred — they
+    // mark how THIS url was discovered (set explicitly per outlink by
+    // the parse branches); inheriting them would mislabel every child
+    // of a sitemap/feed page (reference default metadata.transfer is
+    // empty, crawler-default.yaml)
+    transferKeys: Seq[String] = Seq("max.depth"),
     persistKeys: Seq[String] = Seq("depth", "url.path", "signature", "signatureOld",
       "fetch.error.count", "fetchInterval"),
     trackPath: Boolean = true,

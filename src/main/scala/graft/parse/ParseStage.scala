@@ -46,7 +46,9 @@ object ParseStage {
             filterChain: UrlFilterChain = UrlFilterChain.default(),
             parseFilters: ParseFilterChain = ParseFilterChain.default,
             maxOutlinksPerPage: Int = 100,
-            sitemapMaxHoursSinceModified: Option[Int] = None): DataFrame = {
+            sitemapMaxHoursSinceModified: Option[Int] = None,
+            metadataTransfer: graft.model.MetadataTransfer =
+              graft.model.MetadataTransfer()): DataFrame = {
     // sitemap.filter.hours.since.modified (`SiteMapParserBolt.java:96-180`)
     val lastModCutoffMs = sitemapMaxHoursSinceModified
       .map(h => System.currentTimeMillis() - h.toLong * 3600 * 1000)
@@ -64,33 +66,52 @@ object ParseStage {
             if (r.isNullAt(3)) Map.empty
             else r.getMap[String, scala.collection.Seq[String]](3).toMap
               .map { case (k, v) => k -> v.toSeq }
-          val depth = md.get("depth").flatMap(_.headOption).flatMap(_.toIntOption).getOrElse(0)
-          val outlinkMd = md + ("depth" -> Seq((depth + 1).toString)) +
-            ("url.path" -> Seq(url))
+          // MetadataTransfer.getMetaForOutlink: transfer-listed keys
+          // only (NOT the parent's full map — fetch.*, cookies, parse
+          // flags must not leak to children), depth+1, url trail
+          val outlinkMd = metadataTransfer.forOutlink(url, md)
 
-          def outlinkRows(targets: Seq[(String, String)], extraMd: Map[String, Seq[String]]) =
+          def outlinkRows(targets: Seq[(String, String)], extraMd: Map[String, Seq[String]]) = {
+            val withExtra = outlinkMd ++ extraMd
             targets
               .flatMap { case (t, anchor) =>
-                filterChain(t, Some(url), outlinkMd).map(normalized => (normalized, anchor))
+                // the chain must see extraMd too: SitemapUrlFilter's
+                // exemption flag rides there
+                filterChain(t, Some(url), withExtra).map(normalized => (normalized, anchor))
               }
-              .distinct.take(maxOutlinksPerPage)
+              .distinctBy(_._1) // dedup by URL: anchors must not eat the outlink cap
+              .take(maxOutlinksPerPage)
               .map { case (t, anchor) =>
                 Row(url, "outlink", Status.Discovered, t, anchor,
-                  null, null, false, null, null, outlinkMd ++ extraMd)
+                  null, null, false, null, null, withExtra)
               }
-
-          val isSitemap = md.get("isSitemap").exists(_.contains("true")) ||
-            SitemapParser.sniff(content)
-          val isFeed = !isSitemap && (md.get("isFeed").exists(_.contains("true")) ||
-            FeedParser.sniff(content))
+          }
 
           val decoded = Charsets.decode(content, Option(ctype).filter(_.nonEmpty))
 
-          if (isSitemap) {
-            val entries = SitemapParser.parse(decoded)
-              .filter(e => lastModCutoffMs.forall(cut =>
-                e.lastMod.forall(lm => SitemapParser.parseLastMod(lm).forall(_ >= cut))))
-            entries.flatMap { e =>
+          // Branch routing: the content SNIFF is authoritative; a
+          // discovery-time flag (isSitemap on sub-sitemaps, isFeed on
+          // feed items) only commits to that branch when the parse
+          // actually yields entries — a flagged URL that serves HTML
+          // falls through to the HTML parse, like the reference's
+          // bolt chain where an unparseable input passes to the next
+          // bolt instead of vanishing.
+          val sniffSitemap = SitemapParser.sniff(content)
+          val flagSitemap = md.get("isSitemap").exists(_.contains("true"))
+          val sniffFeed = FeedParser.sniff(content)
+          val flagFeed = md.get("isFeed").exists(_.contains("true"))
+
+          lazy val sitemapEntries =
+            if (sniffSitemap || flagSitemap)
+              SitemapParser.parse(decoded)
+                .filter(e => lastModCutoffMs.forall(cut =>
+                  e.lastMod.forall(lm => SitemapParser.parseLastMod(lm).forall(_ >= cut))))
+            else Seq.empty
+          lazy val feedEntries =
+            if (sniffFeed || flagFeed) FeedParser.parse(decoded) else Seq.empty
+
+          if (sniffSitemap || sitemapEntries.nonEmpty) {
+            sitemapEntries.flatMap { e =>
               val entryMd =
                 (if (e.isSubSitemap) Map("isSitemap" -> Seq("true"))
                  else Map.empty[String, Seq[String]]) +
@@ -98,9 +119,8 @@ object ParseStage {
                   e.media.map { case (k, v) => s"sitemap.$k" -> v } // extensions
               outlinkRows(Seq((e.url, "")), entryMd)
             }
-          } else if (isFeed) {
-            val entries = FeedParser.parse(decoded)
-            outlinkRows(entries.map(e => (e.url, e.title.getOrElse(""))),
+          } else if (sniffFeed || feedEntries.nonEmpty) {
+            outlinkRows(feedEntries.map(e => (e.url, e.title.getOrElse(""))),
               Map("isFeed" -> Seq("true")))
           } else {
             val parsed = HtmlParser.parse(decoded, url)
@@ -112,10 +132,15 @@ object ParseStage {
               Row(url, "doc", null, null, null,
                 parsed.title.orNull, parsed.text, parsed.noindex,
                 parsed.canonicalUrl.orNull, signature, ctx.metadata)
-            val redirectRow = parsed.metaRefreshUrl.map { target =>
-              Row(url, "redirect", Status.Redirection, target, null,
-                null, null, false, null, null, md)
-            }
+            // redirect targets go through the SAME filter chain as
+            // outlinks — an unnormalized or excluded target must not
+            // sneak into the frontier via a meta refresh
+            val redirectRow = parsed.metaRefreshUrl
+              .flatMap(t => filterChain(t, Some(url), outlinkMd))
+              .map { target =>
+                Row(url, "redirect", Status.Redirection, target, null,
+                  null, null, false, null, null, md)
+              }
             val links = HtmlParser.followableLinks(parsed).map(l => (l.url, l.anchor)) ++
               ctx.extraOutlinks.map(u => (u, ""))
             Seq(docRow) ++ redirectRow.toSeq ++ outlinkRows(links, Map.empty)

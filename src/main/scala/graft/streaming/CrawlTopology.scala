@@ -112,13 +112,31 @@ object CrawlTopology {
     val parsed = ParseStage.parse(fetched, chain)
     parsed.cache()
 
+    // attach the parse signature to the page's status row so the
+    // adaptive scheduler's change detection has something to compare
+    // (the docs output keeps its own copy) — tiny batch-sized join
+    val docSigs = parsed.where(col("kind") === "doc")
+      .select(col("url"), col("signature").as("__sig"))
     val fetchStatuses = fetched.select(
-      col("url"),
-      when(col("redirect_to").isNotNull, Status.Redirection).otherwise(col("status")).as("status"),
-      col("metadata"))
+        col("url"),
+        when(col("redirect_to").isNotNull, Status.Redirection).otherwise(col("status")).as("status"),
+        col("metadata"))
+      .join(docSigs, Seq("url"), "left")
+      .withColumn("metadata",
+        when(col("__sig").isNotNull,
+          graft.model.MetadataOps.mdSet(col("metadata"), "signature", col("__sig")))
+          .otherwise(col("metadata")))
+      .drop("__sig")
+    // Location-header redirect targets pass the URL filter chain like
+    // every other discovery — redirects must not bypass normalization
+    // or the exclusion rules
+    val chainUdf = udf((t: String, src: String) =>
+      chain(t, Option(src), Map.empty[String, Seq[String]]).orNull)
     val redirectTargets = fetched
       .where(col("redirect_to").isNotNull)
-      .select(col("redirect_to").as("url"), lit(Status.Discovered).as("status"), col("metadata"))
+      .select(chainUdf(col("redirect_to"), col("url")).as("url"),
+        lit(Status.Discovered).as("status"), col("metadata"))
+      .where(col("url").isNotNull)
     val outlinkStatuses = parsed
       .where(col("kind").isin("outlink", "redirect"))
       .select(col("target_url").as("url"),

@@ -45,6 +45,27 @@ class CrawlE2ESpec extends AnyFunSuite {
     tmp
   }
 
+  test("a flagged-but-HTML page falls through to the HTML parse") {
+    import spark.implicits._
+    // discovery tagged it isFeed/isSitemap, but the server returned HTML:
+    // the parse must produce a doc row + outlinks, not an empty XML parse
+    val html = "<html><body><a href=\"http://site.example/next.html\">n</a>text</body></html>"
+    for (flag <- Seq("isSitemap", "isFeed")) {
+      val fetched = Seq((s"http://site.example/$flag.html", "site.example",
+        graft.model.Status.Fetched, 200, html.getBytes("UTF-8"), "text/html",
+        null.asInstanceOf[String], 1L, Map(flag -> Seq("true"))))
+        .toDF("url", "key", "status", "http_code", "content", "content_type",
+          "redirect_to", "fetch_ms", "metadata")
+      val out = graft.parse.ParseStage.parse(fetched,
+        new graft.filters.UrlFilterChain(Seq())).collect()
+      assert(out.exists(_.getAs[String]("kind") == "doc"), s"$flag: no doc row")
+      assert(out.exists(r => r.getAs[String]("kind") == "outlink" &&
+        r.getAs[String]("target_url") == "http://site.example/next.html"),
+        s"$flag: outlink lost")
+    }
+  }
+
+
   test("mini-crawl over file:// fixtures: fetch, parse, discover, merge, index") {
     val dir = siteDir
     val store = new FrontierStore(Files.createTempDirectory("frontier").toString)

@@ -148,6 +148,29 @@ class FrontierExtrasSpec extends AnyFunSuite {
     val int3 = st.read(spark).collect().head
       .getAs[Map[String, Seq[String]]]("metadata")("fetchInterval").head.toInt
     assert(int3 == 37) // 37.5 cast to int
+
+    // a rediscovery (incoming DISCOVERED duplicate) must NOT touch the
+    // surviving row's schedule or interval — only fetch results adapt
+    val before = st.read(spark).collect().head
+    st.merge(spark,
+      Seq(("http://h.com/x", Status.Discovered, Map.empty[String, Seq[String]]))
+        .toDF("url", "status", "metadata"),
+      Timestamp.valueOf("2024-01-02 00:30:00"))
+    val after = st.read(spark).collect().head
+    assert(after.getAs[String]("status") == Status.Fetched)
+    assert(after.getAs[java.time.LocalDateTime]("next_fetch_date") ==
+      before.getAs[java.time.LocalDateTime]("next_fetch_date"))
+    assert(after.getAs[Map[String, Seq[String]]]("metadata")("fetchInterval").head.toInt == 37)
+
+    // HTTP 304 counts as unchanged even with no fresh signature
+    st.merge(spark,
+      Seq(("http://h.com/x", Status.Fetched,
+        Map("fetch.statusCode" -> Seq("304"))))
+        .toDF("url", "status", "metadata"),
+      Timestamp.valueOf("2024-01-02 01:00:00"))
+    val int4 = st.read(spark).collect().head
+      .getAs[Map[String, Seq[String]]]("metadata")("fetchInterval").head.toInt
+    assert(int4 == 55) // 37 * 1.5 = 55.5 -> grows, not shrinks
   }
 
   test("compact collapses generations, content preserved") {

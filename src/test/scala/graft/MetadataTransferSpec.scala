@@ -11,12 +11,14 @@ class MetadataTransferSpec extends AnyFunSuite {
 
   test("forOutlink: transfer keys only, depth incremented, path appended") {
     val md = Map(
-      "isSitemap" -> Seq("true"),
+      "isSitemap" -> Seq("true"), // discovery marker: NOT transferred
+      "max.depth" -> Seq("7"),
       "depth" -> Seq("2"),
       "secret" -> Seq("x"),
       "url.path" -> Seq("http://a.com/"))
     val out = mt.forOutlink("http://a.com/page", md)
-    assert(out("isSitemap") == Seq("true"))
+    assert(!out.contains("isSitemap")) // would mislabel children as sitemaps
+    assert(out("max.depth") == Seq("7"))
     assert(out("depth") == Seq("3"))
     assert(out("url.path") == Seq("http://a.com/", "http://a.com/page"))
     assert(!out.contains("secret"))

@@ -136,15 +136,17 @@ class StreamingSpec extends AnyFunSuite {
       intervalMs = 200,
       checkpointDir = Files.createTempDirectory("ckpt").toString,
       docsOut = docsOut, crawlDelayMs = 0, respectRobots = false)
-    // let a few triggers fire (each crawl micro-batch takes ~2-4s on a
-    // cold JVM; assert progress, not completion)
-    Thread.sleep(12000)
+    // let triggers fire until progress is visible (poll with a hard
+    // deadline — a fixed sleep flakes when the suite JVM is busy)
+    def fetchedCount(): Long = store.statusCounts(spark).collect()
+      .collectFirst { case r if r.getString(0) == "FETCHED" => r.getLong(1) }
+      .getOrElse(0L)
+    val deadline = System.currentTimeMillis() + 60000
+    while (fetchedCount() < 2L && System.currentTimeMillis() < deadline)
+      Thread.sleep(500)
     q.stop()
-
-    val statuses = store.statusCounts(spark).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(statuses.getOrElse("FETCHED", 0L) >= 2L,
-      s"stream crawl made no progress: $statuses")
+    assert(fetchedCount() >= 2L,
+      s"stream crawl made no progress: ${store.statusCounts(spark).collect().toSeq}")
   }
 
   test("crawl stream restart from checkpoint: no duplicate docs (idempotent merge)") {
