@@ -31,7 +31,11 @@ object Dedup {
       .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Whitespace words of a text column (empty tokens dropped). */
+  /** Words of a text column: single-space split, empty tokens dropped.
+    * Deliberately NOT a whitespace-class split — `split(text, ' ')` has
+    * the exact same semantics in Spark and DuckDB, which keeps every
+    * hash oracle bit-portable; normalize newlines/tabs upstream (the
+    * parse stage's text extractor emits space-joined text). */
   def words(textCol: Column): Column =
     filter(split(textCol, " "), w => w =!= "")
 

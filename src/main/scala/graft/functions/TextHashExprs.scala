@@ -173,14 +173,16 @@ case class SimHash16Expr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
+    val r = ctx.freshName("simhashResult") // fixed name would collide when
+                                           // two simhash16 calls share a method
     ev.copy(code =
       code"""
         ${c.code}
         boolean ${ev.isNull} = true;
         long ${ev.value} = 0L;
         if (!${c.isNull}) {
-          Object r = $ops.simhash16(${c.value});
-          if (r != null) { ${ev.value} = ((java.lang.Long) r).longValue(); ${ev.isNull} = false; }
+          Object $r = $ops.simhash16(${c.value});
+          if ($r != null) { ${ev.value} = ((java.lang.Long) $r).longValue(); ${ev.isNull} = false; }
         }
       """)
   }

@@ -117,8 +117,14 @@ object Urls {
     val (hostRaw, port) = {
       val colon = hostPort.lastIndexOf(':')
       val bracket = hostPort.lastIndexOf(']') // IPv6 literal
-      if (colon > bracket && colon >= 0 && hostPort.substring(colon + 1).forall(_.isDigit) && colon + 1 < hostPort.length)
-        (hostPort.substring(0, colon), hostPort.substring(colon + 1).toInt)
+      val digits = if (colon >= 0) hostPort.substring(colon + 1) else ""
+      // toIntOption: an oversized all-digit "port" must degrade to
+      // malformed-URL handling, not throw out of the filter chain
+      if (colon > bracket && colon >= 0 && digits.nonEmpty && digits.forall(_.isDigit))
+        digits.toIntOption match {
+          case Some(pn) if pn <= 65535 => (hostPort.substring(0, colon), pn)
+          case _ => return None // nonsense port: malformed URL
+        }
       else (hostPort, -1)
     }
     var host = hostRaw.toLowerCase(Locale.ROOT)
@@ -212,7 +218,9 @@ object Urls {
 
   private def isIpV4(h: String): Boolean = {
     val parts = h.split('.')
-    parts.length == 4 && parts.forall(p => p.nonEmpty && p.forall(_.isDigit) && p.toInt <= 255)
+    // length cap BEFORE toInt: an 11-digit label would overflow
+    parts.length == 4 && parts.forall(p =>
+      p.nonEmpty && p.length <= 3 && p.forall(_.isDigit) && p.toInt <= 255)
   }
 
   /** URLPartitioner.getPartition (`core/.../util/URLPartitioner.java:44-93`):

@@ -31,11 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * with executors.
   */
 object VecOps {
-  /** Left-fold dot product of two double arrays. Null on length
-    * mismatch (mirrors zip_with's null for missing elements poisoning
-    * the sum — in practice vectors are fixed-dim). */
+  /** Left-fold dot product of two double arrays over the SHARED
+    * prefix — a mismatched (corrupt) vector must not read past the
+    * shorter array (UnsafeArrayData would return silent garbage). */
   def dotD(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -52,8 +52,10 @@ object VecOps {
     while (i < n) { val v = a.getDouble(i); acc += v * v; i += 1 }
     val nrm = math.sqrt(acc)
     val out = new Array[Double](n)
-    i = 0
-    while (i < n) { out(i) = a.getDouble(i) / nrm; i += 1 }
+    // an all-zero vector normalizes to itself (NOT 0/0 = NaN: Spark
+    // sorts NaN above every real, so one NaN cosine would win every
+    // top-k ranking it touches)
+    if (nrm > 0) { i = 0; while (i < n) { out(i) = a.getDouble(i) / nrm; i += 1 } }
     new GenericArrayData(out)
   }
 

@@ -40,7 +40,11 @@ final case class IndexerMapping(
   def apply(docs: DataFrame): DataFrame = {
     val gated0 = if (honorNoindex) docs.where(!coalesce(col("noindex"), lit(false))) else docs
     val gated = mdFilter match {
-      case Some((k, v)) => gated0.where(get(MetadataOps.mdValues(col("metadata"), k), lit(0)) === v)
+      // ANY value matches (AbstractIndexerBolt.filterDocument): a doc
+      // tagged collection=[sports, news] passes a news gate
+      case Some((k, v)) =>
+        gated0.where(array_contains(
+          coalesce(MetadataOps.mdValues(col("metadata"), k), array()), v))
       case None => gated0
     }
     val textCol =

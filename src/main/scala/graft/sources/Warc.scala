@@ -66,7 +66,12 @@ object Warc {
           if (i > 0) headers(h.substring(0, i).trim) = h.substring(i + 1).trim
           h = readLine()
         }
-        val len = headers.getOrElse("Content-Length", "0").toInt
+        // tolerate malformed/oversized lengths: skip the record, keep
+        // the iterator alive (one bad record must not kill the file)
+        val len = headers.getOrElse("Content-Length", "0").trim.toLongOption match {
+          case Some(n) if n >= 0 && n <= Int.MaxValue => n.toInt
+          case _ => return advance()
+        }
         val payload = new Array[Byte](len)
         in.readFully(payload)
         WarcRecord(
@@ -156,8 +161,14 @@ object Warc {
     df.select(col("url"), col("http_code"), col("content"), col("content_type"))
       .foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
-          val part = org.apache.spark.TaskContext.getPartitionId()
-          val file = Paths.get(outDir, f"part-$part%05d.warc.gz")
+          // executor-side mkdir (outDir may not exist on this node) and
+          // attempt id in the name: a speculative/retried attempt must
+          // not interleave gzip bytes with the original's file
+          Files.createDirectories(Paths.get(outDir))
+          val tc = org.apache.spark.TaskContext.get()
+          val part = tc.partitionId()
+          val attempt = tc.taskAttemptId()
+          val file = Paths.get(outDir, f"part-$part%05d-$attempt.warc.gz")
           val out = new GZIPOutputStream(Files.newOutputStream(file))
           try {
             val info = "software: graft-crawler 0.1\r\nformat: WARC File Format 1.0\r\n"

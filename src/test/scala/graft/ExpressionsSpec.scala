@@ -199,6 +199,16 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(bNative.toSeq == bHof.toSeq)
   }
 
+  test("two simhash16 calls in one projection codegen cleanly") {
+    import spark.implicits._
+    import graft.functions.TextHashExpressions
+    val df = Seq(("hello world", "other text")).toDF("a", "b")
+      .select(TextHashExpressions.simhash16($"a").as("ha"),
+        TextHashExpressions.simhash16($"b").as("hb"))
+    val row = df.collect().head // fixed-name locals would fail Janino here
+    assert(row.getLong(0) != row.getLong(1))
+  }
+
   test("text-hash and vector expressions are callable from SQL") {
     graft.functions.UrlExpressions.register(spark)
     val r = spark.sql(
