@@ -67,10 +67,12 @@ object Multimodal {
     media.select(
       col("media_id"), col("kind"),
       (length(col("bytes")) / FakeCodec.FrameBytes).cast("long").as("n_frames"))
+      // |{0, n, 2n, ...} ∩ [0, n_frames)| in O(1) arithmetic — building
+      // a sequence() per row would materialize a 67M-element array for
+      // a 1 GB payload just to count every Nth index
       .withColumn("sampled_frames",
         when(col("n_frames") > 0,
-          size(filter(sequence(lit(0), col("n_frames") - 1),
-            i => i % everyNth === 0))).otherwise(0))
+          (floor((col("n_frames") - 1) / everyNth) + 1).cast("int")).otherwise(0))
 
   /** Pseudo-embedding stage: media bytes → a deterministic
     * `dim`-float unit vector (seeded per 32-byte chunk via the byte

@@ -28,7 +28,10 @@ object Charsets {
     Option(contentType).flatMap { ct =>
       val i = ct.toLowerCase(Locale.ROOT).indexOf("charset=")
       if (i < 0) None
-      else Try(Charset.forName(ct.substring(i + 8).takeWhile(c => c != ';' && c != ' ').trim)).toOption
+      else Try(Charset.forName(ct.substring(i + 8)
+        .takeWhile(c => c != ';' && c != ' ')
+        .trim.stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'")))
+        .toOption // RFC allows charset=\"utf-8\" — quotes are not part of the name
     }
 
   def fromMeta(head: String): Option[Charset] =

@@ -50,9 +50,13 @@ object HtmlParser {
   private val refreshUrlRe: Regex = "(?i)url\\s*=\\s*[\"']?([^\"'\\s>;]+)".r
   private val entityMap = Map("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
     "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+  private val entityRe: Regex = "&(?:amp|lt|gt|quot|#39|apos|nbsp);".r
 
+  /** SINGLE-pass entity decode: sequential replaces would double-decode
+    * ("&amp;lt;" -> "&lt;" -> "<" when &amp; happens to run first). */
   private def unescape(s: String): String =
-    entityMap.foldLeft(s) { case (acc, (e, c)) => acc.replace(e, c) }
+    if (s.indexOf('&') < 0) s
+    else entityRe.replaceAllIn(s, m => Regex.quoteReplacement(entityMap(m.matched)))
 
   private def contentAttr(m: String): Option[String] =
     contentAttrRe.findFirstMatchIn(m).map(g =>

@@ -25,7 +25,18 @@ final case class ParseContext(
     content: Array[Byte],
     html: HtmlParser.ParsedHtml,
     metadata: Map[String, Seq[String]],
-    extraOutlinks: Seq[String] = Nil)
+    extraOutlinks: Seq[String] = Nil,
+    // the charset-aware decode ParseStage already performed — filters
+    // must use this, not re-decode the bytes as hard-coded UTF-8 (a
+    // windows-1251 page would yield mojibake JSON-LD / link urls)
+    decoded: String = "") {
+  /** Decoded text: the pre-computed decode, or a UTF-8 fallback for
+    * contexts built directly in tests. */
+  def decodedText: String =
+    if (decoded.nonEmpty) decoded
+    else if (content != null && content.nonEmpty) new String(content, "UTF-8")
+    else ""
+}
 
 trait ParseFilter extends Serializable {
   def apply(ctx: ParseContext): ParseContext
@@ -72,7 +83,7 @@ final class LdJsonParseFilter(fields: Map[String, String]) extends ParseFilter {
     "(?is)<script[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"'][^>]*>(.*?)</script>".r
 
   def apply(ctx: ParseContext): ParseContext = {
-    val html = new String(ctx.content, "UTF-8")
+    val html = ctx.decodedText
     val added = blockRe.findAllMatchIn(html).flatMap { m =>
       Try {
         val node = mapper.readTree(m.group(1))
@@ -92,7 +103,7 @@ final class LdJsonParseFilter(fields: Map[String, String]) extends ParseFilter {
   * harvesting resolved against the page URL. */
 final class LinkParseFilter(attrRes: Seq[Regex]) extends ParseFilter {
   def apply(ctx: ParseContext): ParseContext = {
-    val html = new String(ctx.content, "UTF-8")
+    val html = ctx.decodedText
     val found = attrRes.flatMap(_.findAllMatchIn(html).map(_.group(1)))
       .flatMap(h => Urls.resolve(ctx.url, h))
     ctx.copy(extraOutlinks = (ctx.extraOutlinks ++ found).distinct)
@@ -116,7 +127,7 @@ final class Md5SignatureParseFilter(useText: Boolean = true,
   def apply(ctx: ParseContext): ParseContext = {
     val basis =
       if (useText && ctx.html.text.nonEmpty) ctx.html.text
-      else if (ctx.content.nonEmpty) new String(ctx.content, "UTF-8")
+      else if (ctx.content.nonEmpty) ctx.decodedText
       else ctx.url
     val copied = for {
       copyKey <- keyNameCopy.toSeq

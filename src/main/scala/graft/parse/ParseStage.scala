@@ -101,17 +101,23 @@ object ParseStage {
           val sniffFeed = FeedParser.sniff(content)
           val flagFeed = md.get("isFeed").exists(_.contains("true"))
 
-          lazy val sitemapEntries =
+          // parseOption: None = not parseable as that format at all —
+          // even a positive sniff then falls through to the HTML parse
+          // (an HTML page with "<urlset" in its first 300 bytes must
+          // not vanish); Some(entries) commits to the branch when the
+          // sniff agreed or entries actually came out
+          lazy val sitemapEntries: Option[Seq[SitemapParser.SitemapEntry]] =
             if (sniffSitemap || flagSitemap)
-              SitemapParser.parse(decoded)
+              SitemapParser.parseOption(decoded).map(_
                 .filter(e => lastModCutoffMs.forall(cut =>
                   e.lastMod.forall(lm => SitemapParser.parseLastMod(lm).forall(_ >= cut))))
-            else Seq.empty
-          lazy val feedEntries =
-            if (sniffFeed || flagFeed) FeedParser.parse(decoded) else Seq.empty
+                .distinctBy(_.url)) // a <loc> repeated 1000x is one entry
+            else None
+          lazy val feedEntries: Option[Seq[FeedParser.FeedEntry]] =
+            if (sniffFeed || flagFeed) FeedParser.parseOption(decoded) else None
 
-          if (sniffSitemap || sitemapEntries.nonEmpty) {
-            sitemapEntries.flatMap { e =>
+          if (sitemapEntries.exists(es => sniffSitemap || es.nonEmpty)) {
+            sitemapEntries.get.flatMap { e =>
               val entryMd =
                 (if (e.isSubSitemap) Map("isSitemap" -> Seq("true"))
                  else Map.empty[String, Seq[String]]) +
@@ -119,13 +125,13 @@ object ParseStage {
                   e.media.map { case (k, v) => s"sitemap.$k" -> v } // extensions
               outlinkRows(Seq((e.url, "")), entryMd)
             }
-          } else if (sniffFeed || feedEntries.nonEmpty) {
-            outlinkRows(feedEntries.map(e => (e.url, e.title.getOrElse(""))),
+          } else if (feedEntries.exists(es => sniffFeed || es.nonEmpty)) {
+            outlinkRows(feedEntries.get.map(e => (e.url, e.title.getOrElse(""))),
               Map("isFeed" -> Seq("true")))
           } else {
             val parsed = HtmlParser.parse(decoded, url)
             val ctx = parseFilters(ParseContext(url, content, parsed,
-              md + ("parse.Content-Type" -> Seq(ctype))))
+              md + ("parse.Content-Type" -> Seq(ctype)), decoded = decoded))
             val signature = ctx.metadata.get("signature").flatMap(_.headOption)
               .getOrElse(Urls.md5Hex(parsed.text)) // MD5SignatureParseFilter.java:48
             val docRow =
@@ -135,11 +141,15 @@ object ParseStage {
             // redirect targets go through the SAME filter chain as
             // outlinks — an unnormalized or excluded target must not
             // sneak into the frontier via a meta refresh
+            // the redirect row carries the TRANSFERRED metadata (depth
+            // incremented, no fetch-state leak) — the same map the
+            // filter chain judged the target with; a meta-refresh chain
+            // must consume depth budget like any other hop
             val redirectRow = parsed.metaRefreshUrl
               .flatMap(t => filterChain(t, Some(url), outlinkMd))
               .map { target =>
                 Row(url, "redirect", Status.Redirection, target, null,
-                  null, null, false, null, null, md)
+                  null, null, false, null, null, outlinkMd)
               }
             val links = HtmlParser.followableLinks(parsed).map(l => (l.url, l.anchor)) ++
               ctx.extraOutlinks.map(u => (u, ""))

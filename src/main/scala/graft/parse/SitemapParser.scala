@@ -33,6 +33,13 @@ object SitemapParser {
 
   /** Parse urlset or sitemapindex; never throws (malformed ⇒ empty). */
   def parse(content: String): Seq[SitemapEntry] =
+    parseOption(content).getOrElse(Seq.empty)
+
+  /** None when the content is not a parseable sitemap document at all
+    * (malformed XML / wrong root) — lets the parse stage fall through
+    * to the HTML branch instead of silently emitting nothing;
+    * Some(empty) for a VALID but empty urlset. */
+  def parseOption(content: String): Option[Seq[SitemapEntry]] =
     Try {
       val root = XML.loadString(content)
       root.label match {
@@ -58,9 +65,9 @@ object SitemapParser {
             (s \ "loc").headOption.map(_.text.trim).filter(_.nonEmpty)
               .map(loc => SitemapEntry(loc, (s \ "lastmod").headOption.map(_.text.trim), isSubSitemap = true))
           }
-        case _ => Seq.empty
+        case _ => null // wrong root: not a sitemap
       }
-    }.getOrElse(Seq.empty)
+    }.toOption.flatMap(Option(_)).map(_.toSeq)
 }
 
 /** RSS/Atom feed link extraction — `FeedParserBolt`
@@ -75,6 +82,11 @@ object FeedParser {
   }
 
   def parse(content: String): Seq[FeedEntry] =
+    parseOption(content).getOrElse(Seq.empty)
+
+  /** None = not a parseable feed (malformed / wrong root); Some(empty)
+    * = valid feed with no entries. */
+  def parseOption(content: String): Option[Seq[FeedEntry]] =
     Try {
       val root = XML.loadString(content)
       root.label match {
@@ -85,11 +97,17 @@ object FeedParser {
           }
         case "feed" => // Atom
           (root \ "entry").flatMap { e =>
-            (e \ "link").flatMap(l => l.attribute("href").map(_.text.trim))
+            // the CONTENT link: rel absent or rel=alternate — a feed
+            // listing rel=self/edit first must not send the crawler to
+            // API endpoints (Rome's getLink preference)
+            (e \ "link")
+              .filter(l => l.attribute("rel").map(_.text)
+                .forall(r => r.isEmpty || r == "alternate"))
+              .flatMap(l => l.attribute("href").map(_.text.trim))
               .headOption.filter(_.nonEmpty)
               .map(h => FeedEntry(h, (e \ "title").headOption.map(_.text.trim)))
           }
-        case _ => Seq.empty
+        case _ => null // wrong root: not a feed
       }
-    }.getOrElse(Seq.empty)
+    }.toOption.flatMap(Option(_)).map(_.toSeq)
 }

@@ -29,7 +29,7 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col(statusCol), col("n"))
 
   final case class Seen(url: String, ts: Timestamp)
-  final case class DedupState(firstSeen: Timestamp)
+  final case class DedupState(firstSeen: Timestamp, expiresAt: Long)
 
   /** Streaming URL dedup with TTL — the status-updater's DISCOVERED
     * dedup cache (`status.updater.cache.spec` expireAfterAccess=1h,
@@ -54,13 +54,23 @@ object EventStreams {
             val batch = rows.toSeq
             val latest = batch.map(_.ts.getTime).maxOption
             if (state.exists) {
-              // already seen within TTL -> drop duplicates, refresh TTL
-              latest.foreach(t => state.setTimeoutTimestamp(t + ttlMs))
+              // already seen within TTL -> drop duplicates and EXTEND
+              // the expiry (expireAfterACCESS): a late duplicate with
+              // an old event time must never move the timeout earlier
+              // than what a fresher access already established
+              latest.foreach { t =>
+                val exp = math.max(state.get.expiresAt, t + ttlMs)
+                state.update(state.get.copy(expiresAt = exp))
+                state.setTimeoutTimestamp(exp)
+              }
               Iterator.empty
             } else batch.minByOption(_.ts.getTime) match {
               case Some(f) =>
-                state.update(DedupState(f.ts))
-                state.setTimeoutTimestamp(f.ts.getTime + ttlMs)
+                // TTL runs from the LATEST access in the batch, not the
+                // first occurrence — same duplicate-in-batch reasoning
+                val exp = latest.getOrElse(f.ts.getTime) + ttlMs
+                state.update(DedupState(f.ts, exp))
+                state.setTimeoutTimestamp(exp)
                 Iterator.single(f)
               case None => Iterator.empty
             }
@@ -88,20 +98,35 @@ object EventStreams {
   final case class Timing(key: String, ms: Double)
   final case class EmaState(ema: Double)
 
-  def processingTimeEma(timings: Dataset[Timing], alpha: Double = 0.3): Dataset[Timing] = {
+  /** `idleTtlMs = Some(ms)` bounds the state store: a key (host) not
+    * seen for that long is evicted via a processing-time timer — over
+    * an open crawl the key set is unbounded, so unbounded state would
+    * grow until the store dies; set it on any long-running deployment.
+    * Default None keeps NoTimeout semantics: processing-time timers
+    * make `processAllAvailable` spin forever (each batch schedules the
+    * next timer check), which would hang MemoryStream test harnesses. */
+  def processingTimeEma(timings: Dataset[Timing], alpha: Double = 0.3,
+                        idleTtlMs: Option[Long] = None): Dataset[Timing] = {
     import timings.sparkSession.implicits._
+    val timeoutConf = if (idleTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     timings.groupByKey(_.key)
-      .flatMapGroupsWithState[EmaState, Timing](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[EmaState, Timing](OutputMode.Append, timeoutConf) {
         (key: String, rows: Iterator[Timing], state: GroupState[EmaState]) =>
-          var ema = state.getOption.map(_.ema).getOrElse(Double.NaN)
-          rows.foreach { t =>
-            ema = if (ema.isNaN) t.ms else alpha * t.ms + (1 - alpha) * ema
-          }
-          if (ema.isNaN) Iterator.empty
-          else {
-            state.update(EmaState(ema))
-            Iterator.single(Timing(key, ema))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var ema = state.getOption.map(_.ema).getOrElse(Double.NaN)
+            rows.foreach { t =>
+              ema = if (ema.isNaN) t.ms else alpha * t.ms + (1 - alpha) * ema
+            }
+            if (ema.isNaN) Iterator.empty
+            else {
+              state.update(EmaState(ema))
+              idleTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
+              Iterator.single(Timing(key, ema))
+            }
           }
       }
   }
