@@ -78,9 +78,9 @@ object AnalyticsQueries {
 
     // IVF multi-probe ANN: bucket the corpus once, probe each query's
     // own + 2 neighboring hyperplane cells, top-5 by cosine among the
-    // candidates. Probe set broadcasts; corpus stays map-only. No SQL
-    // oracle (the probe-selection is procedural) — rows-only check;
-    // exactness & recall properties are covered by SimilaritySpec.
+    // candidates. Probe set broadcasts; corpus stays map-only. The
+    // probe selection (flip the two lowest-|projection| planes) is
+    // deterministic, so the oracle mirrors it exactly in SQL.
     "q38_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") % 500 === 0),
@@ -88,12 +88,20 @@ object AnalyticsQueries {
         .orderBy("q_id", "rnk")
     }),
 
-    // HLL approximate distinct (no DuckDB oracle - sketch internals
-    // differ; driver records the weaker rows-only check).
+    // HLL approximate distinct. Sketch internals differ by engine, so
+    // the checkable contract is the HLL error bound: emit the exact
+    // distinct count plus a boolean asserting the sketch landed within
+    // 4% of it (rsd = 2%). The oracle recomputes the exact count and
+    // expects `within_bounds` TRUE everywhere — a hash match proves the
+    // approx path really ran and really was accurate.
     "q35_approx_users" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.04).as("within_bounds"))
         .orderBy("event_type")),
 
     // Quality scoring: stopword ratio, token stats, exact arithmetic.
@@ -219,6 +227,59 @@ object AnalyticsQueries {
          |      FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.id < r.id)
          |SELECT bucket, a, b, cosine FROM p
          |ORDER BY cosine DESC, a, b LIMIT 50""".stripMargin
+    },
+
+    "q35_approx_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bounds
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Full SQL mirror of the IVF multi-probe search: normalize, project
+    // onto the 6 deterministic ±1 hyperplanes, base bucket from the
+    // projection signs, probe set = base + the two buckets reached by
+    // flipping the lowest-|projection| planes (ties by plane index),
+    // then cosine top-5 among candidates in probed buckets.
+    "q38_ivf_topk" -> {
+      val signCase = (j: String, i: String) =>
+        s"""(CASE WHEN (strpos('0123456789abcdef', substring(md5(concat($j, ':', $i)), 1, 1)) - 1) % 2 = 0
+           |      THEN 1.0 ELSE -1.0 END)""".stripMargin
+      s"""WITH nq0 AS (
+         |  SELECT vec_id AS q_id, embedding AS v,
+         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nrm
+         |  FROM embeddings WHERE vec_id % 500 = 0),
+         |q AS (SELECT q_id, list_transform(v, x -> CAST(x AS DOUBLE) / nrm) AS qv FROM nq0),
+         |nc0 AS (
+         |  SELECT vec_id AS c_id, embedding AS v,
+         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nrm
+         |  FROM embeddings),
+         |c AS (SELECT c_id, list_transform(v, x -> CAST(x AS DOUBLE) / nrm) AS cv FROM nc0),
+         |js AS (SELECT unnest(generate_series(0, 5)) AS j),
+         |cproj AS (SELECT c_id, j,
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      i -> cv[i] * ${signCase("CAST(j AS VARCHAR)", "CAST(i AS VARCHAR)")}), (a,b) -> a + b) AS proj
+         |  FROM c, js),
+         |cbk AS (SELECT c_id, CAST(sum(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+         |        FROM cproj GROUP BY c_id),
+         |qproj AS (SELECT q_id, j,
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      i -> qv[i] * ${signCase("CAST(j AS VARCHAR)", "CAST(i AS VARCHAR)")}), (a,b) -> a + b) AS proj
+         |  FROM q, js),
+         |qbk AS (SELECT q_id, CAST(sum(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+         |        FROM qproj GROUP BY q_id),
+         |flips AS (SELECT q_id, j FROM (
+         |    SELECT q_id, j, row_number() OVER (PARTITION BY q_id ORDER BY abs(proj), j) AS rk
+         |    FROM qproj) WHERE rk <= 2),
+         |probes AS (SELECT q_id, bucket FROM qbk
+         |  UNION ALL
+         |  SELECT f.q_id, CAST(xor(b.bucket, 1 << f.j) AS INT) FROM flips f JOIN qbk b ON f.q_id = b.q_id),
+         |cand AS (SELECT p.q_id, k.c_id FROM probes p JOIN cbk k ON p.bucket = k.bucket
+         |         WHERE p.q_id <> k.c_id),
+         |s AS (SELECT cand.q_id, cand.c_id,
+         |    list_reduce(list_transform(generate_series(1, 64), i -> q.qv[i] * c.cv[i]), (a,b) -> a + b) AS cosine
+         |  FROM cand JOIN q ON q.q_id = cand.q_id JOIN c ON c.c_id = cand.c_id),
+         |r AS (SELECT q_id, c_id, cosine,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
+         |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
     },
 
     "q26_lsh_buckets" -> {

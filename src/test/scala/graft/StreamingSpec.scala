@@ -168,16 +168,23 @@ class StreamingSpec extends AnyFunSuite {
 
     val ckpt = Files.createTempDirectory("ckpt").toString
     val docsOut = Files.createTempDirectory("docs").toString + "/docs"
-    def run(ms: Long): Unit = {
+    def fetchedCount(): Long = store.statusCounts(spark).collect()
+      .collectFirst { case r if r.getString(0) == "FETCHED" => r.getLong(1) }
+      .getOrElse(0L)
+    // condition-wait instead of a fixed sleep: a wall-clock window flakes
+    // when the suite JVM is busy (only 1 page completes in 5 s under load)
+    def run(targetFetched: Long): Unit = {
       val q = graft.streaming.CrawlTopology.startStream(spark, store,
         new graft.fetch.ProtocolFactory(), chain,
         intervalMs = 200, checkpointDir = ckpt, docsOut = docsOut,
         crawlDelayMs = 0, respectRobots = false)
-      Thread.sleep(ms)
+      val deadline = System.currentTimeMillis() + 120000
+      while (fetchedCount() < targetFetched && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
       q.stop()
     }
-    run(5000) // first run: crawls some or all pages
-    run(5000) // restart from the same checkpoint + frontier
+    run(2) // first run: crawls at least the seed + one discovered page
+    run(4) // restart from the same checkpoint + frontier; finishes the site
 
     // every doc url appears exactly once: FETCHED pages are not due
     // again, and the sha256-keyed merge is idempotent across restarts
