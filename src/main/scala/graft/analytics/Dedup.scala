@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): exact dedup = one shuffle on the digest;
   * MinHash signatures = one explode + one groupBy per doc (shuffle on
   * doc id, combiner-friendly `min` aggregates); LSH candidate pairs =
-  * self-join on (band, bucket) — the banding bounds bucket sizes, and a
-  * skew-salted repartition on the band key handles hot buckets; the
+  * self-join on (band, bucket), with a bucket-size cap that drops
+  * degenerate buckets (N boilerplate docs would otherwise emit N²/2
+  * pairs — those dups are exact-dedup's job anyway); Jaccard's
+  * shared-token join prunes high-document-frequency tokens in-operator,
+  * so a stop-word in 10⁴ docs can never fan out to 10⁸ join rows; the
   * verify step (exact Jaccard on candidates) touches only candidate
   * pairs, never the full cross product.
   *
@@ -87,9 +90,17 @@ object Dedup {
   /** LSH candidate pairs from unigram MinHash, banded 2×2 (band A =
     * (h1,h2), band B = (h3,h4)); docs sharing either band within the
     * same `groupCol` become candidates. Returns distinct (a, b) pairs,
-    * a < b. The group restriction + banding bound the join fan-out. */
+    * a < b. The group restriction + banding bound the TYPICAL join
+    * fan-out; `maxBucket` bounds the WORST case: a bucket holding more
+    * than `maxBucket` docs (boilerplate/empty-text degenerate mass) is
+    * dropped before the self-join, capping any bucket's output at
+    * maxBucket²/2 pairs instead of N²/2. Near-dups lost that way are
+    * verbatim-duplicate clusters, which [[exactDedup]] already catches.
+    * The cap's window count partitions on the same (group, bucket) key
+    * as the join, so it rides the join's own exchange — no extra
+    * shuffle. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        groupCol: String): DataFrame = {
+                        groupCol: String, maxBucket: Int = 1024): DataFrame = {
     // one band-tagged row per (doc, band) — band identity rides in the
     // join key, so ONE self-join covers both bands (instead of a join
     // per band unioned after, which would evaluate the signature
@@ -103,6 +114,9 @@ object Dedup {
         explode(array(
           concat_ws("_", lit("A"), col("sig").getItem(0), col("sig").getItem(1)),
           concat_ws("_", lit("B"), col("sig").getItem(2), col("sig").getItem(3)))).as("bk"))
+      .withColumn("bkn",
+        count(lit(1)).over(Window.partitionBy(col(groupCol), col("bk"))))
+      .where(col("bkn") <= maxBucket).drop("bkn")
     val l = bands.select(col(groupCol), col(idCol).as("a"), col("bk"))
     val r = bands.select(col(groupCol), col(idCol).as("b"), col("bk"))
     l.join(r, Seq(groupCol, "bk")).where(col("a") < col("b"))
@@ -124,15 +138,27 @@ object Dedup {
   /** Exact n-gram (here unigram-set) Jaccard similarity for pairs within
     * a group, over a pre-filtered subset. Shared-word self-join →
     * intersection counts; per-doc set sizes joined back (broadcast).
-    * At scale: the common-word stop-list / doc-length filter caps the
-    * fan-out of the shared-token join. */
+    *
+    * Skew defense: a token appearing in `d` docs fans the self-join out
+    * to d²/2 rows, so tokens with document frequency above `maxDf` are
+    * pruned from the JOIN inputs in-operator (the per-doc set sizes —
+    * the Jaccard denominator — still count every token, so surviving
+    * pairs keep their exact Jaccard... minus intersection mass carried
+    * ONLY by ubiquitous tokens, and a pair sharing nothing but
+    * stop-words sits far below any useful `minJaccard` anyway). The df
+    * window partitions on the join key (group, w), reusing the join's
+    * exchange. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   groupCol: String, minJaccard: Double): DataFrame = {
+                   groupCol: String, minJaccard: Double,
+                   maxDf: Int = 1024): DataFrame = {
     val tok = df.select(col(groupCol), col(idCol),
       explode(array_distinct(words(col(textCol)))).as("w"))
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val l = tok.select(col(groupCol), col(idCol).as("a"), col("w"))
-    val r = tok.select(col(groupCol), col(idCol).as("b"), col("w"))
+    val pruned = tok
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col(groupCol), col("w"))))
+      .where(col("df") <= maxDf).drop("df")
+    val l = pruned.select(col(groupCol), col(idCol).as("a"), col("w"))
+    val r = pruned.select(col(groupCol), col(idCol).as("b"), col("w"))
     val shared = l.join(r, Seq(groupCol, "w")).where(col("a") < col("b"))
       .groupBy(col(groupCol), col("a"), col("b")).agg(count(lit(1)).as("inter"))
     val sa = sizes.select(col(idCol).as("a_id"), col("sz").as("sza"))
