@@ -22,35 +22,33 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
     "zh" -> Seq("的", "是", "不", "我", "在", "有", "了", "人"))
 
-  private def markerCount(wordsCol: Column, lang: String): Column =
-    size(filter(wordsCol, w => w.isin(langMarkers(lang).map(lit): _*)))
-
-  /** Predicted language = argmax of marker-word hits, ties broken by
-    * language code ascending; confidence = hits / tokens. */
-  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val langs = langMarkers.keys.toSeq.sorted
-    val withWords = df.select(col(idCol), Dedup.words(col(textCol)).as("ws"))
-    val scored = langs.foldLeft(withWords)((d, l) =>
-      d.withColumn(s"s_$l", markerCount(col("ws"), l)))
-    val best = greatest(langs.map(l => col(s"s_$l")): _*)
-    val pred = langs.foldRight(lit("und")) { (l, acc) =>
-      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
-    }
-    // foldRight puts earlier langs outermost => first max wins ties
-    scored.select(col(idCol), pred.as("lang_pred"),
-      (best.cast("double") / greatest(size(col("ws")), lit(1)).cast("double")).as("confidence"))
-  }
+  /** n-gram profile language identification (character trigrams +
+    * script-range detection, [[graft.functions.LangProfiles]]) — the
+    * reference's LanguageID parse filter approach
+    * (`external/langid/.../LanguageID.java:54`), run as ONE codegen'd
+    * pass per document. 14 languages + und; confidence = dominant
+    * script fraction, or profile score / total trigrams. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.TextStatExpressions.langId(col(textCol)).as("li"))
+      .select(col(idCol),
+        col("li").getField("lang").as("lang_pred"),
+        col("li").getField("conf").as("confidence"))
 
   /** Quality score: token count, mean word length, stopword ratio,
-    * punctuation density — exact-arithmetic combination (no libm). */
+    * punctuation density — exact-arithmetic combination (no libm).
+    * All counters come from one native pass per doc
+    * ([[graft.functions.TextStatsExpr]]); the `size(filter(...))` HOF
+    * formulation survives only as the DuckDB oracle. */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = Dedup.words(col(textCol))
+    val st = graft.functions.TextStatExpressions
+      .textStats(col(textCol), langMarkers("en"))
     df.select(
         col(idCol),
-        size(ws).as("n_tokens"),
-        length(col(textCol)).as("n_chars_m"),
-        size(filter(ws, w => w.isin(langMarkers("en").map(lit): _*))).as("n_stop"),
-        size(split(col(textCol), "[.,!?;:]")).minus(1).as("n_punct"))
+        st.getItem(0).cast("int").as("n_tokens"),
+        st.getItem(5).cast("int").as("n_chars_m"),
+        st.getItem(1).cast("int").as("n_stop"),
+        st.getItem(2).cast("int").as("n_punct"))
       .select(
         col(idCol), col("n_tokens"),
         (col("n_stop").cast("double") / greatest(col("n_tokens"), lit(1)).cast("double"))
@@ -63,13 +61,17 @@ object TextAnalysis {
   }
 
   /** Token counts: whitespace tokens + a BPE-ish regex token count
-    * (alnum runs and single non-space symbols counted separately). */
-  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    * (alnum runs and single non-space symbols counted separately).
+    * One native pass per doc — no regex, no interpreted lambdas. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val st = graft.functions.TextStatExpressions
+      .textStats(col(textCol), Seq.empty)
     df.select(
       col(idCol),
-      size(Dedup.words(col(textCol))).as("ws_tokens"),
-      size(filter(split(col(textCol), "[^A-Za-z0-9]+"), t => t =!= "")).as("alnum_tokens"),
-      length(regexp_replace(col(textCol), "[A-Za-z0-9\\s]", "")).as("symbol_tokens"))
+      st.getItem(0).cast("int").as("ws_tokens"),
+      st.getItem(3).cast("int").as("alnum_tokens"),
+      st.getItem(4).cast("int").as("symbol_tokens"))
+  }
 
   /** Winnowing fingerprints (Schleimer et al., MOSS): hash every k-word
     * shingle, take the min hash of each sliding window of `w` positions,

@@ -196,17 +196,17 @@ final class MimeTypeNormalization(key: String = "format") extends ParseFilter {
 }
 
 /** Language ID over extracted text — LanguageID parse filter
-  * (`external/langid/.../LanguageID.java:54`), reusing the marker-word
-  * scorer from the analytics module. */
-final class LanguageIdParseFilter(key: String = "lang") extends ParseFilter {
-  import graft.analytics.TextAnalysis.langMarkers
+  * (`external/langid/.../LanguageID.java:54`: n-gram detector, keep the
+  * prediction only above a probability threshold). Uses the shared
+  * trigram-profile + script-range model ([[graft.functions.LangIdOps]],
+  * 14 languages); no tag when the detector says `und` or confidence is
+  * below `minConf`. */
+final class LanguageIdParseFilter(key: String = "lang", minConf: Double = 0.0)
+    extends ParseFilter {
   def apply(ctx: ParseContext): ParseContext = {
-    val words = ctx.html.text.toLowerCase(Locale.ROOT).split("\\s+").toSeq
-    val scores = langMarkers.toSeq.sortBy(_._1)
-      .map { case (l, ms) => l -> words.count(ms.contains) }
-    val (bestLang, bestScore) = scores.maxBy { case (l, s) => (s, -scores.indexWhere(_._1 == l)) }
-    if (bestScore == 0) ctx
-    else ctx.copy(metadata = ctx.metadata + (key -> Seq(bestLang)))
+    val (lang, conf) = graft.functions.LangIdOps.detect(ctx.html.text)
+    if (lang == "und" || conf < minConf) ctx
+    else ctx.copy(metadata = ctx.metadata + (key -> Seq(lang)))
   }
 }
 

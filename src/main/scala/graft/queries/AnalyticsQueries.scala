@@ -109,7 +109,8 @@ object AnalyticsQueries {
       TextAnalysis.qualityScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // Language ID by marker-word argmax.
+    // Language ID: character-trigram profiles + script detection
+    // (14 languages), one native pass per doc.
     "q28_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -311,23 +312,54 @@ object AnalyticsQueries {
          |  (CAST(n_tokens AS DOUBLE) / CAST(n_chars_m + 1 AS DOUBLE)) * 0.5 AS quality
          |FROM m ORDER BY doc_id""".stripMargin,
 
+    // Mirror of the trigram-profile + script model, generated from the
+    // SAME LangProfiles tables the native expression uses.
     "q28_langid" -> {
-      val markers = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
-      val scoreCols = markers.map { case (l, ws) =>
-        s"len(list_filter(ws, x -> x IN (${ws.map(w => s"'$w'").mkString(",")}))) AS s_$l"
-      }.mkString(",\n        ")
-      val langs = markers.map(_._1)
-      val g = s"greatest(${langs.map(l => s"s_$l").mkString(",")})"
-      val pred = langs.map(l => s"WHEN s_$l = g AND g > 0 THEN '$l'").mkString(" ")
-      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-         |sc AS (SELECT doc_id, len(ws) AS nw,
-         |        $scoreCols
-         |      FROM w),
-         |gg AS (SELECT *, $g AS g FROM sc)
-         |SELECT doc_id,
-         |  CASE $pred ELSE 'und' END AS lang_pred,
-         |  CAST(g AS DOUBLE) / CAST(greatest(nw, 1) AS DOUBLE) AS confidence
-         |FROM gg ORDER BY doc_id""".stripMargin
+      import graft.functions.LangProfiles
+      val scriptVals = LangProfiles.scripts.map { case (l, lo, hi) =>
+        f"('$l', '[\\x{$lo%04x}-\\x{$hi%04x}]')"
+      }.mkString(", ")
+      val profVals = LangProfiles.trigrams.toSeq.sortBy(_._1).flatMap {
+        case (l, ts) => ts.zipWithIndex.map { case (tg, i) =>
+          s"('$l', '${tg.replace("'", "''")}', ${ts.size - i})"
+        }
+      }.mkString(", ")
+      s"""WITH lo AS (SELECT doc_id,
+         |    translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t
+         |  FROM documents),
+         |base AS (SELECT doc_id, t, length(replace(t, ' ', '')) AS n_nonspace FROM lo),
+         |scr AS (SELECT b.doc_id, s.lang,
+         |    length(b.t) - length(regexp_replace(b.t, s.pat, '', 'g')) AS n_s
+         |  FROM base b, (VALUES $scriptVals) s(lang, pat)),
+         |sbest AS (SELECT doc_id, lang, n_s FROM (
+         |    SELECT doc_id, lang, n_s,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY n_s DESC, lang) AS rk
+         |    FROM scr) WHERE rk = 1),
+         |w AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS wd FROM base),
+         |tg AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, length(concat(' ', wd, ' ')) - 2),
+         |    i -> substring(concat(' ', wd, ' '), i, 3))) AS g FROM w),
+         |ntg AS (SELECT doc_id, count(*) AS ntg FROM tg GROUP BY doc_id),
+         |prof AS (SELECT * FROM (VALUES $profVals) p(lang, g, wt)),
+         |sc AS (SELECT tg.doc_id, p.lang, sum(p.wt) AS score
+         |       FROM tg JOIN prof p ON p.g = tg.g GROUP BY tg.doc_id, p.lang),
+         |lbest AS (SELECT doc_id, lang, score FROM (
+         |    SELECT doc_id, lang, score,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+         |    FROM sc) WHERE rk = 1 AND score > 0)
+         |SELECT b.doc_id,
+         |  CASE WHEN b.n_nonspace > 0 AND CAST(sb.n_s AS DOUBLE) / b.n_nonspace >= 0.3 THEN sb.lang
+         |       WHEN lb.lang IS NOT NULL THEN lb.lang
+         |       ELSE 'und' END AS lang_pred,
+         |  CASE WHEN b.n_nonspace > 0 AND CAST(sb.n_s AS DOUBLE) / b.n_nonspace >= 0.3
+         |         THEN CAST(sb.n_s AS DOUBLE) / b.n_nonspace
+         |       WHEN lb.lang IS NOT NULL THEN CAST(lb.score AS DOUBLE) / n.ntg
+         |       ELSE 0.0 END AS confidence
+         |FROM base b
+         |LEFT JOIN sbest sb USING (doc_id)
+         |LEFT JOIN lbest lb USING (doc_id)
+         |LEFT JOIN ntg n USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin
     },
 
     "q29_token_counts" ->

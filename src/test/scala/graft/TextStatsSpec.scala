@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.TextAnalysis
+import graft.functions.LangIdOps
+
+/** Truth tables for the native text-stats pass and the trigram/script
+  * language-ID model. */
+class TextStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("tokenCounts matches the regex formulation on tricky input") {
+    val docs = Seq(
+      (1L, "hello, world!  double  spaced"),
+      (2L, "tabs\there stay-in one token"),
+      (3L, ""),
+      (4L, "日本語 text mixed 123abc..."),
+      (5L, "a")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+    // ws_tokens: space-split runs; alnum: ASCII alnum runs; symbol:
+    // non-alnum non-\s chars (CJK counts as symbol, '-' counts, ',' counts)
+    assert(r(0) === ((1L, 4, 4, 2)))       // "hello," "world!" "double" "spaced"; , !
+    assert(r(1) === ((2L, 4, 6, 1)))       // tabs|here|stay|in|one|token; '-'
+    assert(r(2) === ((3L, 0, 0, 0)))
+    assert(r(3) === ((4L, 4, 3, 6)))       // 日本語(3) + '...'(3); alnum: text, mixed, 123abc
+    assert(r(4) === ((5L, 1, 1, 0)))
+  }
+
+  test("quality stopword count matches exact token equality") {
+    val docs = Seq((1L, "the cat and the dog"), (2L, "then theater band")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("stop_ratio") === 3.0 / 5)  // the, and, the
+    assert(r(1).getAs[Double]("stop_ratio") === 0.0)      // prefixes don't count
+  }
+
+  test("langid: trigram profiles separate European languages") {
+    assert(LangIdOps.detect("The quick brown fox jumps over the lazy dog and runs into the woods")._1 == "en")
+    assert(LangIdOps.detect("Der schnelle braune Fuchs springt über den faulen Hund und rennt in den Wald")._1 == "de")
+    assert(LangIdOps.detect("Le renard brun rapide saute par dessus le chien paresseux et court dans les bois")._1 == "fr")
+    assert(LangIdOps.detect("El rápido zorro marrón salta sobre el perro perezoso y corre hacia el bosque")._1 == "es")
+    assert(LangIdOps.detect("De snelle bruine vos springt over de luie hond en rent het bos in")._1 == "nl")
+    assert(LangIdOps.detect("A rápida raposa marrom pula sobre o cão preguiçoso e corre para dentro da floresta")._1 == "pt")
+    assert(LangIdOps.detect("La volpe veloce salta sopra il cane pigro e corre dentro il bosco della collina")._1 == "it")
+  }
+
+  test("langid: script ranges catch non-Latin languages") {
+    assert(LangIdOps.detect("Быстрая коричневая лиса прыгает через ленивую собаку")._1 == "ru")
+    assert(LangIdOps.detect("敏捷的棕色狐狸跳过懒狗")._1 == "zh")
+    assert(LangIdOps.detect("すばやい茶色のキツネはのろまな犬を飛び越えます")._1 == "ja")
+    assert(LangIdOps.detect("빠른 갈색 여우가 게으른 개를 뛰어넘다")._1 == "ko")
+    assert(LangIdOps.detect("الثعلب البني السريع يقفز فوق الكلب الكسول")._1 == "ar")
+    assert(LangIdOps.detect("Η γρήγορη καφέ αλεπού πηδάει πάνω από το τεμπέλικο σκυλί")._1 == "el")
+    assert(LangIdOps.detect("तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है")._1 == "hi")
+  }
+
+  test("langid: und for empty, numeric, and unknown text; confidence in range") {
+    assert(LangIdOps.detect("") === (("und", 0.0)))
+    assert(LangIdOps.detect("   ") === (("und", 0.0)))
+    assert(LangIdOps.detect("12345 67890") === (("und", 0.0)))
+    val (l, c) = LangIdOps.detect("the house is on the hill and the dog is in the house")
+    assert(l == "en" && c > 0.0)
+  }
+}
