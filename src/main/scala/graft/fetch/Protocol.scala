@@ -40,6 +40,8 @@ object FileProtocol extends Protocol {
           else if (url.endsWith(".xml")) "application/xml"
           else if (url.endsWith(".rss")) "application/rss+xml"
           else if (url.endsWith(".txt")) "text/plain"
+          else if (url.endsWith(".pdf")) "application/pdf"
+          else if (url.endsWith(".rtf")) "application/rtf"
           else "application/octet-stream"
         ProtocolResponse(bytes, 200, Map("Content-Type" -> Seq(mime)))
       }

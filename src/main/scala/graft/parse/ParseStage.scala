@@ -128,6 +128,38 @@ object ParseStage {
           } else if (feedEntries.exists(es => sniffFeed || es.nonEmpty)) {
             outlinkRows(feedEntries.get.map(e => (e.url, e.title.getOrElse(""))),
               Map("isFeed" -> Seq("true")))
+          } else if (
+            // RedirectionBolt shunt (`external/tika/.../RedirectionBolt
+            // .java:63-76`): html-mime docs go to the HTML parse, the
+            // rest to the binary (Tika-branch) parse. Magic bytes win
+            // over the declared mime; a text/* body that actually
+            // opens with markup stays on the HTML path (Tika's own
+            // detector would call it html too).
+            BinaryParser.isPdf(content) || BinaryParser.isRtf(content) ||
+            (BinaryParser.supports(ctype, content) &&
+              !decoded.take(512).trim.startsWith("<"))) {
+            BinaryParser.parse(content, ctype, Some(ctype)) match {
+              case Right(bp) =>
+                val docMd = md ++
+                  bp.metadata.map { case (k, v) => s"parse.$k" -> v } +
+                  ("parse.Content-Type" -> Seq(ctype)) ++
+                  bp.title.map(t => "parse.title" -> Seq(t))
+                // same signature convention as the HTML branch
+                // (MD5SignatureParseFilter.java:48)
+                val signature = Urls.md5Hex(bp.text)
+                val docRow = Row(url, "doc", null, null, null,
+                  bp.title.orNull, bp.text, false, null, signature, docMd)
+                Seq(docRow) ++ outlinkRows(bp.outlinks.map(u => (u, "")), Map.empty)
+              case Left(err) =>
+                // ParserBolt.handleException (`external/tika/.../
+                // ParserBolt.java:337-354`): the page itself becomes an
+                // ERROR status row; the merge's precedence ladder lets
+                // it out-rank the fetch stage's FETCHED row.
+                Seq(Row(url, "error", Status.Error, null, null, null, null,
+                  false, null, null,
+                  md + ("error.source" -> Seq("PARSE"))
+                     + ("error.message" -> Seq(err))))
+            }
           } else {
             val parsed = HtmlParser.parse(decoded, url)
             val ctx = parseFilters(ParseContext(url, content, parsed,

@@ -127,7 +127,40 @@ object CoverageQueries {
         .agg(
           expr("percentile(value, 0.5)").as("p50"),
           expr("percentile(value, 0.95)").as("p95"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Binary-document parse (the Tika branch, `external/tika/.../
+    // ParserBolt.java:152-354`): build a PDF (even ids; compressed
+    // streams for ids % 4 == 0) or RTF (odd ids) from each document's
+    // text, then extract text/title/pages/links back with
+    // `BinaryParser`. The oracle is the original text — the extract
+    // path must be byte-exact. Map-only per doc: no shuffle beyond the
+    // final presentation sort.
+    "q43_binary_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val title = s"Doc $id"
+          if (id % 2 == 0) {
+            val bytes = graft.parse.BinaryDocs.makePdf(text, Some(title),
+              links = Seq(s"https://example.com/doc/$id"), compress = id % 4 == 0)
+            val bp = graft.parse.BinaryParser.parsePdf(bytes)
+              .fold(e => sys.error(e), identity)
+            (id, "pdf", bp.title.orNull, bp.text,
+              bp.metadata.get("pages").flatMap(_.headOption).map(_.toInt).getOrElse(0),
+              bp.outlinks.size)
+          } else {
+            val bytes = graft.parse.BinaryDocs.makeRtf(text, Some(title))
+            val bp = graft.parse.BinaryParser.parseRtf(bytes)
+              .fold(e => sys.error(e), identity)
+            (id, "rtf", bp.title.orNull, bp.text, 0, bp.outlinks.size)
+          }
+        })
+        .toDF("doc_id", "fmt", "title", "extracted", "pages", "n_links")
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -204,6 +237,15 @@ object CoverageQueries {
       """SELECT event_type,
         |  quantile_cont(value, 0.5)  AS p50,
         |  quantile_cont(value, 0.95) AS p95
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q43_binary_extract" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'rtf' END AS fmt,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  text AS extracted,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS pages,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS n_links
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -141,8 +141,14 @@ object CrawlTopology {
       .where(col("kind").isin("outlink", "redirect"))
       .select(col("target_url").as("url"),
         lit(Status.Discovered).as("status"), col("metadata"))
+    // binary-parse failures (Tika handleException path): the page's own
+    // ERROR row — merge precedence (ERROR sorts before FETCHED at equal
+    // rank) makes it win over the fetch stage's FETCHED row
+    val parseErrors = parsed.where(col("kind") === "error")
+      .select(col("url"), col("status"), col("metadata"))
 
-    val updates = fetchStatuses.unionByName(redirectTargets).unionByName(outlinkStatuses)
+    val updates = fetchStatuses.unionByName(redirectTargets)
+      .unionByName(outlinkStatuses).unionByName(parseErrors)
     store.merge(spark, updates, batchTime)
 
     val docs = parsed.where(col("kind") === "doc")

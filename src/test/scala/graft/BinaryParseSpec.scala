@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.parse.{BinaryDocs, BinaryParser}
+
+/** Binary-document (Tika-branch) extraction truth tables: PDF round
+  * trips (compressed + uncompressed + Unicode + escapes), link
+  * annotations, titles, RTF control-word handling, plain-text and
+  * failure dispatch. */
+class BinaryParseSpec extends AnyFunSuite {
+
+  test("pdf round trip, uncompressed stream") {
+    val text = "the quick brown fox\njumps over the lazy dog"
+    val pdf = BinaryDocs.makePdf(text, Some("A Title"), compress = false)
+    val bp = BinaryParser.parsePdf(pdf).toOption.get
+    assert(bp.text == text)
+    assert(bp.title.contains("A Title"))
+    assert(bp.metadata("pages") == Seq("1"))
+    assert(bp.metadata("format") == Seq("pdf"))
+  }
+
+  test("pdf round trip, FlateDecode stream") {
+    val text = ("word " * 200).trim
+    val pdf = BinaryDocs.makePdf(text, None, compress = true)
+    assert(BinaryParser.isPdf(pdf))
+    val bp = BinaryParser.parsePdf(pdf).toOption.get
+    assert(bp.text == text)
+    assert(bp.title.isEmpty)
+  }
+
+  test("pdf string escapes and unicode") {
+    val text = "parens (nested (deep)) and \\backslash"
+    val bp = BinaryParser.parsePdf(BinaryDocs.makePdf(text, compress = true)).toOption.get
+    assert(bp.text == text)
+    val uni = "héllo wörld — ünïcode 日本語"
+    val bp2 = BinaryParser.parsePdf(BinaryDocs.makePdf(uni, Some(uni), compress = false)).toOption.get
+    assert(bp2.text == uni)
+    assert(bp2.title.contains(uni))
+  }
+
+  test("pdf link annotations become outlinks") {
+    val links = Seq("https://a.example/x", "https://b.example/y?q=(1)")
+    val pdf = BinaryDocs.makePdf("body", links = links)
+    val bp = BinaryParser.parsePdf(pdf).toOption.get
+    assert(bp.outlinks == links)
+  }
+
+  test("rtf round trip with title, escapes, unicode") {
+    val text = "line one\nline two\ttabbed {braces} and \\slash"
+    val rtf = BinaryDocs.makeRtf(text, Some("Rtf Title"))
+    assert(BinaryParser.isRtf(rtf))
+    val bp = BinaryParser.parseRtf(rtf).toOption.get
+    assert(bp.text == text)
+    assert(bp.title.contains("Rtf Title"))
+    val uni = "héllo — 日本語"
+    assert(BinaryParser.parseRtf(BinaryDocs.makeRtf(uni)).toOption.get.text == uni)
+  }
+
+  test("rtf skips font/color tables and optional destinations") {
+    val rtf = ("{\\rtf1\\ansi{\\fonttbl{\\f0 Arial;}}{\\colortbl;\\red0;}" +
+      "{\\*\\generator Acme 1.0;}Hello\\par World}").getBytes("ISO-8859-1")
+    val bp = BinaryParser.parseRtf(rtf).toOption.get
+    assert(bp.text == "Hello\nWorld")
+    assert(!bp.text.contains("Arial"))
+    assert(!bp.text.contains("Acme"))
+  }
+
+  test("dispatch: magic bytes beat declared mime; text and failures routed") {
+    val pdf = BinaryDocs.makePdf("x")
+    // server lies: says text/plain, magic says pdf
+    assert(BinaryParser.parse(pdf, "text/plain").toOption.get.metadata("format") == Seq("pdf"))
+    val plain = BinaryParser.parse("just words".getBytes("UTF-8"), "text/plain")
+    assert(plain.toOption.get.text == "just words")
+    // binary junk with a binary mime → parse failure (ERROR status path)
+    val junk = Array.tabulate[Byte](256)(i => i.toByte)
+    assert(BinaryParser.parse(junk, "application/zstd").isLeft)
+    // truncated pdf: header but no usable objects → empty text, not a crash
+    val broken = "%PDF-1.4\n1 0 obj\n<< /Type /Catalog".getBytes("ISO-8859-1")
+    assert(BinaryParser.parsePdf(broken).toOption.get.text == "")
+  }
+
+  test("supports() mirrors the RedirectionBolt shunt") {
+    val pdf = BinaryDocs.makePdf("x")
+    assert(BinaryParser.supports("application/pdf", pdf))
+    assert(BinaryParser.supports("application/octet-stream", pdf)) // magic wins
+    assert(BinaryParser.supports("text/plain", "words".getBytes))
+    assert(!BinaryParser.supports("text/html", "<html></html>".getBytes))
+    assert(!BinaryParser.supports("application/xhtml+xml", "<html/>".getBytes))
+  }
+}

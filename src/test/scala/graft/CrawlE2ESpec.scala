@@ -142,6 +142,36 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(indexed.collect().forall(_.getAs[String]("text").length <= 50))
   }
 
+  test("binary docs: pdf text + link annotation crawled; junk pdf → ERROR") {
+    val dir = siteDir
+    Files.write(dir.resolve("doc.pdf"), graft.parse.BinaryDocs.makePdf(
+      "pdf body text", Some("PDF Doc"), links = Seq(s"file://$dir/linked.rtf")))
+    Files.write(dir.resolve("linked.rtf"), graft.parse.BinaryDocs.makeRtf("rtf body"))
+    Files.write(dir.resolve("bad.pdf"), Array.tabulate[Byte](64)(i => (i * 7).toByte))
+    val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    CrawlTopology.seed(spark, store,
+      Seq(s"file://$dir/doc.pdf", s"file://$dir/bad.pdf"), chain)
+    val docsOut = Files.createTempDirectory("docs").toString + "/docs"
+    CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+      maxIterations = 3, docsOut = Some(docsOut), crawlDelayMs = 0, respectRobots = false)
+
+    val byUrl = store.read(spark).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(byUrl(s"file://$dir/doc.pdf") == Status.Fetched)
+    // the /URI annotation was discovered, filtered, fetched, rtf-parsed
+    assert(byUrl(s"file://$dir/linked.rtf") == Status.Fetched)
+    // unparseable-but-declared-pdf: ParserBolt.handleException → ERROR
+    assert(byUrl(s"file://$dir/bad.pdf") == Status.Error)
+
+    val docs = spark.read.parquet(docsOut).collect()
+    val pdfDoc = docs.find(_.getAs[String]("url").endsWith("doc.pdf")).get
+    assert(pdfDoc.getAs[String]("text") == "pdf body text")
+    assert(pdfDoc.getAs[String]("title") == "PDF Doc")
+    val rtfDoc = docs.find(_.getAs[String]("url").endsWith("linked.rtf")).get
+    assert(rtfDoc.getAs[String]("text") == "rtf body")
+    assert(!docs.exists(_.getAs[String]("url").endsWith("bad.pdf")))
+  }
+
   test("politeness: same-host fetches spaced by crawl delay") {
     val dir = siteDir
     val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
