@@ -51,29 +51,39 @@ object FileProtocol extends Protocol {
   }
 }
 
-/** HTTP(S) via the JDK 17 HttpClient — GET with content-limit trim,
-  * optional If-Modified-Since, custom request headers; redirects are NOT
-  * followed (the crawl loop handles REDIRECTION statuses itself, like
-  * `okhttp/HttpProtocol.java:287-437`). */
+/** HTTP(S) via the JDK 17 HttpClient — GET (or HEAD when the URL's
+  * metadata carries `http.method.head`, like `httpclient/HttpProtocol
+  * .java:209` / `okhttp/HttpProtocol.java:387`) with content-limit
+  * trim, optional If-Modified-Since, custom request headers, and an
+  * optional fixed forward proxy (`okhttp/HttpProtocol.java:78`);
+  * redirects are NOT followed (the crawl loop handles REDIRECTION
+  * statuses itself, like `okhttp/HttpProtocol.java:287-437`). */
 final class HttpProtocol(
     contentLimit: Int = 1 << 20,
     connectTimeoutMs: Int = 10000,
     requestTimeoutMs: Int = 30000,
     userAgent: String = "graft-crawler/0.1",
     extraHeaders: Map[String, String] = Map.empty,
-    useCookies: Boolean = true) extends Protocol {
+    useCookies: Boolean = true,
+    proxyHost: Option[String] = None,
+    proxyPort: Int = 8080) extends Protocol {
 
-  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
-    .followRedirects(HttpClient.Redirect.NEVER)
-    .connectTimeout(Duration.ofMillis(connectTimeoutMs))
-    .build()
+  @transient private lazy val client: HttpClient = {
+    val b = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NEVER)
+      .connectTimeout(Duration.ofMillis(connectTimeoutMs))
+    proxyHost.foreach(h => b.proxy(java.net.ProxySelector.of(
+      new java.net.InetSocketAddress(h, proxyPort))))
+    b.build()
+  }
 
   def fetch(url: String, metadata: Map[String, Seq[String]]): ProtocolResponse = {
     try {
+      val useHead = metadata.get("http.method.head").exists(_.exists(_.equalsIgnoreCase("true")))
       val b = HttpRequest.newBuilder(URI.create(url))
         .timeout(Duration.ofMillis(requestTimeoutMs))
         .header("User-Agent", userAgent)
-        .GET()
+      if (useHead) b.method("HEAD", HttpRequest.BodyPublishers.noBody()) else b.GET()
       metadata.get("last-modified").flatMap(_.headOption)
         .foreach(v => b.header("If-Modified-Since", v))
       // cookies remembered from earlier responses (CookieConverter

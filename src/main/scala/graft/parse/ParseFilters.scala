@@ -210,6 +210,27 @@ final class LanguageIdParseFilter(key: String = "lang", minConf: Double = 0.0)
   }
 }
 
+/** Dump each parsed document's representation to a local file — the
+  * reference's `DebugParseFilter` (`core/.../parse/filter/
+  * DebugParseFilter.java:33`: serializes the DOM to a dump file).
+  * Debug-only by design: executor-local append, one line per doc
+  * (url, title, text length, link count, metadata keys). Never part
+  * of a default chain. */
+final class DebugParseFilter(path: String) extends ParseFilter {
+  def apply(ctx: ParseContext): ParseContext = {
+    val line = s"${ctx.url}\ttitle=${ctx.html.title.getOrElse("")}" +
+      s"\ttext_len=${ctx.html.text.length}\tlinks=${ctx.html.links.size}" +
+      s"\tmd=${ctx.metadata.keys.toSeq.sorted.mkString(",")}\n"
+    // append, executor-local (same file semantics as the reference's
+    // OutputStream member); failures must never kill the parse
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), line,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Exception => () }
+    ctx
+  }
+}
+
 /** Ordered enrichment fold (`ParseFilters.filter`). */
 final class ParseFilterChain(filters: Seq[ParseFilter]) extends Serializable {
   def apply(ctx: ParseContext): ParseContext = filters.foldLeft(ctx)((c, f) => f(c))

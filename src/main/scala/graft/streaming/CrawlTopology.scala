@@ -68,7 +68,10 @@ object CrawlTopology {
                 saltBuckets: Int = 1,
                 contentStore: Option[graft.fetch.ContentStore] = None,
                 contentMaxAgeMs: Option[Long] = None,
-                selectTime: Option[java.sql.Timestamp] = None): (CrawlStats, DataFrame) = {
+                selectTime: Option[java.sql.Timestamp] = None,
+                indexSink: Option[graft.index.IndexSink] = None,
+                indexerMapping: graft.index.IndexerMapping =
+                  graft.index.IndexerMapping()): (CrawlStats, DataFrame) = {
     // selection may run at an adaptive horizon (backlog digging), but
     // merges/schedules always stamp wall-clock batchTime — scheduling
     // new discoveries at a frozen horizon would make them immediately
@@ -152,6 +155,14 @@ object CrawlTopology {
     store.merge(spark, updates, batchTime)
 
     val docs = parsed.where(col("kind") === "doc")
+    // live index sink (IndexerBolt + DeletionBolt wiring): index this
+    // batch's docs through the mapping projection; delete pages whose
+    // status turned ERROR (DeletionBolt also "deletes" never-indexed
+    // docs — a no-op at the backend)
+    indexSink.foreach { sink =>
+      sink.indexBatch(indexerMapping(docs))
+      sink.deleteBatch(parseErrors.select("url"))
+    }
     val stats = CrawlStats(
       selected = selected,
       fetched = fetched.where(col("status") === Status.Fetched).count(),
@@ -172,7 +183,8 @@ object CrawlTopology {
             docsOut: Option[String] = None,
             crawlDelayMs: Long = 1000,
             respectRobots: Boolean = true,
-            selectionLimit: Int = 500): Seq[CrawlStats] = {
+            selectionLimit: Int = 500,
+            indexSink: Option[graft.index.IndexSink] = None): Seq[CrawlStats] = {
     var stats = Vector.empty[CrawlStats]
     var i = 0
     var continue = true
@@ -183,7 +195,8 @@ object CrawlTopology {
       val (st, docs) = crawlOnce(spark, store, protocols, chain,
         limit = selectionLimit,
         crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
-        selectTime = Some(adaptiveDate.queryDate()))
+        selectTime = Some(adaptiveDate.queryDate()),
+        indexSink = indexSink)
       adaptiveDate.observe(st.selected, selectionLimit)
       docsOut.foreach { dir =>
         if (st.docs > 0)

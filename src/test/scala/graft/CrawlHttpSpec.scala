@@ -131,6 +131,62 @@ class CrawlHttpSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("http.method.head metadata switches the request to HEAD") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenMethod: String = null
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        seenMethod = ex.getRequestMethod
+        ex.getResponseHeaders.add("Content-Type", "text/html")
+        if (ex.getRequestMethod == "HEAD") ex.sendResponseHeaders(200, -1)
+        else {
+          val b = "<html>body</html>".getBytes
+          ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val proto = new graft.fetch.HttpProtocol()
+      val resp = proto.fetch(s"$base/x.html",
+        Map("http.method.head" -> Seq("true")))
+      assert(seenMethod == "HEAD")
+      assert(resp.statusCode == 200)
+      assert(resp.content.isEmpty) // HEAD: headers only
+      assert(resp.header("Content-Type").contains("text/html"))
+      // without the flag it's a plain GET
+      val resp2 = proto.fetch(s"$base/x.html", Map.empty)
+      assert(seenMethod == "GET" && resp2.content.nonEmpty)
+    } finally server.stop(0)
+  }
+
+  test("fixed forward proxy routes the request through the proxy host") {
+    // the "proxy" is a plain HttpServer: for absolute-form request URIs
+    // it still answers — seeing the full target URL proves the client
+    // sent the request to the proxy address, not the (unresolvable) host
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenUri: String = null
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        seenUri = ex.getRequestURI.toString
+        val b = "<html>via proxy</html>".getBytes
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val proto = new graft.fetch.HttpProtocol(
+        proxyHost = Some("127.0.0.1"), proxyPort = server.getAddress.getPort)
+      val resp = proto.fetch("http://upstream.invalid/page.html", Map.empty)
+      assert(resp.statusCode == 200)
+      assert(new String(resp.content, "UTF-8").contains("via proxy"))
+      assert(seenUri.contains("upstream.invalid/page.html"))
+    } finally server.stop(0)
+  }
+
   test("http crawl: robots deny, redirect follow, 404 error") {
     val server = startServer()
     try {

@@ -24,6 +24,18 @@ class ParseFiltersSpec extends AnyFunSuite {
     assert(c2.metadata("signature").head != sig1)
   }
 
+  test("DebugParseFilter appends one summary line per doc, never throws") {
+    val tmp = java.nio.file.Files.createTempFile("debugparse", ".log")
+    val f = new DebugParseFilter(tmp.toString)
+    f(ctx("<html><head><title>T</title></head><body><a href=\"x\">x</a>b</body></html>"))
+    f(ctx("<html><body>two</body></html>"))
+    val lines = java.nio.file.Files.readAllLines(tmp)
+    assert(lines.size == 2)
+    assert(lines.get(0).contains("title=T") && lines.get(0).contains("links=1"))
+    // unwritable path: filter is a no-op, not a crash
+    new DebugParseFilter("/nonexistent-dir/x/y.log")(ctx("<html></html>"))
+  }
+
   test("DomainParseFilter adds host and paid-level domain") {
     val c = new DomainParseFilter()(ctx("<html></html>"))
     assert(c.metadata("host") == Seq("www.shop.example.co.uk"))
