@@ -40,15 +40,26 @@ object Bench {
         Window.partitionBy("n").orderBy("n")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def runSuite(dir: String): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    def js(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = runSuite(sfDir)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a second, smaller-SF pass when available: round-over-round deltas
+    // at two scales separate plan regressions (move together) from
+    // host-load noise (don't). Same JSON line, extra keys.
+    val sf001Dir = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.01")
+    val small =
+      if (java.nio.file.Files.isDirectory(sf001Dir) && sf001Dir.toString != sfDir)
+        Some(runSuite(sf001Dir.toString)) else None
+    val extra = small.map(m =>
+      s""","total_sf001":${m.values.sum},"queries_sf001":${js(m)}""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }
