@@ -1,0 +1,40 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data draws. `df.sample()` uses a
+  * per-partition RNG — resplitting the input changes the sample, which
+  * breaks reproducible dataset builds and engine-portable verification.
+  * Here the keep/drop decision is a pure function of the row's id
+  * (Knuth multiplicative hash, plain BIGINT arithmetic any engine can
+  * evaluate identically), so the same row set comes out at any
+  * parallelism, on any engine, on every run.
+  *
+  * Scale design: map-only. The predicate is a codegen'd scan filter —
+  * no shuffle, no RNG state, and column pruning/pushdown still apply.
+  * Sampling 0.1% of 100 TB never materializes the other 99.9%.
+  */
+object Sampling {
+
+  /** 0..9999 bucket from a numeric id: `(id * 2654435761) mod 10000`.
+    * The odd multiplier (Knuth's 2^32 golden-ratio constant) spreads
+    * sequential ids; arithmetic stays well inside BIGINT range for ids
+    * up to ~3.5e9. */
+  def bucket(id: Column): Column = pmod(id.cast("long") * lit(2654435761L), lit(10000L))
+
+  /** Mirror of [[bucket]] as portable SQL (DuckDB/ANSI). */
+  def bucketSql(idExpr: String): String =
+    s"(($idExpr * 2654435761) % 10000 + 10000) % 10000"
+
+  /** Keep each stratum at its own rate (fraction in [0,1]); strata not
+    * listed keep `defaultRate`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.where(bucket(col(idCol)) < rate * 10000)
+  }
+}

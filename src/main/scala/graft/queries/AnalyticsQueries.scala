@@ -133,7 +133,25 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_media"),
           sum("n_frames").as("total_frames"),
           sum("sampled_frames").as("total_sampled"))
-        .orderBy("kind"))
+        .orderBy("kind")),
+
+    // Sessionization: 30-min inactivity gap per user; per-session
+    // rollup. One shuffle on user_id (lag + running counter share a
+    // single WindowExec); the rollup reuses the partitioning.
+    "q44_sessionize" -> ((s, dir) =>
+      graft.analytics.Sessions.sessionStats(t(s, dir, "events"), gapMinutes = 30)
+        .orderBy("user_id", "session_seq")),
+
+    // Deterministic stratified sample of documents per language —
+    // id-hash bucketing (no RNG), map-only predicate at the scan.
+    "q45_stratified_sample" -> ((s, dir) =>
+      graft.analytics.Sampling.stratifiedSample(
+          t(s, dir, "documents"), "lang", "doc_id",
+          rates = Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.25)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -395,6 +413,31 @@ object AnalyticsQueries {
         |SELECT kind, count(*) AS n_media,
         |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
         |  CAST(sum(sampled_frames) AS BIGINT) AS total_sampled
-        |FROM f GROUP BY kind ORDER BY kind""".stripMargin
+        |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q44_sessionize" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |g AS (SELECT user_id, event_id, ts, value,
+         |        CASE WHEN lag(ts) OVER w IS NULL
+         |               OR epoch(CAST(ts AS TIMESTAMP)) // 1 - epoch(lag(ts) OVER w) // 1 > 1800
+         |             THEN 1 ELSE 0 END AS new_session
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, ts, value,
+         |        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |      FROM g)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         |FROM s GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q45_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents
+         |WHERE ${graft.analytics.Sampling.bucketSql("doc_id")} <
+         |  (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1 ELSE 0.25 END) * 10000
+         |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -28,6 +28,26 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(statusCol), col("n"))
 
+  /** Streaming sessionization — the stream face of
+    * [[graft.analytics.Sessions]]: `session_window` merges events into
+    * gap-separated sessions as the watermark advances; state is bounded
+    * by (keys × open sessions), closed sessions emit exactly once in
+    * Append mode. Works identically on a batch DataFrame (tests/oracle
+    * parity) and a stream. */
+  def sessionStatsStream(events: DataFrame, tsCol: String = "ts",
+                         userCol: String = "user_id", valueCol: String = "value",
+                         gap: String = "30 minutes",
+                         watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("total_value"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   final case class Seen(url: String, ts: Timestamp)
   final case class DedupState(firstSeen: Timestamp, expiresAt: Long)
 

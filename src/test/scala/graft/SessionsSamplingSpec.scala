@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Sampling, Sessions}
+
+/** Sessionization gap semantics + deterministic-sampling invariants. */
+class SessionsSamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("sessionize: gap splits, boundary gap stays, per-user independence") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: events at 0, 10, 45, 80 min -> gaps 10, 35, 35 => 3 sessions
+      (1L, 1L, ts(0), 1.0), (2L, 1L, ts(10), 1.0),
+      (3L, 1L, ts(45), 1.0), (4L, 1L, ts(80), 1.0),
+      // user 2: exactly 30-min gap is NOT a split (strictly greater splits)
+      (5L, 2L, ts(0), 1.0), (6L, 2L, ts(30), 1.0),
+      // user 3: single event
+      (7L, 3L, ts(500), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Sessions.sessionize(events, gapMinutes = 30)
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1 && out(2L) == 1)
+    assert(out(3L) == 2)
+    assert(out(4L) == 3)
+    assert(out(5L) == 1 && out(6L) == 1)
+    assert(out(7L) == 1)
+
+    val stats = Sessions.sessionStats(events, gapMinutes = 30)
+      .where(col("user_id") === 1 && col("session_seq") === 1).collect().head
+    assert(stats.getAs[Long]("n_events") == 2)
+    assert(stats.getAs[Timestamp]("session_start") == ts(0))
+    assert(stats.getAs[Timestamp]("session_end") == ts(10))
+  }
+
+  test("stratified sample: rates honored, deterministic across partitioning") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 0.5, "de" -> 0.1)
+    val s1 = Sampling.stratifiedSample(docs, "lang", "doc_id", rates)
+      .select("doc_id").as[Long].collect().toSet
+    // same rows no matter how the input is split — no RNG anywhere
+    val s2 = Sampling.stratifiedSample(docs.repartition(13), "lang", "doc_id", rates)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // rates approximately honored (hash spread, not exact)
+    val en = s1.count(_ % 4 == 0)
+    val de = s1.size - en
+    assert(math.abs(en / 500.0 - 0.5) < 0.1, s"en rate off: $en/500")
+    assert(math.abs(de / 1500.0 - 0.1) < 0.05, s"de rate off: $de/1500")
+    // unlisted stratum default rate 0 -> dropped entirely
+    val none = Sampling.stratifiedSample(docs, "lang", "doc_id", Map("xx" -> 1.0))
+    assert(none.count() == 0)
+  }
+
+  test("sampling bucket matches its SQL mirror") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 17L, 9999L, 123456789L).toDF("id")
+    val sparkBuckets = ids.select(Sampling.bucket(col("id"))).as[Long].collect()
+    val sqlBuckets = ids.selectExpr(Sampling.bucketSql("id")).as[Long].collect()
+    assert(sparkBuckets.sameElements(sqlBuckets))
+  }
+}

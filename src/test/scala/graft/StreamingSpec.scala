@@ -50,6 +50,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(("2024-01-01 00:05:00.0", "FETCHED")) == 1L)
   }
 
+  test("streaming sessionization: session_window closes at the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.sessionStatsStream(df, gap = "30 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:10:00"), 2.0), // same session (10-min gap)
+      (1L, ts("2024-01-01 01:00:00"), 4.0), // 50-min gap -> new session
+      (2L, ts("2024-01-01 00:05:00"), 8.0),
+      // far-future event advances the watermark so earlier sessions close
+      (9L, ts("2024-01-01 09:00:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start").toString) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))))
+      .toMap
+    // user 1, first session: 2 events merged, value 3.0, closed at gap
+    assert(rows((1L, "2024-01-01 00:00:00.0")) == ((2L, 3.0)))
+    assert(rows((1L, "2024-01-01 01:00:00.0")) == ((1L, 4.0)))
+    assert(rows((2L, "2024-01-01 00:05:00.0")) == ((1L, 8.0)))
+  }
+
   test("stateful URL dedup drops repeats across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
