@@ -42,6 +42,9 @@ object FileProtocol extends Protocol {
           else if (url.endsWith(".txt")) "text/plain"
           else if (url.endsWith(".pdf")) "application/pdf"
           else if (url.endsWith(".rtf")) "application/rtf"
+          else if (url.endsWith(".docx"))
+            "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+          else if (url.endsWith(".odt")) "application/vnd.oasis.opendocument.text"
           else "application/octet-stream"
         ProtocolResponse(bytes, 200, Map("Content-Type" -> Seq(mime)))
       }

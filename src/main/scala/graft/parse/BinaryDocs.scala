@@ -112,6 +112,92 @@ object BinaryDocs {
     sb.result().getBytes(StandardCharsets.ISO_8859_1)
   }
 
+  /** Minimal OOXML wordprocessing document: one `<w:p>` per text line
+    * (tabs/newlines-in-line as `<w:tab/>`), optional dc:title core
+    * properties, and one external hyperlink relationship per link. */
+  def makeDocx(text: String, title: Option[String] = None,
+               links: Seq[String] = Nil): Array[Byte] = {
+    val paras = text.split("\n", -1).map { line =>
+      val runs = line.split("\t", -1).map(seg =>
+        s"""<w:r><w:t xml:space="preserve">${xmlEscape(seg)}</w:t></w:r>""")
+        .mkString("<w:r><w:tab/></w:r>")
+      s"<w:p>$runs</w:p>"
+    }.mkString
+    val document =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+         |  xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<w:body>$paras</w:body></w:document>""".stripMargin
+    val rels =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+         |${links.zipWithIndex.map { case (u, i) =>
+             s"""<Relationship Id="rIdLink$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/hyperlink" Target="${xmlEscape(u)}" TargetMode="External"/>"""
+           }.mkString("\n")}
+         |</Relationships>""".stripMargin
+    val core =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties"
+         |  xmlns:dc="http://purl.org/dc/elements/1.1/">
+         |${title.map(t => s"<dc:title>${xmlEscape(t)}</dc:title>").getOrElse("")}
+         |</cp:coreProperties>""".stripMargin
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+        |</Types>""".stripMargin
+    zip(Seq(
+      "[Content_Types].xml" -> contentTypes,
+      "word/document.xml" -> document,
+      "word/_rels/document.xml.rels" -> rels,
+      "docProps/core.xml" -> core))
+  }
+
+  /** Minimal ODF text document: `<text:p>` per line in content.xml,
+    * optional dc:title in meta.xml. */
+  def makeOdt(text: String, title: Option[String] = None): Array[Byte] = {
+    val paras = text.split("\n", -1).map(line =>
+      s"<text:p>${xmlEscape(line).replace("\t", "<text:tab/>")}</text:p>").mkString
+    val content =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+         |  xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+         |<office:body><office:text>$paras</office:text></office:body>
+         |</office:document-content>""".stripMargin
+    val meta =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<office:document-meta xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+         |  xmlns:dc="http://purl.org/dc/elements/1.1/">
+         |<office:meta>${title.map(t => s"<dc:title>${xmlEscape(t)}</dc:title>").getOrElse("")}</office:meta>
+         |</office:document-meta>""".stripMargin
+    zip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text",
+      "content.xml" -> content,
+      "meta.xml" -> meta))
+  }
+
+  private def zip(entries: Seq[(String, String)]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    entries.foreach { case (name, body) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      z.write(body.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    z.close()
+    out.toByteArray
+  }
+
+  private def xmlEscape(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '"' => "&quot;"
+    case '\'' => "&apos;"
+    case c => c.toString
+  }
+
   private def rtfEscape(s: String): String = {
     val sb = new StringBuilder
     s.foreach {

@@ -43,6 +43,10 @@ object BinaryParser {
 
   def isPdf(content: Array[Byte]): Boolean = startsWith(content, "%PDF-")
   def isRtf(content: Array[Byte]): Boolean = startsWith(content, "{\\rtf")
+  /** ZIP local-file-header magic — DOCX/ODT are ZIP containers. */
+  def isZip(content: Array[Byte]): Boolean =
+    content.length >= 4 && content(0) == 'P' && content(1) == 'K' &&
+      content(2) == 3 && content(3) == 4
 
   /** Does the mime type (or the content's magic bytes) route to this
     * parser rather than the HTML one? Mirrors the RedirectionBolt
@@ -51,8 +55,10 @@ object BinaryParser {
   def supports(mime: String, content: Array[Byte]): Boolean = {
     val m = mime.toLowerCase
     if (m.contains("html") || m.contains("xhtml")) false
-    else isPdf(content) || isRtf(content) ||
-      m.contains("pdf") || m.contains("rtf") || m.startsWith("text/")
+    else isPdf(content) || isRtf(content) || isZip(content) ||
+      m.contains("pdf") || m.contains("rtf") || m.startsWith("text/") ||
+      m.contains("officedocument") || m.contains("opendocument") ||
+      m.contains("msword")
   }
 
   /** Dispatch on magic bytes first (the server's Content-Type lies
@@ -63,7 +69,10 @@ object BinaryParser {
     if (content == null || content.isEmpty) Left("empty content")
     else if (isPdf(content)) parsePdf(content)
     else if (isRtf(content)) parseRtf(content)
-    else if (m.contains("pdf") || m.contains("rtf")) Left("content did not match declared type " + m)
+    else if (isZip(content)) parseZipContainer(content)
+    else if (m.contains("pdf") || m.contains("rtf") || m.contains("officedocument") ||
+             m.contains("opendocument") || m.contains("msword"))
+      Left("content did not match declared type " + m)
     else if (m.startsWith("text/") || looksTextual(content))
       Right(BinaryParse(Charsets.decode(content, declaredCharset).trim, None, Nil,
         Map("format" -> Seq("text"))))
@@ -331,6 +340,124 @@ object BinaryParser {
     }
     None
   }
+
+  // ---- DOCX / ODT (ZIP + XML) ---------------------------------------
+
+  /** Inflate a ZIP container to (entryName → bytes) with a total-size
+    * cap (zip-bomb guard — the fetch content limit bounds the
+    * compressed size, this bounds the inflated side). */
+  private def zipEntries(content: Array[Byte],
+                         maxTotal: Int = 64 << 20): Map[String, Array[Byte]] = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val out = Map.newBuilder[String, Array[Byte]]
+    var total = 0L
+    var entry = zin.getNextEntry
+    while (entry != null) {
+      if (!entry.isDirectory) {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = zin.read(chunk)
+        while (n > 0 && total < maxTotal) {
+          buf.write(chunk, 0, n); total += n; n = zin.read(chunk)
+        }
+        if (total >= maxTotal) throw new java.io.IOException("zip inflation cap exceeded")
+        out += entry.getName -> buf.toByteArray
+      }
+      entry = zin.getNextEntry
+    }
+    zin.close()
+    out.result()
+  }
+
+  /** Dispatch a ZIP container: OOXML (word/document.xml) → DOCX,
+    * ODF (content.xml + odt mimetype) → ODT. */
+  def parseZipContainer(content: Array[Byte]): Either[String, BinaryParse] = {
+    try {
+      val entries = zipEntries(content)
+      if (entries.contains("word/document.xml")) parseDocx(entries)
+      else if (entries.contains("content.xml")) parseOdt(entries)
+      else Left("unsupported zip container (" +
+        entries.keys.take(3).mkString(", ") + ", ...)")
+    } catch {
+      case e: Exception => Left("zip parse error: " + e.getMessage)
+    }
+  }
+
+  private val wParaRe = "(?s)<w:p[ >].*?</w:p>|<w:p/>".r
+  private val wRunRe = "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>|<w:tab/>|<w:br/>".r
+  private val dcTitleRe = "(?s)<dc:title(?:\\s[^>]*)?>(.*?)</dc:title>".r
+  private val relExtRe =
+    "<Relationship\\b[^>]*TargetMode=\"External\"[^>]*/?>".r
+  private val relTargetRe = "Target=\"([^\"]*)\"".r
+
+  /** OOXML wordprocessing text: `<w:t>` runs concatenated per `<w:p>`
+    * paragraph (newline-joined), `<w:tab/>`/`<w:br/>` preserved;
+    * title from docProps/core.xml; outlinks from the document's
+    * external relationships (hyperlink targets). Mirrors what Tika's
+    * OOXML parser surfaces into text/Link handlers. */
+  private def parseDocx(entries: Map[String, Array[Byte]]): Either[String, BinaryParse] = {
+    val doc = new String(entries("word/document.xml"), StandardCharsets.UTF_8)
+    val paras = wParaRe.findAllIn(doc).map { p =>
+      wRunRe.findAllMatchIn(p).map { m =>
+        m.matched match {
+          case "<w:tab/>" => "\t"
+          case "<w:br/>" => "\n"
+          case _ => xmlUnescape(m.group(1))
+        }
+      }.mkString
+    }.toSeq
+    val title = entries.get("docProps/core.xml")
+      .map(b => new String(b, StandardCharsets.UTF_8))
+      .flatMap(x => dcTitleRe.findFirstMatchIn(x).map(m => xmlUnescape(m.group(1))))
+      .filter(_.nonEmpty)
+    val links = entries.get("word/_rels/document.xml.rels")
+      .map(b => new String(b, StandardCharsets.UTF_8))
+      .map(x => relExtRe.findAllIn(x).flatMap(r =>
+        relTargetRe.findFirstMatchIn(r).map(m => xmlUnescape(m.group(1)))).toSeq)
+      .getOrElse(Nil)
+    Right(BinaryParse(paras.mkString("\n"), title, links.distinct,
+      Map("format" -> Seq("docx"), "paragraphs" -> Seq(paras.size.toString))))
+  }
+
+  private val tParaRe = "(?s)<text:p[ >].*?</text:p>|<text:p/>".r
+  private val tInnerRe = "(?s)<text:tab/>|<text:line-break/>|<[^>]+>".r
+
+  /** ODF text: `<text:p>` paragraphs from content.xml with tabs/breaks
+    * preserved and all other markup stripped; title from meta.xml. */
+  private def parseOdt(entries: Map[String, Array[Byte]]): Either[String, BinaryParse] = {
+    val doc = new String(entries("content.xml"), StandardCharsets.UTF_8)
+    val paras = tParaRe.findAllIn(doc).map { p =>
+      val body = p.replaceFirst("(?s)^<text:p[^>]*>", "").replaceFirst("</text:p>$", "")
+      xmlUnescape(tInnerRe.replaceAllIn(body, m => m.matched match {
+        case "<text:tab/>" => "\t"
+        case "<text:line-break/>" => "\n"
+        case _ => ""
+      }))
+    }.toSeq
+    val title = entries.get("meta.xml")
+      .map(b => new String(b, StandardCharsets.UTF_8))
+      .flatMap(x => dcTitleRe.findFirstMatchIn(x).map(m => xmlUnescape(m.group(1))))
+      .filter(_.nonEmpty)
+    Right(BinaryParse(paras.mkString("\n"), title, Nil,
+      Map("format" -> Seq("odt"), "paragraphs" -> Seq(paras.size.toString))))
+  }
+
+  private val entRe = "&(amp|lt|gt|quot|apos|#x?[0-9a-fA-F]+);".r
+
+  private[parse] def xmlUnescape(s: String): String =
+    if (s.indexOf('&') < 0) s
+    else entRe.replaceAllIn(s, m => scala.util.matching.Regex.quoteReplacement(
+      m.group(1) match {
+        case "amp" => "&"
+        case "lt" => "<"
+        case "gt" => ">"
+        case "quot" => "\""
+        case "apos" => "'"
+        case h if h.startsWith("#x") || h.startsWith("#X") =>
+          Integer.parseInt(h.drop(2), 16).toChar.toString
+        case d => Integer.parseInt(d.drop(1)).toChar.toString
+      }))
 
   // ---- RTF -----------------------------------------------------------
 

@@ -130,33 +130,33 @@ object CoverageQueries {
         .orderBy("event_type")),
 
     // Binary-document parse (the Tika branch, `external/tika/.../
-    // ParserBolt.java:152-354`): build a PDF (even ids; compressed
-    // streams for ids % 4 == 0) or RTF (odd ids) from each document's
-    // text, then extract text/title/pages/links back with
-    // `BinaryParser`. The oracle is the original text — the extract
-    // path must be byte-exact. Map-only per doc: no shuffle beyond the
-    // final presentation sort.
+    // ParserBolt.java:152-354`): build a PDF (compressed / plain),
+    // DOCX, or RTF from each document's text by id mod 4, then extract
+    // text/title/pages/links back with `BinaryParser`. The oracle is
+    // the original text — the extract path must be byte-exact.
+    // Map-only per doc: no shuffle beyond the final presentation sort.
     "q43_binary_extract" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
+          import graft.parse.{BinaryDocs, BinaryParser}
           val title = s"Doc $id"
-          if (id % 2 == 0) {
-            val bytes = graft.parse.BinaryDocs.makePdf(text, Some(title),
-              links = Seq(s"https://example.com/doc/$id"), compress = id % 4 == 0)
-            val bp = graft.parse.BinaryParser.parsePdf(bytes)
-              .fold(e => sys.error(e), identity)
-            (id, "pdf", bp.title.orNull, bp.text,
-              bp.metadata.get("pages").flatMap(_.headOption).map(_.toInt).getOrElse(0),
-              bp.outlinks.size)
-          } else {
-            val bytes = graft.parse.BinaryDocs.makeRtf(text, Some(title))
-            val bp = graft.parse.BinaryParser.parseRtf(bytes)
-              .fold(e => sys.error(e), identity)
-            (id, "rtf", bp.title.orNull, bp.text, 0, bp.outlinks.size)
+          val link = s"https://example.com/doc/$id"
+          val (fmt, parsed) = (id % 4) match {
+            case 0 | 2 => "pdf" -> BinaryParser.parsePdf(
+              BinaryDocs.makePdf(text, Some(title), links = Seq(link),
+                compress = id % 4 == 0))
+            case 1 => "docx" -> BinaryParser.parseZipContainer(
+              BinaryDocs.makeDocx(text, Some(title), links = Seq(link)))
+            case _ => "rtf" -> BinaryParser.parseRtf(
+              BinaryDocs.makeRtf(text, Some(title)))
           }
+          val bp = parsed.fold(e => sys.error(e), identity)
+          (id, fmt, bp.title.orNull, bp.text,
+            bp.metadata.get("pages").flatMap(_.headOption).map(_.toInt).getOrElse(0),
+            bp.outlinks.size)
         })
         .toDF("doc_id", "fmt", "title", "extracted", "pages", "n_links")
         .orderBy("doc_id")
@@ -241,11 +241,12 @@ object CoverageQueries {
 
     "q43_binary_extract" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'rtf' END AS fmt,
+        |  CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 2 THEN 'pdf'
+        |    WHEN 1 THEN 'docx' ELSE 'rtf' END AS fmt,
         |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
         |  text AS extracted,
         |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS pages,
-        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS n_links
+        |  CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS n_links
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

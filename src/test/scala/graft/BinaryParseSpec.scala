@@ -65,6 +65,38 @@ class BinaryParseSpec extends AnyFunSuite {
     assert(!bp.text.contains("Acme"))
   }
 
+  test("docx round trip: paragraphs, tabs, title, hyperlink relationships") {
+    val text = "first paragraph\nsecond\twith tab\n<specials> & \"quotes\""
+    val links = Seq("https://x.example/a", "https://y.example/b?p=1&q=2")
+    val docx = BinaryDocs.makeDocx(text, Some("Docx & Title"), links)
+    assert(BinaryParser.isZip(docx))
+    val bp = BinaryParser.parseZipContainer(docx).toOption.get
+    assert(bp.text == text)
+    assert(bp.title.contains("Docx & Title"))
+    assert(bp.outlinks == links)
+    assert(bp.metadata("format") == Seq("docx"))
+    assert(bp.metadata("paragraphs") == Seq("3"))
+    val uni = "日本語 — ünïcode"
+    assert(BinaryParser.parseZipContainer(BinaryDocs.makeDocx(uni)).toOption.get.text == uni)
+  }
+
+  test("odt round trip: paragraphs, tabs, title") {
+    val text = "alpha\nbeta\twith tab"
+    val odt = BinaryDocs.makeOdt(text, Some("Odt Title"))
+    val bp = BinaryParser.parseZipContainer(odt).toOption.get
+    assert(bp.text == text)
+    assert(bp.title.contains("Odt Title"))
+    assert(bp.metadata("format") == Seq("odt"))
+  }
+
+  test("unknown zip container is a parse failure, not a crash") {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("random.bin"))
+    z.write(Array[Byte](1, 2, 3)); z.closeEntry(); z.close()
+    assert(BinaryParser.parseZipContainer(out.toByteArray).isLeft)
+  }
+
   test("dispatch: magic bytes beat declared mime; text and failures routed") {
     val pdf = BinaryDocs.makePdf("x")
     // server lies: says text/plain, magic says pdf
