@@ -22,7 +22,17 @@ final case class ProtocolResponse(
 
 trait Protocol extends Serializable {
   /** Fetch one URL. Never throws: failures become status-code responses
-    * (-1 = transport error), so the fetch stage stays total. */
+    * (-1 = transport error), so the fetch stage stays total.
+    *
+    * JS-rendering seam: a selenium/playwright-style protocol
+    * (`external/playwright/.../HttpProtocol.java:51`, `core/.../
+    * protocol/selenium/RemoteDriverProtocol.java:133`) plugs in HERE —
+    * implement this trait around a headless-browser pool (executor-
+    * local, lazily initialized like [[HttpProtocol]]'s client) and
+    * route tagged URLs to it with a [[DelegatorProtocol]] rule such as
+    * `Rule(renderingProtocol, metadataEquals = Map("js" -> "true"))`.
+    * Nothing else in the fetch stage changes: politeness, robots, and
+    * status routing are protocol-agnostic. */
   def fetch(url: String, metadata: Map[String, Seq[String]]): ProtocolResponse
 }
 
