@@ -73,6 +73,54 @@ object TextAnalysis {
       st.getItem(4).cast("int").as("symbol_tokens"))
   }
 
+  /** Top-k distinctive terms per document — TF-IDF-shaped ranking with
+    * a fully deterministic, integer-only order: term frequency DESC
+    * (rarer-is-later tie-break on document frequency ASC, then term
+    * ASC). No float idf in the sort key, so results are bit-identical
+    * across engines and partitionings.
+    *
+    * Scale: explode once; partial aggregation (map-side combine)
+    * collapses repeated terms before the (doc,term) shuffle; the df
+    * side reduces to vocabulary-size rows before joining back on term;
+    * the final top-k is a per-doc `WindowGroupLimit` (rank pushed
+    * below the exchange). Three shuffles — the canonical TF-IDF shape,
+    * each operating on aggregated (not raw token) rows. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    // explode + post-filter (not a higher-order `filter` lambda — HOFs
+    // are CodegenFallback; this keeps the token path in codegen)
+    val toks = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
+  /** PII redaction: emails / IPv4s / long digit runs replaced with
+    * typed placeholders. Patterns are RE2-safe (no lookaround, no \b)
+    * so the identical regex runs in any engine; `regexp_replace` is
+    * codegen'd — map-only at any scale. Order matters: emails first
+    * (an address contains digit runs), then IPs (dotted digits), then
+    * bare digit runs. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "[EMAIL]",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "[IP]",
+    "[0-9]{7,}" -> "[NUM]")
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (re, repl)) => regexp_replace(c, re, repl)
+    }
+    df.select(col(idCol), redacted.as("redacted"),
+      size(regexp_extract_all(col(textCol), lit(piiPatterns.head._1), lit(0)))
+        .as("n_emails"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., MOSS): hash every k-word
     * shingle, take the min hash of each sliding window of `w` positions,
     * count the distinct window-minima per doc. Fingerprinting is

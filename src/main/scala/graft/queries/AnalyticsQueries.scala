@@ -151,7 +151,39 @@ object AnalyticsQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // TF-IDF-shaped top-3 distinctive terms per doc — integer-only
+    // ordering (tf DESC, df ASC, term ASC): deterministic across
+    // engines, no float idf in the sort key.
+    "q46_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")),
+
+    // PII redaction over synthesized contact strings — RE2-safe
+    // patterns, map-only regexp_replace.
+    "q47_pii_redact" -> ((s, dir) =>
+      TextAnalysis.redactPii(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@mail.example from 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 ref 1234567"), col("doc_id").cast("string")).as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Sequence packing: concat-then-chop token budgeting per language,
+    // budget 256 — integer window arithmetic, one shuffle.
+    "q48_sequence_pack" -> ((s, dir) => {
+      val st = graft.functions.TextStatExpressions.textStats(col("text"), Seq.empty)
+      graft.analytics.Packing.packStats(
+          t(s, dir, "documents")
+            .select(col("lang"), col("doc_id").cast("long"),
+              st.getItem(0).cast("int").as("tok")),
+          "lang", "doc_id", "tok", 256)
+        .orderBy("lang", "seq_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -438,6 +470,46 @@ object AnalyticsQueries {
          |FROM documents
          |WHERE ${graft.analytics.Sampling.bucketSql("doc_id")} <
          |  (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1 ELSE 0.25 END) * 10000
-         |GROUP BY lang ORDER BY lang""".stripMargin
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q46_top_terms" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |r AS (SELECT doc_id, term, tf, df,
+         |        CAST(row_number() OVER (PARTITION BY doc_id
+         |          ORDER BY tf DESC, df ASC, term ASC) AS INT) AS rank
+         |      FROM tf JOIN dfreq USING (term))
+         |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q47_pii_redact" ->
+      """WITH x AS (SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example from 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 1234567' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+        |    '[0-9]{7,}', '[NUM]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q48_sequence_pack" ->
+      s"""WITH d AS (SELECT lang, doc_id, len($wordsSql) AS tok FROM documents),
+         |c AS (SELECT lang, doc_id, tok,
+         |        sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM d),
+         |a AS (SELECT lang, tok,
+         |        CAST((cum - tok) // 256 AS BIGINT) AS seq_id,
+         |        ((cum - 1) // 256) > ((cum - tok) // 256) AS straddles
+         |      FROM c)
+         |SELECT lang, seq_id, count(*) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS seq_tokens,
+         |  CAST(sum(CAST(straddles AS INT)) AS BIGINT) AS n_straddlers
+         |FROM a GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin
   )
 }

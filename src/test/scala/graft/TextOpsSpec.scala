@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Packing, TextAnalysis}
+
+/** Unit truth tables for topTerms / redactPii / sequence packing. */
+class TextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("topTerms: frequency first, rarity breaks ties, then lexicographic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),  // apple tf=2 wins
+      (2L, "banana cherry date"),         // all tf=1: banana df=2 = cherry df=2; banana < cherry
+      (3L, "cherry zebra zebra"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topTerms(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term").as[(Long, Int, String)].collect()
+    assert(out(0) == ((1L, 1, "apple")))
+    // doc 1 rank 2: banana/cherry tf=1; df: banana 2, cherry 3 -> banana
+    assert(out(1) == ((1L, 2, "banana")))
+    // doc 2: date df=1 most distinctive at tf parity
+    assert(out(2) == ((2L, 1, "date")))
+    assert(out(3) == ((2L, 2, "banana")))
+    assert(out(4) == ((3L, 1, "zebra")))
+    assert(out.length == 6)
+  }
+
+  test("redactPii: emails, ips, digit runs — in that order") {
+    import spark.implicits._
+    val docs = Seq((1L, "mail a.b+c@x.co.uk ip 192.168.0.1 num 123456789 short 123"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(docs, "doc_id", "text").collect().head
+    assert(r.getAs[String]("redacted") ==
+      "mail [EMAIL] ip [IP] num [NUM] short 123")
+    assert(r.getAs[Int]("n_emails") == 1)
+  }
+
+  test("sequence packing: chop at budget, straddlers flagged") {
+    import spark.implicits._
+    // budget 10; tokens 6,6,4 -> doc2 starts at 6 (seq 0) and ends at 11
+    // (straddles into seq 1); doc3 starts at 12 -> seq 1
+    val docs = Seq(("en", 1L, 6), ("en", 2L, 6), ("en", 3L, 4), ("de", 9L, 25))
+      .toDF("lang", "doc_id", "tok")
+    val a = Packing.assignSequences(docs, "lang", "doc_id", "tok", 10)
+      .select("doc_id", "seq_id", "straddles").as[(Long, Long, Boolean)]
+      .collect().toSet
+    assert(a.contains((1L, 0L, false)))
+    assert(a.contains((2L, 0L, true)))
+    assert(a.contains((3L, 1L, false)))
+    // a single doc larger than the budget spans multiple sequences
+    assert(a.contains((9L, 0L, true)))
+
+    val stats = Packing.packStats(docs, "lang", "doc_id", "tok", 10)
+      .where(col("lang") === "en").orderBy("seq_id")
+      .select("seq_id", "n_docs", "seq_tokens", "n_straddlers")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(stats(0) == ((0L, 2L, 12L, 1L)))
+    assert(stats(1) == ((1L, 1L, 4L, 0L)))
+  }
+}
