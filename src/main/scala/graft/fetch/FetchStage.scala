@@ -56,7 +56,14 @@ object FetchStage {
             crawlDelayMs: Long = 1000,
             maxCrawlDelayMs: Long = 30000,
             respectRobots: Boolean = true,
-            parallelism: Option[Int] = None): DataFrame = {
+            parallelism: Option[Int] = None,
+            /** robots `Sitemap:` autodiscovery (`sitemap.discovery`,
+              * `FetcherBolt.java:535-568`): on a fresh robots fetch,
+              * emit each allowed sitemap URL as a DISCOVERED row
+              * (`isSitemap=true`); the page row carries
+              * `sitemap.found` for the SitemapUrlFilter. Per-URL
+              * metadata `sitemap.discovery=true/false` overrides. */
+            sitemapDiscovery: Boolean = false): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(outputSchema)
     val nParts = parallelism.getOrElse(spark.sparkContext.defaultParallelism)
     val robots = new RobotsCache(protocols)
@@ -67,7 +74,7 @@ object FetchStage {
         // per-key last-fetch time: politeness token bucket local to the
         // partition (all rows of a key are co-partitioned)
         val lastFetch = mutable.Map.empty[String, Long]
-        rows.map { r =>
+        rows.flatMap { r =>
           val url = r.getString(0)
           val key = Option(r.getString(1)).getOrElse("")
           // values arrive as mutable.ArraySeq — convert to immutable Seq
@@ -75,7 +82,32 @@ object FetchStage {
             if (r.isNullAt(2)) Map.empty
             else r.getMap[String, scala.collection.Seq[String]](2).toMap
               .map { case (k, v) => k -> v.toSeq }
-          val rules = if (respectRobots) robots.rulesFor(url) else RobotRules.allowAll
+          val (rules, robotsFromCache) =
+            if (respectRobots) robots.rulesForCached(url)
+            else (RobotRules.allowAll, true)
+
+          // sitemap autodiscovery rows (fresh robots fetch only)
+          val smDisco = md.get("sitemap.discovery").flatMap(_.headOption) match {
+            case Some(v) => v.equalsIgnoreCase("true")
+            case None => sitemapDiscovery
+          }
+          def urlPath(u: String): String = {
+            val i = u.indexOf("://")
+            val rest = if (i < 0) u else u.substring(i + 3)
+            val s = rest.indexOf('/')
+            if (s < 0) "/" else rest.substring(s)
+          }
+          val sitemapRows =
+            if (smDisco && !robotsFromCache && rules.sitemaps.nonEmpty)
+              rules.sitemaps
+                .filter(sm => rules.isAllowed(urlPath(sm)))
+                .map(sm => Row(sm, key, Status.Discovered, 0, null, null, null, 0L,
+                  Map("isSitemap" -> Seq("true"))))
+            else Nil
+          // host has sitemaps -> flag rides the page row into the
+          // frontier (SitemapFilter state, reference issue #710)
+          val mdF =
+            if (rules.sitemaps.nonEmpty) md + ("sitemap.found" -> Seq("true")) else md
 
           val path = {
             val i = url.indexOf("://")
@@ -86,12 +118,12 @@ object FetchStage {
           val delay = rules.crawlDelayMs.getOrElse(crawlDelayMs)
 
           if (respectRobots && !rules.isAllowed(path)) {
-            Row(url, key, Status.Error, -2, null, null, null, 0L,
-              md + ("fetch.error" -> Seq("robots_denied")))
+            sitemapRows :+ Row(url, key, Status.Error, -2, null, null, null, 0L,
+              mdF + ("fetch.error" -> Seq("robots_denied")))
           } else if (delay > maxCrawlDelayMs) {
             // host demands a delay we won't honor -> skip (FetcherBolt.java:592-633)
-            Row(url, key, Status.Error, -3, null, null, null, 0L,
-              md + ("fetch.error" -> Seq("crawl_delay_too_long")))
+            sitemapRows :+ Row(url, key, Status.Error, -3, null, null, null, 0L,
+              mdF + ("fetch.error" -> Seq("crawl_delay_too_long")))
           } else {
             // politeness wait
             val nowMs = System.currentTimeMillis()
@@ -119,14 +151,14 @@ object FetchStage {
               if (setCookies.isEmpty) Map.empty[String, Seq[String]]
               else Map("set-cookie" -> setCookies,
                 "set-cookie.origin" -> graft.functions.Urls.host(url).toSeq)
-            val mdOut = md ++ cookieMd +
+            val mdOut = mdF ++ cookieMd +
               ("fetch.statusCode" -> Seq(resp.statusCode.toString)) +
               ("fetch.byteLength" -> Seq(resp.content.length.toString)) +
               ("fetch.loadingTime" -> Seq(ms.toString))
             // 304 Not Modified maps to FETCHED (Status.java:26-34) but
             // carries no body — emit no content so the parse stage
             // skips it (the previous parse's outcome stands)
-            Row(url, key, status, resp.statusCode,
+            sitemapRows :+ Row(url, key, status, resp.statusCode,
               if (status == Status.Fetched && resp.statusCode != 304) resp.content else null,
               resp.header("Content-Type").orNull,
               redirect, ms, mdOut)

@@ -12,7 +12,10 @@ import java.util.Locale
   * network twice per host per TTL.
   */
 final case class RobotRules(
-    allows: Seq[String], disallows: Seq[String], crawlDelayMs: Option[Long]) {
+    allows: Seq[String], disallows: Seq[String], crawlDelayMs: Option[Long],
+    /** `Sitemap:` directives — global per RFC 9309, not group-scoped
+      * (`FetcherBolt.java:557` reads them for autodiscovery). */
+    sitemaps: Seq[String] = Nil) {
 
   /** Longest-match wins; Allow beats Disallow on equal length (Google
     * semantics). Empty Disallow = allow all. */
@@ -41,6 +44,7 @@ object RobotRules {
     var allows = Vector.empty[String]
     var disallows = Vector.empty[String]
     var delay: Option[Long] = None
+    var sitemaps = Vector.empty[String]
     var lastWasAgent = false
     val agentLc = agent.toLowerCase(Locale.ROOT)
 
@@ -74,12 +78,15 @@ object RobotRules {
           case "crawl-delay" if inMatchingGroup && (groupIsSpecific || !sawSpecific) =>
             delay = value.toDoubleOption.map(d => (d * 1000).toLong)
             lastWasAgent = false
+          case "sitemap" => // group-independent
+            if (value.nonEmpty) sitemaps :+= value
+            lastWasAgent = false
           case _ =>
             lastWasAgent = false
         }
       } else if (line.isEmpty) lastWasAgent = false
     }
-    RobotRules(allows, disallows.filter(_.nonEmpty), delay)
+    RobotRules(allows, disallows.filter(_.nonEmpty), delay, sitemaps.distinct)
   }
 }
 
@@ -108,13 +115,19 @@ final class RobotsCache(protocols: ProtocolFactory,
     }
   }
 
-  def rulesFor(url: String): RobotRules = hostKey(url) match {
-    case None => RobotRules.allowAll
+  def rulesFor(url: String): RobotRules = rulesForCached(url)._1
+
+  /** Rules + whether they came from the cache — autodiscovery emits a
+    * host's sitemaps only on a fresh robots fetch
+    * (`FetcherBolt.java:537-539`: "if the robot file did not come from
+    * the cache, to avoid sending them unnecessarily"). */
+  def rulesForCached(url: String): (RobotRules, Boolean) = hostKey(url) match {
+    case None => (RobotRules.allowAll, true)
     case Some(hk) =>
       val nowMs = System.currentTimeMillis()
       val key = s"$hk|$agent"
       val cached = cache.get(key)
-      if (cached != null && cached._1 > nowMs) cached._2
+      if (cached != null && cached._1 > nowMs) (cached._2, true)
       else {
         val resp = protocols.fetch(s"$hk/robots.txt", Map.empty)
         val (rules, ttl) = resp.statusCode match {
@@ -124,7 +137,7 @@ final class RobotsCache(protocols: ProtocolFactory,
           case _ => (RobotRules.allowAll, ttlMs) // 404: allow all
         }
         cache.put(key, (nowMs + ttl, rules))
-        rules
+        (rules, false)
       }
   }
 }

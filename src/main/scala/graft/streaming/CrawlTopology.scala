@@ -71,7 +71,8 @@ object CrawlTopology {
                 selectTime: Option[java.sql.Timestamp] = None,
                 indexSink: Option[graft.index.IndexSink] = None,
                 indexerMapping: graft.index.IndexerMapping =
-                  graft.index.IndexerMapping()): (CrawlStats, DataFrame) = {
+                  graft.index.IndexerMapping(),
+                sitemapDiscovery: Boolean = false): (CrawlStats, DataFrame) = {
     // selection may run at an adaptive horizon (backlog digging), but
     // merges/schedules always stamp wall-clock batchTime — scheduling
     // new discoveries at a frozen horizon would make them immediately
@@ -103,7 +104,8 @@ object CrawlTopology {
       case None => (batch, None)
     }
     val fetchedLive = FetchStage.fetch(spark, toFetch, protocols,
-      crawlDelayMs = crawlDelayMs, respectRobots = respectRobots)
+      crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
+      sitemapDiscovery = sitemapDiscovery)
     contentStore.foreach { cs =>
       fetchedLive.cache() // store() is an action: populate before reuse
       cs.store(fetchedLive
@@ -120,7 +122,20 @@ object CrawlTopology {
     // (the docs output keeps its own copy) — tiny batch-sized join
     val docSigs = parsed.where(col("kind") === "doc")
       .select(col("url"), col("signature").as("__sig"))
-    val fetchStatuses = fetched.select(
+    // robots-sitemap autodiscoveries (FetchStage DISCOVERED rows): new
+    // URLs, so they pass the URL filter chain WITH their metadata (the
+    // isSitemap flag is the SitemapUrlFilter exemption)
+    val chainMdUdf = udf((t: String, md: Map[String, Seq[String]]) =>
+      chain(t, None, Option(md).getOrElse(Map.empty)).orNull)
+    val discoveredFromFetch = fetched
+      .where(col("status") === Status.Discovered)
+      .select(chainMdUdf(col("url"), col("metadata")).as("url"),
+        lit(Status.Discovered).as("status"), col("metadata"))
+      .where(col("url").isNotNull)
+
+    val fetchStatuses = fetched
+      .where(col("status") =!= Status.Discovered)
+      .select(
         col("url"),
         when(col("redirect_to").isNotNull, Status.Redirection).otherwise(col("status")).as("status"),
         col("metadata"))
@@ -152,6 +167,7 @@ object CrawlTopology {
 
     val updates = fetchStatuses.unionByName(redirectTargets)
       .unionByName(outlinkStatuses).unionByName(parseErrors)
+      .unionByName(discoveredFromFetch)
     store.merge(spark, updates, batchTime)
 
     val docs = parsed.where(col("kind") === "doc")
@@ -184,7 +200,8 @@ object CrawlTopology {
             crawlDelayMs: Long = 1000,
             respectRobots: Boolean = true,
             selectionLimit: Int = 500,
-            indexSink: Option[graft.index.IndexSink] = None): Seq[CrawlStats] = {
+            indexSink: Option[graft.index.IndexSink] = None,
+            sitemapDiscovery: Boolean = false): Seq[CrawlStats] = {
     var stats = Vector.empty[CrawlStats]
     var i = 0
     var continue = true
@@ -196,7 +213,7 @@ object CrawlTopology {
         limit = selectionLimit,
         crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
         selectTime = Some(adaptiveDate.queryDate()),
-        indexSink = indexSink)
+        indexSink = indexSink, sitemapDiscovery = sitemapDiscovery)
       adaptiveDate.observe(st.selected, selectionLimit)
       docsOut.foreach { dir =>
         if (st.docs > 0)

@@ -187,6 +187,48 @@ class CrawlHttpSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("robots sitemap autodiscovery: sitemap found, fetched, entries crawled") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val (code, ctype, body) = ex.getRequestURI.getPath match {
+          case "/robots.txt" =>
+            (200, "text/plain", s"User-agent: *\nDisallow: /private/\nSitemap: $base/map.xml\n")
+          case "/map.xml" =>
+            (200, "application/xml",
+              s"""<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+                 |<url><loc>$base/from-map.html</loc></url></urlset>""".stripMargin)
+          case "/from-map.html" => (200, "text/html", "<html><body>mapped</body></html>")
+          case "/seed.html" => (200, "text/html", "<html><body>seed</body></html>")
+          case _ => (404, "text/plain", "")
+        }
+        val b = body.getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", ctype)
+        ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+        if (b.nonEmpty) ex.getResponseBody.write(b)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      graft.fetch.RobotsCache.clearForTesting() // fresh robots fetch required
+      val chain = new UrlFilterChain(Seq(
+        new BasicUrlNormalizer(), new SelfUrlFilter(), RegexUrlFilter.parse(Seq("+."))))
+      val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+      CrawlTopology.seed(spark, store, Seq(s"$base/seed.html"), chain)
+      CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+        maxIterations = 4, crawlDelayMs = 0, respectRobots = true,
+        sitemapDiscovery = true)
+      val byUrl = store.read(spark).collect()
+        .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+      // the robots Sitemap: directive was discovered and the sitemap fetched
+      assert(byUrl(s"$base/map.xml") == Status.Fetched)
+      // ...and its urlset entries crawled
+      assert(byUrl(s"$base/from-map.html") == Status.Fetched)
+    } finally server.stop(0)
+  }
+
   test("http crawl: robots deny, redirect follow, 404 error") {
     val server = startServer()
     try {

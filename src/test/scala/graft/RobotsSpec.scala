@@ -43,4 +43,19 @@ class RobotsSpec extends AnyFunSuite {
     assert(!r.isAllowed("/"))
     assert(!r.isAllowed("/x"))
   }
+
+  test("sitemap directives are global and deduped") {
+    val r = RobotRules.parse(
+      """User-agent: other
+        |Disallow: /
+        |Sitemap: https://e.com/a.xml
+        |
+        |User-agent: *
+        |Allow: /
+        |Sitemap: https://e.com/b.xml
+        |Sitemap: https://e.com/a.xml
+        |""".stripMargin, "bot")
+    // collected from all groups, in order, deduped
+    assert(r.sitemaps == Seq("https://e.com/a.xml", "https://e.com/b.xml"))
+  }
 }
