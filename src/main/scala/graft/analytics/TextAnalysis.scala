@@ -79,12 +79,14 @@ object TextAnalysis {
     * ASC). No float idf in the sort key, so results are bit-identical
     * across engines and partitionings.
     *
-    * Scale: explode once; partial aggregation (map-side combine)
-    * collapses repeated terms before the (doc,term) shuffle; the df
-    * side reduces to vocabulary-size rows before joining back on term;
-    * the final top-k is a per-doc `WindowGroupLimit` (rank pushed
-    * below the exchange). Three shuffles — the canonical TF-IDF shape,
-    * each operating on aggregated (not raw token) rows. */
+    * Scale: the corpus is scanned and exploded ONCE — document
+    * frequency comes from a `count over (partition by term)` window on
+    * the already-aggregated (doc,term) rows, not a self-join (a join
+    * formulation makes Spark re-scan + re-explode the corpus for the
+    * df side). Partial aggregation (map-side combine) collapses
+    * repeated terms before the first shuffle; the final top-k is a
+    * per-doc `WindowGroupLimit` (rank pushed below the exchange).
+    * Three shuffles, all over aggregated rows. */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     // explode + post-filter (not a higher-order `filter` lambda — HOFs
     // are CodegenFallback; this keeps the token path in codegen)
@@ -92,10 +94,9 @@ object TextAnalysis {
         explode(split(col(textCol), " ")).as("term"))
       .where(col("term") =!= "")
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))

@@ -111,6 +111,32 @@ class BinaryParseSpec extends AnyFunSuite {
     assert(BinaryParser.parsePdf(broken).toOption.get.text == "")
   }
 
+  test("fuzz: garbage with valid magics and truncated docs never throw") {
+    // deterministic LCG — crawlers meet byte garbage constantly; every
+    // parser entry point must return Left, never throw
+    var state = 0x2545f4914f6cdd1dL
+    def nextBytes(n: Int): Array[Byte] = Array.fill(n) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 33).toByte
+    }
+    val magics = Seq("%PDF-1.4\n", "{\\rtf1", "PK", "")
+    for (m <- magics; len <- Seq(0, 1, 7, 64, 513, 4096)) {
+      val junk = m.getBytes("ISO-8859-1") ++ nextBytes(len)
+      BinaryParser.parse(junk, "application/pdf")
+      BinaryParser.parse(junk, "application/rtf")
+      BinaryParser.parse(junk, "application/octet-stream")
+      BinaryParser.parse(junk, "text/plain")
+    }
+    // every truncation prefix of valid documents parses or fails cleanly
+    val pdf = BinaryDocs.makePdf("text body", Some("T"), Seq("https://x.example/"))
+    val docx = BinaryDocs.makeDocx("text body", Some("T"))
+    val rtf = BinaryDocs.makeRtf("text body", Some("T"))
+    for (doc <- Seq(pdf, docx, rtf); cut <- 1 until doc.length by 7) {
+      BinaryParser.parse(doc.take(cut), "application/octet-stream")
+    }
+    succeed
+  }
+
   test("supports() mirrors the RedirectionBolt shunt") {
     val pdf = BinaryDocs.makePdf("x")
     assert(BinaryParser.supports("application/pdf", pdf))
