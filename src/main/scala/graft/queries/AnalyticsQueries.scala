@@ -173,6 +173,17 @@ object AnalyticsQueries {
         "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Fixed-point PageRank over the derived host graph (3 iterations) —
+    // link-graph quality prior; BIGINT arithmetic end-to-end so the
+    // DuckDB oracle reproduces ranks exactly.
+    "q49_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "events").selectExpr(
+          "concat('h', cast(user_id % 20 as string)) AS src",
+          "concat('h', cast(event_id % 20 as string)) AS dst")
+        .where(col("src") =!= col("dst"))
+      graft.analytics.LinkGraph.pagerank(edges, iterations = 3).orderBy("node")
+    }),
+
     // Sequence packing: concat-then-chop token budgeting per language,
     // budget 256 — integer window arithmetic, one shuffle.
     "q48_sequence_pack" -> ((s, dir) => {
@@ -496,6 +507,27 @@ object AnalyticsQueries {
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails
         |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q49_pagerank" ->
+      """WITH e AS (SELECT DISTINCT 'h' || CAST(user_id % 20 AS VARCHAR) AS src,
+        |    'h' || CAST(event_id % 20 AS VARCHAR) AS dst
+        |  FROM events WHERE user_id % 20 <> event_id % 20),
+        |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM v),
+        |c1 AS (SELECT e.dst AS node, sum(r0.rank // od.outdeg) AS contrib
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r1 AS (SELECT v.node, CAST(150000000000 + (85 * coalesce(c1.contrib, 0)) // 100 AS BIGINT) AS rank
+        |       FROM v LEFT JOIN c1 ON v.node = c1.node),
+        |c2 AS (SELECT e.dst AS node, sum(r1.rank // od.outdeg) AS contrib
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r2 AS (SELECT v.node, CAST(150000000000 + (85 * coalesce(c2.contrib, 0)) // 100 AS BIGINT) AS rank
+        |       FROM v LEFT JOIN c2 ON v.node = c2.node),
+        |c3 AS (SELECT e.dst AS node, sum(r2.rank // od.outdeg) AS contrib
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src GROUP BY e.dst),
+        |r3 AS (SELECT v.node, CAST(150000000000 + (85 * coalesce(c3.contrib, 0)) // 100 AS BIGINT) AS rank
+        |       FROM v LEFT JOIN c3 ON v.node = c3.node)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
 
     "q48_sequence_pack" ->
       s"""WITH d AS (SELECT lang, doc_id, len($wordsSql) AS tok FROM documents),

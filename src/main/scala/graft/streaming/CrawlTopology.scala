@@ -239,7 +239,9 @@ object CrawlTopology {
                   checkpointDir: String,
                   docsOut: String,
                   crawlDelayMs: Long = 1000,
-                  respectRobots: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+                  respectRobots: Boolean = true,
+                  indexSink: Option[graft.index.IndexSink] = None,
+                  sitemapDiscovery: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream
       .format("rate").option("rowsPerSecond", 1).load()
       .writeStream
@@ -247,7 +249,8 @@ object CrawlTopology {
       .trigger(Trigger.ProcessingTime(intervalMs))
       .foreachBatch { (_: DataFrame, _: Long) =>
         val (st, docs) = crawlOnce(spark, store, protocols, chain,
-          crawlDelayMs = crawlDelayMs, respectRobots = respectRobots)
+          crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
+          indexSink = indexSink, sitemapDiscovery = sitemapDiscovery)
         if (st.docs > 0)
           docs.select("url", "title", "text", "signature", "noindex")
             .write.mode("append").parquet(docsOut)

@@ -45,6 +45,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_emails") == 1)
   }
 
+  test("fixed-point pagerank matches an independent in-memory reference") {
+    import spark.implicits._
+    val edgeList = Seq(
+      "a" -> "b", "b" -> "a", "a" -> "c", "c" -> "a", "b" -> "c",
+      "d" -> "a") // d is a source-only node; nothing links to d
+    val edges = edgeList.toDF("src", "dst")
+    val scale = 1000000L
+    val got = graft.analytics.LinkGraph.pagerank(edges, iterations = 4, scale = scale)
+      .as[(String, Long)].collect().toMap
+
+    // plain-Scala reference: same integer recurrence, sequential
+    val outdeg = edgeList.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to 4) {
+      val contrib = edgeList.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = nodes.map(n => n -> (scale * 15 / 100 + 85 * contrib.getOrElse(n, 0L) / 100)).toMap
+    }
+    assert(got == r)
+    // unlinked node sits at the damping floor
+    assert(got("d") == scale * 15 / 100)
+    // deterministic across partitioning
+    val got13 = graft.analytics.LinkGraph.pagerank(edges.repartition(13), iterations = 4, scale = scale)
+      .as[(String, Long)].collect().toMap
+    assert(got13 == got)
+  }
+
   test("sequence packing: chop at budget, straddlers flagged") {
     import spark.implicits._
     // budget 10; tokens 6,6,4 -> doc2 starts at 6 (seq 0) and ends at 11
