@@ -87,6 +87,40 @@ object Dedup {
         (1 to numHashes).map(i => col("sig").getItem(i - 1).as(s"h$i")): _*)
   }
 
+  /** Connected components over candidate pairs — the clustering stage
+    * between pair generation ([[lshCandidatePairs]] / [[jaccardPairs]])
+    * and canonical-document selection: every near-dup cluster keeps one
+    * representative (its min id).
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * min label among itself and its neighbors. `min` is commutative /
+    * order-independent, so labels are deterministic and engine-exact;
+    * `iterations` rounds resolve components of diameter ≤ iterations
+    * (near-dup clusters are star/clique shaped — shallow). Each round
+    * is one join + one aggregation on the undirected edge list; the
+    * label side is |V| rows against |E| edges — the same static-DAG
+    * iteration shape as [[LinkGraph.pagerank]].
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                          iterations: Int = 3): DataFrame = {
+    val und = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct()
+    und.cache()
+    val nodes = und.select(col("x").as("node")).distinct()
+    var labels = nodes.withColumn("comp", col("node"))
+    for (_ <- 1 to iterations) {
+      val nbrMin = und
+        .join(labels.withColumnRenamed("node", "y")
+                    .withColumnRenamed("comp", "ycomp"), "y")
+        .groupBy(col("x").as("node")).agg(min(col("ycomp")).as("nmin"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+    }
+    labels
+  }
+
   /** LSH candidate pairs from unigram MinHash, banded 2×2 (band A =
     * (h1,h2), band B = (h3,h4)); docs sharing either band within the
     * same `groupCol` become candidates. Returns distinct (a, b) pairs,

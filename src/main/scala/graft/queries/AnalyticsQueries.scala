@@ -173,6 +173,18 @@ object AnalyticsQueries {
         "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Near-dup clustering: LSH candidate pairs → connected components
+    // (3 min-label rounds) → per-cluster size + members; the canonical
+    // keep-one-per-cluster stage of the dedup pipeline.
+    "q50_neardup_components" -> ((s, dir) => {
+      val pairs = Dedup.lshCandidatePairs(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+      Dedup.connectedComponents(pairs, iterations = 3)
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
+        .orderBy("comp")
+    }),
+
     // Fixed-point PageRank over the derived host graph (3 iterations) —
     // link-graph quality prior; BIGINT arithmetic end-to-end so the
     // DuckDB oracle reproduces ranks exactly.
@@ -197,6 +209,21 @@ object AnalyticsQueries {
     })
   )
 
+  /** Shared pair-generation CTE (q22's LSH banding), reused by the
+    * component-clustering oracle. */
+  private lazy val lshPairsCte: String =
+    s"""w AS (SELECT source, doc_id, unnest(list_distinct($wordsSql)) AS wd FROM documents),
+       |sig AS (SELECT source, doc_id,
+       |    concat(CAST(min(${chunk("wd", 0)}) AS VARCHAR), '_', CAST(min(${chunk("wd", 1)}) AS VARCHAR)) AS bandA,
+       |    concat(CAST(min(${chunk("wd", 2)}) AS VARCHAR), '_', CAST(min(${chunk("wd", 3)}) AS VARCHAR)) AS bandB
+       |  FROM w GROUP BY source, doc_id),
+       |p AS (
+       |  SELECT l.source, l.doc_id AS a, r.doc_id AS b FROM sig l JOIN sig r
+       |    ON l.source = r.source AND l.bandA = r.bandA AND l.doc_id < r.doc_id
+       |  UNION
+       |  SELECT l.source, l.doc_id, r.doc_id FROM sig l JOIN sig r
+       |    ON l.source = r.source AND l.bandB = r.bandB AND l.doc_id < r.doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
@@ -214,18 +241,25 @@ object AnalyticsQueries {
          |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q22_lsh_pairs" ->
-      s"""WITH w AS (SELECT source, doc_id, unnest(list_distinct($wordsSql)) AS wd FROM documents),
-         |sig AS (SELECT source, doc_id,
-         |    concat(CAST(min(${chunk("wd", 0)}) AS VARCHAR), '_', CAST(min(${chunk("wd", 1)}) AS VARCHAR)) AS bandA,
-         |    concat(CAST(min(${chunk("wd", 2)}) AS VARCHAR), '_', CAST(min(${chunk("wd", 3)}) AS VARCHAR)) AS bandB
-         |  FROM w GROUP BY source, doc_id),
-         |p AS (
-         |  SELECT l.source, l.doc_id AS a, r.doc_id AS b FROM sig l JOIN sig r
-         |    ON l.source = r.source AND l.bandA = r.bandA AND l.doc_id < r.doc_id
-         |  UNION
-         |  SELECT l.source, l.doc_id, r.doc_id FROM sig l JOIN sig r
-         |    ON l.source = r.source AND l.bandB = r.bandB AND l.doc_id < r.doc_id)
+      s"""WITH $lshPairsCte
          |SELECT source, count(*) AS n_pairs FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q50_neardup_components" ->
+      s"""WITH $lshPairsCte,
+         |u AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+         |v AS (SELECT DISTINCT x AS node FROM u),
+         |l0 AS (SELECT node, node AS comp FROM v),
+         |m1 AS (SELECT u.x AS node, min(l0.comp) AS nmin FROM u JOIN l0 ON u.y = l0.node GROUP BY u.x),
+         |l1 AS (SELECT l0.node, least(l0.comp, coalesce(m1.nmin, l0.comp)) AS comp
+         |       FROM l0 LEFT JOIN m1 ON l0.node = m1.node),
+         |m2 AS (SELECT u.x AS node, min(l1.comp) AS nmin FROM u JOIN l1 ON u.y = l1.node GROUP BY u.x),
+         |l2 AS (SELECT l1.node, least(l1.comp, coalesce(m2.nmin, l1.comp)) AS comp
+         |       FROM l1 LEFT JOIN m2 ON l1.node = m2.node),
+         |m3 AS (SELECT u.x AS node, min(l2.comp) AS nmin FROM u JOIN l2 ON u.y = l2.node GROUP BY u.x),
+         |l3 AS (SELECT l2.node, least(l2.comp, coalesce(m3.nmin, l2.comp)) AS comp
+         |       FROM l2 LEFT JOIN m3 ON l2.node = m3.node)
+         |SELECT comp, count(*) AS n_docs, max(node) AS max_doc
+         |FROM l3 GROUP BY comp ORDER BY comp""".stripMargin,
 
     "q23_simhash" ->
       s"""WITH w AS (SELECT doc_id, unnest(list_distinct($wordsSql)) AS wd FROM documents),

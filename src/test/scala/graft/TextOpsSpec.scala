@@ -73,6 +73,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got13 == got)
   }
 
+  test("connected components: chains collapse within the round budget") {
+    import spark.implicits._
+    // component {1,2,3,4} as a path (diameter 3), component {10,11},
+    // pair (20,21); iterations=3 covers the path
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val comp = graft.analytics.Dedup.connectedComponents(pairs, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L && comp(4L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    // deterministic across partitioning
+    val comp7 = graft.analytics.Dedup.connectedComponents(pairs.repartition(7), iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(comp7 == comp)
+  }
+
   test("sequence packing: chop at budget, straddlers flagged") {
     import spark.implicits._
     // budget 10; tokens 6,6,4 -> doc2 starts at 6 (seq 0) and ends at 11
