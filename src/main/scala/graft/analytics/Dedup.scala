@@ -108,16 +108,26 @@ object Dedup {
       .distinct()
     und.cache()
     val nodes = und.select(col("x").as("node")).distinct()
-    var labels = nodes.withColumn("comp", col("node"))
+    var labels = nodes.withColumn("comp", col("node")).localCheckpoint()
     for (_ <- 1 to iterations) {
-      val nbrMin = und
+      // one round = min over (own label ∪ neighbor labels): a union +
+      // single min-aggregation — ONE shuffle; the edge⋈label join
+      // builds on the materialized label table (broadcast-sized
+      // relative to the edges). labels appears TWICE per round (self
+      // branch + neighbor branch): without truncating lineage each
+      // round, round N's plan re-computes round N-1 twice —
+      // exponential re-execution — so each round ends in a
+      // localCheckpoint of the |V|-row label table (the standard
+      // Spark iterative-algorithm pattern).
+      val viaNbr = und
         .join(labels.withColumnRenamed("node", "y")
                     .withColumnRenamed("comp", "ycomp"), "y")
-        .groupBy(col("x").as("node")).agg(min(col("ycomp")).as("nmin"))
-      labels = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .select(col("x").as("node"), col("ycomp").as("comp"))
+      labels = labels.union(viaNbr)
+        .groupBy("node").agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
     }
+    und.unpersist()
     labels
   }
 

@@ -31,9 +31,16 @@ object LinkGraph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct() // simple graph: parallel edges count once
     e.cache()
+    // loop invariants are cached: vertices and out-degrees are re-read
+    // every round, and an uncached copy would re-aggregate the edges
+    // per iteration. The rank lineage itself is LINEAR (each round
+    // references the previous ranks exactly once), so it stays lazy —
+    // one job executes the whole unrolled DAG; no per-round
+    // materialization overhead (contrast Dedup.connectedComponents,
+    // where the double-referenced label table forces checkpoints).
     val vertices = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     val base = (scale * 15L) / 100L
 
     var ranks = vertices.withColumn("rank", lit(scale))
