@@ -173,6 +173,26 @@ object AnalyticsQueries {
         "doc_id", "text")
         .orderBy("doc_id")),
 
+    // The corpus-build composition: exact-dedup keep ∩ quality gate ∩
+    // deterministic stratified sample → per-language draw stats. One
+    // pipeline a training-data user actually runs; every stage is an
+    // already-verified operator, composed (the joins are tiny keep-
+    // lists against the corpus — broadcast under AQE).
+    "q51_corpus_draw" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keep = Dedup.exactDedup(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .where(col("n_tokens") >= 20 && col("quality") > 0.12)
+        .select("doc_id")
+      graft.analytics.Sampling.stratifiedSample(
+          docs, "lang", "doc_id", Map("en" -> 0.8), defaultRate = 0.5)
+        .join(keep, "doc_id").join(quality, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // Near-dup clustering: LSH candidate pairs → connected components
     // (3 min-label rounds) → per-cluster size + members; the canonical
     // keep-one-per-cluster stage of the dedup pipeline.
@@ -243,6 +263,22 @@ object AnalyticsQueries {
     "q22_lsh_pairs" ->
       s"""WITH $lshPairsCte
          |SELECT source, count(*) AS n_pairs FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q51_corpus_draw" ->
+      s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |w AS (SELECT doc_id, text, $wordsSql AS ws FROM documents),
+         |m AS (SELECT doc_id, len(ws) AS n_tokens, length(text) AS n_chars_m,
+         |        len(list_filter(ws, x -> x IN ('the','and','of','to','in','is','that','for'))) AS n_stop
+         |      FROM w),
+         |q AS (SELECT doc_id FROM m WHERE n_tokens >= 20 AND
+         |        (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5 +
+         |        (CAST(n_tokens AS DOUBLE) / CAST(n_chars_m + 1 AS DOUBLE)) * 0.5 > 0.12),
+         |samp AS (SELECT doc_id, lang, n_chars FROM documents
+         |         WHERE ${graft.analytics.Sampling.bucketSql("doc_id")} <
+         |           (CASE lang WHEN 'en' THEN 0.8 ELSE 0.5 END) * 10000)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM samp JOIN keep USING (doc_id) JOIN q USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q50_neardup_components" ->
       s"""WITH $lshPairsCte,
