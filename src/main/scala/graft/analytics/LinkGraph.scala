@@ -58,6 +58,11 @@ object LinkGraph {
           (lit(base) + expr(s"(85 * coalesce(contrib, 0L)) div 100"))
             .cast("long").as("rank"))
     }
-    ranks
+    // materialize the result THROUGH the caches, then release them —
+    // method-local cached frames would otherwise pin executor storage
+    // for the session lifetime
+    val out = ranks.localCheckpoint()
+    e.unpersist(); vertices.unpersist(); outdeg.unpersist()
+    out
   }
 }

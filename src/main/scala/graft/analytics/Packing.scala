@@ -27,12 +27,15 @@ object Packing {
                       tokensCol: String, budget: Int): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer `div`, not double `/` + cast: double division can land
+    // one off from true floor near 2^53 cumulative tokens, and the
+    // whole point of the operator is engine-exact arithmetic
     df.withColumn("__cum", sum(col(tokensCol)).over(w))
       .withColumn("start_offset", col("__cum") - col(tokensCol))
-      .withColumn("seq_id", (col("start_offset") / budget).cast("long"))
+      .withColumn("seq_id", expr(s"start_offset div $budget"))
       .withColumn("straddles",
         // last token of the doc lands in a later sequence than the first
-        ((col("__cum") - 1) / budget).cast("long") > col("seq_id"))
+        expr(s"(__cum - 1) div $budget") > col("seq_id"))
       .drop("__cum")
   }
 

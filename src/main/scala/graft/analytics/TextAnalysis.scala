@@ -88,8 +88,11 @@ object TextAnalysis {
     * per-doc `WindowGroupLimit` (rank pushed below the exchange).
     * Three shuffles, all over aggregated rows. */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    // explode + post-filter (not a higher-order `filter` lambda — HOFs
-    // are CodegenFallback; this keeps the token path in codegen)
+    // same tokenization as [[Dedup.words]] (the literal-single-space
+    // split every oracle mirrors — see its scaladoc), but as explode +
+    // relational post-filter: `Dedup.words`' higher-order `filter`
+    // lambda is CodegenFallback, and in a per-token explode that
+    // interpretation cost multiplies by corpus token count
     val toks = df.select(col(idCol),
         explode(split(col(textCol), " ")).as("term"))
       .where(col("term") =!= "")

@@ -109,12 +109,7 @@ object FetchStage {
           val mdF =
             if (rules.sitemaps.nonEmpty) md + ("sitemap.found" -> Seq("true")) else md
 
-          val path = {
-            val i = url.indexOf("://")
-            val rest = if (i < 0) url else url.substring(i + 3)
-            val s = rest.indexOf('/')
-            if (s < 0) "/" else rest.substring(s)
-          }
+          val path = urlPath(url)
           val delay = rules.crawlDelayMs.getOrElse(crawlDelayMs)
 
           if (respectRobots && !rules.isAllowed(path)) {

@@ -104,8 +104,8 @@ object BinaryParser {
         .mkString("\n")
       // raw (non-stream) regions: annotations, info dict, page objects
       val raw = new String(content, StandardCharsets.ISO_8859_1)
-      val links = uriAnnotations(raw)
-      val title = pdfTitle(raw)
+      val links = uriAnnotations(raw, content)
+      val title = pdfTitle(raw, content)
       val pages = "/Type\\s*/Page[^s]".r.findAllIn(raw).length
       val md = Map("format" -> Seq("pdf")) ++
         (if (pages > 0) Map("pages" -> Seq(pages.toString)) else Map.empty)
@@ -164,7 +164,8 @@ object BinaryParser {
     out.toSeq
   }
 
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+  private def inflate(data: Array[Byte],
+                      maxOut: Int = 64 << 20): Option[Array[Byte]] = {
     try {
       val inf = new Inflater()
       inf.setInput(data)
@@ -172,8 +173,13 @@ object BinaryParser {
       val chunk = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(chunk)
-        if (n > 0) buf.write(chunk, 0, n)
-        else if (n == 0 && inf.needsDictionary()) return None
+        if (n > 0) {
+          // deflate-bomb guard, same bound as the ZIP container walk:
+          // the fetch limit caps the COMPRESSED size, this caps the
+          // inflated side (~1000:1 max ratio makes 1MB → 1GB possible)
+          if (buf.size() + n > maxOut) return None
+          buf.write(chunk, 0, n)
+        } else if (n == 0 && inf.needsDictionary()) return None
       }
       inf.end()
       Some(buf.toByteArray)
@@ -303,19 +309,21 @@ object BinaryParser {
 
   /** `/URI (...)` or `/URI <hex>` link-annotation targets, in document
     * order, deduped. */
-  private def uriAnnotations(raw: String): Seq[String] = {
+  /** `bytes` is the original content (raw was decoded from it with
+    * ISO-8859-1, so indices line up byte-for-byte) — re-encoding the
+    * whole document per annotation would allocate doc-size copies in
+    * the parse hot path. */
+  private def uriAnnotations(raw: String, bytes: Array[Byte]): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     var from = 0
     while ({ from = raw.indexOf("/URI", from); from >= 0 }) {
       var i = from + 4
       while (i < raw.length && raw.charAt(i).isWhitespace) i += 1
       if (i < raw.length && raw.charAt(i) == '(') {
-        val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
         val (str, _) = literalString(bytes, i)
         if (str.nonEmpty) out += str
       } else if (i < raw.length && raw.charAt(i) == '<' &&
                  i + 1 < raw.length && raw.charAt(i + 1) != '<') {
-        val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
         val (str, _) = hexString(bytes, i)
         if (str.nonEmpty) out += str
       }
@@ -324,14 +332,13 @@ object BinaryParser {
     out.distinct.toSeq
   }
 
-  private def pdfTitle(raw: String): Option[String] = {
+  private def pdfTitle(raw: String, bytes: Array[Byte]): Option[String] = {
     var from = 0
     while ({ from = raw.indexOf("/Title", from); from >= 0 }) {
       var i = from + 6
       while (i < raw.length && raw.charAt(i).isWhitespace) i += 1
       if (i < raw.length && (raw.charAt(i) == '(' ||
           (raw.charAt(i) == '<' && i + 1 < raw.length && raw.charAt(i + 1) != '<'))) {
-        val bytes = raw.getBytes(StandardCharsets.ISO_8859_1)
         val (str, _) =
           if (raw.charAt(i) == '(') literalString(bytes, i) else hexString(bytes, i)
         if (str.nonEmpty) return Some(str)
@@ -454,9 +461,19 @@ object BinaryParser {
         case "gt" => ">"
         case "quot" => "\""
         case "apos" => "'"
-        case h if h.startsWith("#x") || h.startsWith("#X") =>
-          Integer.parseInt(h.drop(2), 16).toChar.toString
-        case d => Integer.parseInt(d.drop(1)).toChar.toString
+        case num =>
+          // numeric refs: supplementary-plane codepoints need a
+          // surrogate PAIR (toChar truncates U+1F600 to a wrong BMP
+          // char); out-of-range/unparseable refs stay as-is rather
+          // than failing the whole document
+          val cp = try {
+            if (num.startsWith("#x") || num.startsWith("#X"))
+              Integer.parseInt(num.drop(2), 16)
+            else Integer.parseInt(num.drop(1))
+          } catch { case _: NumberFormatException => -1 }
+          if (cp >= 0 && Character.isValidCodePoint(cp))
+            new String(Character.toChars(cp))
+          else m.matched
       }))
 
   // ---- RTF -----------------------------------------------------------
@@ -529,9 +546,19 @@ object BinaryParser {
                 case "u" =>
                   val cp = numStr.toInt
                   sink.foreach(_.append((if (cp < 0) cp + 65536 else cp).toChar))
+                  // skip ucSkip fallback chars; a \'hh escape counts as
+                  // ONE fallback character (Word emits \uN\'3f), other
+                  // control words / group delimiters end the fallback
                   var skipped = 0
-                  while (skipped < ucSkip && j < s.length && s.charAt(j) != '\\' &&
-                         s.charAt(j) != '{' && s.charAt(j) != '}') { j += 1; skipped += 1 }
+                  var more = true
+                  while (skipped < ucSkip && j < s.length && more) {
+                    s.charAt(j) match {
+                      case '\\' if j + 3 < s.length && s.charAt(j + 1) == '\'' =>
+                        j += 4; skipped += 1
+                      case '\\' | '{' | '}' => more = false
+                      case _ => j += 1; skipped += 1
+                    }
+                  }
                 case "info" => if (infoDepth < 0) infoDepth = depth
                 case "title" if infoDepth >= 0 =>
                   titleDepth = depth; titleBuf.clear()

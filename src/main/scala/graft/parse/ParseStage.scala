@@ -140,16 +140,29 @@ object ParseStage {
               !decoded.take(512).trim.startsWith("<"))) {
             BinaryParser.parse(content, ctype, Some(ctype)) match {
               case Right(bp) =>
-                val docMd = md ++
+                val baseMd = md ++
                   bp.metadata.map { case (k, v) => s"parse.$k" -> v } +
                   ("parse.Content-Type" -> Seq(ctype)) ++
                   bp.title.map(t => "parse.title" -> Seq(t))
+                // binary docs run the SAME §2.6 enrichment chain as
+                // HTML ones (Tika ParserBolt calls parseFilters.filter,
+                // `ParserBolt.java:280-286`) — domain/lang/signature/
+                // collection taggers must see every doc, whatever its
+                // format; the DOM-less filters operate on the
+                // extracted text via a synthetic parse
+                val synthetic = HtmlParser.ParsedHtml(
+                  bp.title, bp.text, Nil, Set.empty, None, None, None)
+                val ctx = parseFilters(ParseContext(url, content, synthetic,
+                  baseMd, decoded = bp.text))
                 // same signature convention as the HTML branch
                 // (MD5SignatureParseFilter.java:48)
-                val signature = Urls.md5Hex(bp.text)
+                val signature = ctx.metadata.get("signature").flatMap(_.headOption)
+                  .getOrElse(Urls.md5Hex(bp.text))
                 val docRow = Row(url, "doc", null, null, null,
-                  bp.title.orNull, bp.text, false, null, signature, docMd)
-                Seq(docRow) ++ outlinkRows(bp.outlinks.map(u => (u, "")), Map.empty)
+                  bp.title.orNull, bp.text, false, null, signature, ctx.metadata)
+                val links = bp.outlinks.map(u => (u, "")) ++
+                  ctx.extraOutlinks.map(u => (u, ""))
+                Seq(docRow) ++ outlinkRows(links, Map.empty)
               case Left(err) =>
                 // ParserBolt.handleException (`external/tika/.../
                 // ParserBolt.java:337-354`): the page itself becomes an

@@ -172,12 +172,15 @@ object CrawlTopology {
 
     val docs = parsed.where(col("kind") === "doc")
     // live index sink (IndexerBolt + DeletionBolt wiring): index this
-    // batch's docs through the mapping projection; delete pages whose
-    // status turned ERROR (DeletionBolt also "deletes" never-indexed
-    // docs — a no-op at the backend)
+    // batch's docs through the mapping projection; delete EVERY page
+    // whose status row turned ERROR this batch — robots-denied and
+    // unparseable pages included, not just parse failures (DeletionBolt
+    // also "deletes" never-indexed docs — a no-op at the backend).
+    // Errors produced by the merge's own escalation (3rd FETCH_ERROR)
+    // surface on a later batch's select, not here.
     indexSink.foreach { sink =>
       sink.indexBatch(indexerMapping(docs))
-      sink.deleteBatch(parseErrors.select("url"))
+      sink.deleteBatch(updates.where(col("status") === Status.Error).select("url"))
     }
     val stats = CrawlStats(
       selected = selected,

@@ -56,6 +56,30 @@ class BinaryParseSpec extends AnyFunSuite {
     assert(BinaryParser.parseRtf(BinaryDocs.makeRtf(uni)).toOption.get.text == uni)
   }
 
+  test("rtf \\uN with \\'hh fallback byte: fallback consumed, not emitted") {
+    // Word emits unicode as \uN + a one-byte \'hh fallback — the
+    // fallback must be skipped as ONE character
+    val rtf = "{\\rtf1\\ansi \\u26085\\'3f\\u26412\\'3f done}".getBytes("ISO-8859-1")
+    assert(BinaryParser.parseRtf(rtf).toOption.get.text == "日本 done")
+  }
+
+  test("docx numeric entities: supplementary plane + malformed survive") {
+    def zipOf(entries: (String, String)*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(out)
+      entries.foreach { case (n, b) =>
+        z.putNextEntry(new java.util.zip.ZipEntry(n)); z.write(b.getBytes("UTF-8")); z.closeEntry()
+      }
+      z.close(); out.toByteArray
+    }
+    val docx = zipOf("word/document.xml" ->
+      """<w:document><w:body><w:p><w:r><w:t>grin &#x1F600; num &#66 bad &#99999999999;</w:t></w:r></w:p></w:body></w:document>""")
+    val bp = BinaryParser.parseZipContainer(docx).toOption.get
+    val emoji = new String(Character.toChars(0x1F600))
+    // surrogate pair decoded; unterminated/overflowing refs left as-is
+    assert(bp.text == s"grin $emoji num &#66 bad &#99999999999;")
+  }
+
   test("rtf skips font/color tables and optional destinations") {
     val rtf = ("{\\rtf1\\ansi{\\fonttbl{\\f0 Arial;}}{\\colortbl;\\red0;}" +
       "{\\*\\generator Acme 1.0;}Hello\\par World}").getBytes("ISO-8859-1")
