@@ -92,24 +92,32 @@ object Dedup {
     * and canonical-document selection: every near-dup cluster keeps one
     * representative (its min id).
     *
-    * Iterative min-label propagation: each round, every node takes the
-    * min label among itself and its neighbors. `min` is commutative /
-    * order-independent, so labels are deterministic and engine-exact;
-    * `iterations` rounds resolve components of diameter ≤ iterations
-    * (near-dup clusters are star/clique shaped — shallow). Each round
-    * is one join + one aggregation on the undirected edge list; the
-    * label side is |V| rows against |E| edges — the same static-DAG
+    * Iterative min-label propagation TO CONVERGENCE: each round, every
+    * node takes the min label among itself and its neighbors; the loop
+    * exits when a round changes no label (a true fixed point — the
+    * round function is deterministic in the labels), so a transitive
+    * near-dup chain A–B–C–D–E merges fully no matter its diameter.
+    * `min` is commutative / order-independent, so labels are
+    * deterministic and engine-exact. `maxIterations` is a safety CAP
+    * (a component of diameter > maxIterations would be left
+    * under-merged), not a round count — typical near-dup clusters are
+    * star/clique shaped and converge in 2–3 rounds. Each round is one
+    * join + one aggregation on the undirected edge list; the label
+    * side is |V| rows against |E| edges — the same static-DAG
     * iteration shape as [[LinkGraph.pagerank]].
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-                          iterations: Int = 3): DataFrame = {
+                          maxIterations: Int = 20): DataFrame = {
     val und = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
       .distinct()
     und.cache()
     val nodes = und.select(col("x").as("node")).distinct()
     var labels = nodes.withColumn("comp", col("node")).localCheckpoint()
-    for (_ <- 1 to iterations) {
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIterations) {
+      round += 1
       // one round = min over (own label ∪ neighbor labels): a union +
       // single min-aggregation — ONE shuffle; the edge⋈label join
       // builds on the materialized label table (broadcast-sized
@@ -123,9 +131,16 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "y")
                     .withColumnRenamed("comp", "ycomp"), "y")
         .select(col("x").as("node"), col("ycomp").as("comp"))
-      labels = labels.union(viaNbr)
+      val next = labels.union(viaNbr)
         .groupBy("node").agg(min(col("comp")).as("comp"))
         .localCheckpoint()
+      // fixed-point check: one cheap join of two MATERIALIZED |V|-row
+      // label tables (both sides are checkpoints — no recompute)
+      converged = next
+        .join(labels.withColumnRenamed("comp", "prev"), "node")
+        .where(col("comp") =!= col("prev"))
+        .isEmpty
+      labels = next
     }
     und.unpersist()
     labels

@@ -96,11 +96,24 @@ object Similarity {
   /** Embedding near-dup candidates, LSH-bucketed: pairwise cosine is
     * computed only WITHIN a hyperplane bucket — the scale path (the
     * bucket join replaces the full cross product; more planes ⇒ smaller
-    * buckets ⇒ fewer pairs). Returns the global top-N pairs by cosine. */
+    * buckets ⇒ fewer pairs). Returns the global top-N pairs by cosine.
+    *
+    * `maxBucket` bounds the WORST case the planes can't: a degenerate
+    * embedding mass (zero vectors, a model collapsing boilerplate to
+    * one point) lands one bucket with N rows → N²/2 pairs. Buckets
+    * holding more than `maxBucket` vectors are dropped BEFORE the
+    * self-join (same defense as [[Dedup.lshCandidatePairs]]); members
+    * of such a bucket are verbatim-duplicate-shaped clusters that
+    * exact dedup on the embedding bytes catches more cheaply. The cap's
+    * window partitions on the join key, so it rides the join's own
+    * exchange — no extra shuffle. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   dim: Int, numPlanes: Int, topN: Int): DataFrame = {
+                   dim: Int, numPlanes: Int, topN: Int,
+                   maxBucket: Int = 1024): DataFrame = {
     val n = normalized(corpus, idCol, vecCol, "id", "nv")
       .withColumn("bucket", lshBucket(col("nv"), dim, numPlanes))
+      .withColumn("bkn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .where(col("bkn") <= maxBucket).drop("bkn")
     val l = n.select(col("bucket"), col("id").as("a"), col("nv").as("va"))
     val r = n.select(col("bucket"), col("id").as("b"), col("nv").as("vb"))
     l.join(r, Seq("bucket")).where(col("a") < col("b"))

@@ -194,12 +194,15 @@ object AnalyticsQueries {
     }),
 
     // Near-dup clustering: LSH candidate pairs → connected components
-    // (3 min-label rounds) → per-cluster size + members; the canonical
-    // keep-one-per-cluster stage of the dedup pipeline.
+    // (min-label propagation to convergence) → per-cluster size +
+    // members; the canonical keep-one-per-cluster stage of the dedup
+    // pipeline. The oracle is the exact transitive closure (recursive
+    // CTE), so the fixed-point loop is verified against true
+    // components, not a fixed round count.
     "q50_neardup_components" -> ((s, dir) => {
       val pairs = Dedup.lshCandidatePairs(
         t(s, dir, "documents"), "doc_id", "text", "source")
-      Dedup.connectedComponents(pairs, iterations = 3)
+      Dedup.connectedComponents(pairs)
         .groupBy("comp")
         .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
         .orderBy("comp")
@@ -280,22 +283,23 @@ object AnalyticsQueries {
          |FROM samp JOIN keep USING (doc_id) JOIN q USING (doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // Exact components via transitive closure: `reach` carries a label
+    // r along edges while r stays below the receiving node (the
+    // component min m satisfies m < x for every other member x, so
+    // (x, m) always survives the prune); min over reached labels is
+    // the true component id, independent of any round count.
     "q50_neardup_components" ->
-      s"""WITH $lshPairsCte,
+      s"""WITH RECURSIVE $lshPairsCte,
          |u AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
          |v AS (SELECT DISTINCT x AS node FROM u),
-         |l0 AS (SELECT node, node AS comp FROM v),
-         |m1 AS (SELECT u.x AS node, min(l0.comp) AS nmin FROM u JOIN l0 ON u.y = l0.node GROUP BY u.x),
-         |l1 AS (SELECT l0.node, least(l0.comp, coalesce(m1.nmin, l0.comp)) AS comp
-         |       FROM l0 LEFT JOIN m1 ON l0.node = m1.node),
-         |m2 AS (SELECT u.x AS node, min(l1.comp) AS nmin FROM u JOIN l1 ON u.y = l1.node GROUP BY u.x),
-         |l2 AS (SELECT l1.node, least(l1.comp, coalesce(m2.nmin, l1.comp)) AS comp
-         |       FROM l1 LEFT JOIN m2 ON l1.node = m2.node),
-         |m3 AS (SELECT u.x AS node, min(l2.comp) AS nmin FROM u JOIN l2 ON u.y = l2.node GROUP BY u.x),
-         |l3 AS (SELECT l2.node, least(l2.comp, coalesce(m3.nmin, l2.comp)) AS comp
-         |       FROM l2 LEFT JOIN m3 ON l2.node = m3.node)
+         |reach(node, r) AS (
+         |  SELECT node, node FROM v
+         |  UNION
+         |  SELECT u.x, reach.r FROM u JOIN reach ON u.y = reach.node
+         |  WHERE reach.r < u.x),
+         |l AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
          |SELECT comp, count(*) AS n_docs, max(node) AS max_doc
-         |FROM l3 GROUP BY comp ORDER BY comp""".stripMargin,
+         |FROM l GROUP BY comp ORDER BY comp""".stripMargin,
 
     "q23_simhash" ->
       s"""WITH w AS (SELECT doc_id, unnest(list_distinct($wordsSql)) AS wd FROM documents),
@@ -353,7 +357,10 @@ object AnalyticsQueries {
          |    embedding AS v
          |  FROM embeddings),
          |nv AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE) / nr) AS nv FROM nrm),
-         |bk AS (SELECT id, nv, ${(0 until 10).map(planeBit).mkString(" + ")} AS bucket FROM nv),
+         |bk0 AS (SELECT id, nv, ${(0 until 10).map(planeBit).mkString(" + ")} AS bucket FROM nv),
+         |bk AS (SELECT id, nv, bucket FROM (
+         |  SELECT id, nv, bucket, count(*) OVER (PARTITION BY bucket) AS bkn FROM bk0)
+         |  WHERE bkn <= 1024),
          |p AS (SELECT l.bucket, l.id AS a, r.id AS b,
          |        list_reduce(list_transform(generate_series(1, 64), i -> l.nv[i] * r.nv[i]), (x,y) -> x + y) AS cosine
          |      FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.id < r.id)

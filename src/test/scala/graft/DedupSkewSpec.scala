@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.analytics.Dedup
+import graft.analytics.{Dedup, Similarity}
 
 /** Skew defenses in the dedup pair generators: a degenerate input
   * (many identical / boilerplate docs) must complete with a BOUNDED
@@ -54,6 +54,30 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Long]("a") === 1L && pairs.head.getAs[Long]("b") === 2L)
     // denominator still counts pruned tokens: |A|=|B|=5, inter=1 (zyzzyva)
     assert(math.abs(pairs.head.getAs[Double]("jaccard") - 1.0 / 9.0) < 1e-12)
+  }
+
+  test("nearDupPairs: 1k degenerate embeddings (one collapsed bucket) produce ZERO pairs under the cap") {
+    // an embedding model collapsing boilerplate to one point — all 1000
+    // vectors land in the same hyperplane bucket; without the cap the
+    // within-bucket self-join emits 499 500 pairs
+    val vecs = (1 to 1000).map(i => (i.toLong, Array.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      dim = 8, numPlanes = 6, topN = 1000000, maxBucket = 100)
+    assert(pairs.count() === 0L)
+  }
+
+  test("nearDupPairs: cap leaves small buckets untouched") {
+    // 20 identical vectors (one bucket of 20, under the cap) must still
+    // pair up fully: 20*19/2 pairs, all cosine 1.0
+    val vecs = (1 to 20).map(i => (i.toLong, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      dim = 8, numPlanes = 6, topN = 1000000, maxBucket = 100)
+    assert(pairs.count() === 20L * 19 / 2)
+    val capped = Similarity.nearDupPairs(vecs, "vec_id", "embedding",
+      dim = 8, numPlanes = 6, topN = 1000000, maxBucket = 10)
+    assert(capped.count() === 0L)
   }
 
   test("jaccardPairs: prune is a no-op when no token exceeds maxDf") {

@@ -73,21 +73,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got13 == got)
   }
 
-  test("connected components: chains collapse within the round budget") {
+  test("connected components: chains collapse to one component") {
     import spark.implicits._
     // component {1,2,3,4} as a path (diameter 3), component {10,11},
-    // pair (20,21); iterations=3 covers the path
+    // pair (20,21)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
       .toDF("a", "b")
-    val comp = graft.analytics.Dedup.connectedComponents(pairs, iterations = 3)
+    val comp = graft.analytics.Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L && comp(4L) == 1L)
     assert(comp(10L) == 10L && comp(11L) == 10L)
     assert(comp(20L) == 20L && comp(21L) == 20L)
     // deterministic across partitioning
-    val comp7 = graft.analytics.Dedup.connectedComponents(pairs.repartition(7), iterations = 3)
+    val comp7 = graft.analytics.Dedup.connectedComponents(pairs.repartition(7))
       .as[(Long, Long)].collect().toMap
     assert(comp7 == comp)
+  }
+
+  test("connected components: a diameter-5 chain fully merges (convergence, not a fixed round count)") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6: min-label needs 5 propagation rounds to reach
+    // node 6; the old fixed iterations=3 would have split this into
+    // two clusters and kept a duplicate
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val comp = graft.analytics.Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 6)
+    assert(comp.values.toSet == Set(1L))
+    // the cap really caps: 2 rounds on the same chain leave the tail
+    // under-merged (documented diameter bound)
+    val capped = graft.analytics.Dedup.connectedComponents(chain, maxIterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped(6L) != 1L)
   }
 
   test("sequence packing: chop at budget, straddlers flagged") {
