@@ -59,7 +59,13 @@ object Bench {
         Some(runSuite(sf001Dir.toString)) else None
     val extra = small.map(m =>
       s""","total_sf001":${m.values.sum},"queries_sf001":${js(m)}""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir"$extra}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir"$extra}"""
+    println(line)
+    // also land the line in a file: the driver's captured-stdout tail
+    // has truncated the JSON twice running — the artifact must survive
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

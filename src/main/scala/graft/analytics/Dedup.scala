@@ -100,11 +100,20 @@ object Dedup {
     * `min` is commutative / order-independent, so labels are
     * deterministic and engine-exact. `maxIterations` is a safety CAP
     * (a component of diameter > maxIterations would be left
-    * under-merged), not a round count — typical near-dup clusters are
-    * star/clique shaped and converge in 2–3 rounds. Each round is one
-    * join + one aggregation on the undirected edge list; the label
-    * side is |V| rows against |E| edges — the same static-DAG
-    * iteration shape as [[LinkGraph.pagerank]].
+    * under-merged — the loop WARNs when it trips, since an under-merge
+    * also diverges from an exact-transitive-closure oracle), not a
+    * round count — typical near-dup clusters are star/clique shaped
+    * and converge in 2–3 rounds. Each round is one join + one
+    * aggregation on the undirected edge list; the label side is |V|
+    * rows against |E| edges — the same iteration shape as
+    * [[LinkGraph.pagerank]].
+    *
+    * Cost per round is ONE action: the previous label rides through
+    * the min-aggregation as a carried column, so the round's single
+    * `filter(changed).count()` both materializes the new label
+    * checkpoint and decides convergence — no second fixed-point join.
+    * Each round's |V|-row checkpoint is freed as soon as the next one
+    * lands ([[Iterate.checkpoint]]).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                           maxIterations: Int = 20): DataFrame = {
@@ -113,7 +122,8 @@ object Dedup {
       .distinct()
     und.cache()
     val nodes = und.select(col("x").as("node")).distinct()
-    var labels = nodes.withColumn("comp", col("node")).localCheckpoint()
+    var labels = nodes.withColumn("comp", col("node"))
+    var prevHandle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     var converged = false
     var round = 0
     while (!converged && round < maxIterations) {
@@ -121,27 +131,36 @@ object Dedup {
       // one round = min over (own label ∪ neighbor labels): a union +
       // single min-aggregation — ONE shuffle; the edge⋈label join
       // builds on the materialized label table (broadcast-sized
-      // relative to the edges). labels appears TWICE per round (self
-      // branch + neighbor branch): without truncating lineage each
-      // round, round N's plan re-computes round N-1 twice —
-      // exponential re-execution — so each round ends in a
-      // localCheckpoint of the |V|-row label table (the standard
-      // Spark iterative-algorithm pattern).
+      // relative to the edges). The self branch carries the node's
+      // previous label through the aggregation (exactly one non-null
+      // `prev` per node), so convergence falls out of the same pass.
+      val compType = labels.schema("comp").dataType
+      val self = labels.select(col("node"), col("comp"),
+        col("comp").as("prev"))
       val viaNbr = und
         .join(labels.withColumnRenamed("node", "y")
                     .withColumnRenamed("comp", "ycomp"), "y")
-        .select(col("x").as("node"), col("ycomp").as("comp"))
-      val next = labels.union(viaNbr)
-        .groupBy("node").agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
-      // fixed-point check: one cheap join of two MATERIALIZED |V|-row
-      // label tables (both sides are checkpoints — no recompute)
-      converged = next
-        .join(labels.withColumnRenamed("comp", "prev"), "node")
-        .where(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = next
+        .select(col("x").as("node"), col("ycomp").as("comp"),
+          lit(null).cast(compType).as("prev"))
+      val (next, handle) = Iterate.checkpoint(
+        self.union(viaNbr)
+          .groupBy("node")
+          .agg(min(col("comp")).as("comp"), max(col("prev")).as("prev")))
+      // the ONE action of the round: materializes every partition of
+      // the checkpoint AND counts label changes
+      val compIdx = next.schema.fieldIndex("comp")
+      val prevIdx = next.schema.fieldIndex("prev")
+      val nChanged = handle.filter(r => r.get(compIdx) != r.get(prevIdx)).count()
+      converged = nChanged == 0L
+      prevHandle.foreach(_.unpersist(false))
+      prevHandle = Some(handle)
+      labels = next.select("node", "comp")
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents exited at the maxIterations=$maxIterations cap " +
+          "WITHOUT converging: components with diameter above the cap are " +
+          "under-merged (and will not match an exact transitive closure)")
     und.unpersist()
     labels
   }

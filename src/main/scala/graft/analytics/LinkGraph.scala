@@ -9,23 +9,35 @@ import org.apache.spark.sql.functions._
   * prioritization by host authority).
   *
   * Determinism: ranks are FIXED-POINT integers (`scale` units = rank
-  * 1.0). Each iteration is `r' = 0.15*scale + 0.85 * sum(r div
-  * outdeg)` in pure BIGINT arithmetic — floor division and integer
-  * sums are order-independent and engine-exact, so a DuckDB oracle
-  * reproduces the ranks bit-for-bit (float PageRank can't do that:
-  * partial-sum order flips last-ulp bits).
+  * 1.0). Each iteration is
+  * `r' = 0.15*scale + 0.85 * (sum(r div outdeg) + dangling div |V|)`
+  * in pure BIGINT arithmetic — floor division and integer sums are
+  * order-independent and engine-exact, so a DuckDB oracle reproduces
+  * the ranks bit-for-bit (float PageRank can't do that: partial-sum
+  * order flips last-ulp bits).
+  *
+  * Dangling mass IS redistributed (standard PageRank): `dangling` is
+  * the summed rank of nodes with no outlinks, and every node receives
+  * an equal `dangling div |V|` share each round — without it, total
+  * rank is not conserved and ranks skew low on leaf-heavy crawl graphs
+  * (most of a web graph's frontier is leaves). Floor division leaks
+  * strictly less than `|E| + 2|V|` rank UNITS per round — at
+  * scale=10^12 that is a 10^-9 relative error bound, not a leak that
+  * grows with graph shape.
   *
   * Scale: each iteration is one shuffle (groupBy dst) plus a reused
-  * broadcast/shuffle join of ranks against edges. The iteration count
-  * is fixed (not convergence-tested) so the plan is a static DAG —
-  * at 100 TB, `iterations` joins over a bucketed edge table, with the
-  * rank side orders of magnitude smaller than the edges. Dangling
-  * nodes keep the damping floor; vertices are every distinct src/dst.
+  * join of the rank table against edges, plus one tiny anti-join
+  * aggregate for the dangling sum (|V| rows, nothing touches edges).
+  * Because the rank table is referenced TWICE per round (contributions
+  * + dangling sum), each round is materialized via a local checkpoint
+  * — |V| rows, orders of magnitude smaller than the edges — and the
+  * previous round's blocks are freed as soon as the new round lands.
   */
 object LinkGraph {
 
-  /** Fixed-point PageRank. Returns (node, rank) with rank in `scale`
-    * units (divide by scale for the conventional value). */
+  /** Fixed-point PageRank with dangling-mass redistribution. Returns
+    * (node, rank) with rank in `scale` units (divide by scale for the
+    * conventional value). */
   def pagerank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                iterations: Int = 3, scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -33,17 +45,15 @@ object LinkGraph {
     e.cache()
     // loop invariants are cached: vertices and out-degrees are re-read
     // every round, and an uncached copy would re-aggregate the edges
-    // per iteration. The rank lineage itself is LINEAR (each round
-    // references the previous ranks exactly once), so it stays lazy —
-    // one job executes the whole unrolled DAG; no per-round
-    // materialization overhead (contrast Dedup.connectedComponents,
-    // where the double-referenced label table forces checkpoints).
+    // per iteration.
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    val nV = vertices.count() // also materializes the vertices cache
     val base = (scale * 15L) / 100L
 
     var ranks = vertices.withColumn("rank", lit(scale))
+    var prevHandle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -52,16 +62,29 @@ object LinkGraph {
         // (a double `/` + cast could differ from true floor by 1 ulp)
         .selectExpr("dst AS node", "rank div outdeg AS c")
         .groupBy("node").agg(sum(col("c")).as("contrib"))
-      ranks = vertices
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"(85 * coalesce(contrib, 0L)) div 100"))
-            .cast("long").as("rank"))
+      // dangling mass: total rank parked on nodes with no outlinks —
+      // a left-anti of the |V|-row rank table against the out-degree
+      // table, reduced to ONE row (cross-joins back as a broadcast)
+      val dangling = ranks
+        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dangling"))
+      val (next, handle) = Iterate.checkpoint(
+        vertices
+          .join(contribs, Seq("node"), "left")
+          .crossJoin(dangling)
+          .select(col("node"),
+            (lit(base) +
+              expr(s"(85 * (coalesce(contrib, 0L) + dangling div $nV)) div 100"))
+              .cast("long").as("rank")))
+      handle.count() // materialize this round before freeing the last
+      prevHandle.foreach(_.unpersist(false))
+      prevHandle = Some(handle)
+      ranks = next
     }
-    // materialize the result THROUGH the caches, then release them —
-    // method-local cached frames would otherwise pin executor storage
-    // for the session lifetime
-    val out = ranks.localCheckpoint()
+    val out =
+      if (iterations <= 0) { // degenerate call: still return materialized
+        val (df, h) = Iterate.checkpoint(ranks); h.count(); df
+      } else ranks
     e.unpersist(); vertices.unpersist(); outdeg.unpersist()
     out
   }

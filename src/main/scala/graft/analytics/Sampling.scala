@@ -17,15 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 0..9999 bucket from a numeric id: `(id * 2654435761) mod 10000`.
-    * The odd multiplier (Knuth's 2^32 golden-ratio constant) spreads
-    * sequential ids; arithmetic stays well inside BIGINT range for ids
-    * up to ~3.5e9. */
-  def bucket(id: Column): Column = pmod(id.cast("long") * lit(2654435761L), lit(10000L))
+  /** 0..9999 bucket from a numeric id:
+    * `(pmod(id, 2^31-1) * 2654435761) mod 10000`.
+    * The id is first reduced modulo the Mersenne prime 2^31-1 so the
+    * multiply can NEVER overflow BIGINT — a raw web-corpus id exceeds
+    * 2^33 (a 100 TB crawl holds >10^10 URLs) and `id * 2654435761`
+    * would silently wrap; `(2^31-2) * 2654435761 < 2^63` by a 1.6×
+    * margin. The prime reduction keeps sequential AND strided id
+    * families spread; for ids below 2^31 the bucket is identical to
+    * the unreduced form. The odd multiplier is Knuth's 2^32
+    * golden-ratio constant. */
+  def bucket(id: Column): Column =
+    pmod(pmod(id.cast("long"), lit(2147483647L)) * lit(2654435761L), lit(10000L))
 
   /** Mirror of [[bucket]] as portable SQL (DuckDB/ANSI). */
   def bucketSql(idExpr: String): String =
-    s"(($idExpr * 2654435761) % 10000 + 10000) % 10000"
+    s"((((($idExpr % 2147483647) + 2147483647) % 2147483647) * 2654435761) % 10000 + 10000) % 10000"
 
   /** Keep each stratum at its own rate (fraction in [0,1]); strata not
     * listed keep `defaultRate`. */

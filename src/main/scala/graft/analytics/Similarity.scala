@@ -30,27 +30,49 @@ object Similarity {
     * pair stage is a single dot product per pair (norms are computed
     * once per row, not once per pair). One native pass per row; the
     * float→double cast is a codegen'd Cast, and the fold order matches
-    * the portable left-to-right spec the oracles use. */
+    * the portable left-to-right spec the oracles use.
+    *
+    * Rows with a zero or non-finite norm are DROPPED: cosine is
+    * undefined for them. (The native normalize maps an all-zero vector
+    * to itself, so its self-dot is 0 instead of ~1; a vector with
+    * Inf/NaN components normalizes to NaN and fails the same
+    * predicate. The SQL oracles reach the identical exclusion through
+    * `NOT isnan(cosine)` — their unguarded 0/0 division makes exactly
+    * these rows NaN.) */
   def normalized(df: DataFrame, idCol: String, vecCol: String,
                  outId: String, outVec: String): DataFrame =
     df.select(col(idCol).as(outId),
       graft.functions.VecExpressions
         .l2Normalize(col(vecCol).cast("array<double>")).as(outVec))
+      .where(dotD(col(outVec), col(outVec)) > lit(0.5))
 
   /** Brute-force cosine top-k: for each query vector (`queries` must be
     * small — it is broadcast), the k nearest corpus vectors by cosine,
     * self-matches excluded. Ties broken by corpus id. Map-only over the
-    * corpus + one window shuffle on q_id (tiny output side). */
+    * corpus + one window shuffle on q_id (tiny output side).
+    *
+    * Zero-norm / non-finite vectors normalize to NaN components and a
+    * NaN cosine — and NaN sorts FIRST under `desc` in Spark, so one
+    * degenerate row would otherwise squat a top-k slot. Every cosine
+    * consumer here drops NaN scores ([[dropNanCosine]]). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
     val q = normalized(queries, idCol, vecCol, "q_id", "q_vec")
     val c = normalized(corpus, idCol, vecCol, "c_id", "c_vec")
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), dotD(col("q_vec"), col("c_vec")).as("cosine"))
+      .where(dropNanCosine)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
   }
+
+  /** Keep only finite cosines: a zero-norm or non-finite input vector
+    * yields NaN (0/0 in the normalize), and Spark orders NaN ABOVE every
+    * real value — without this predicate a single degenerate vector
+    * outranks every true neighbor in a `desc` top-k. Mirrored in the
+    * SQL oracles as `NOT isnan(cosine)`. */
+  private def dropNanCosine: Column = !isnan(col("cosine"))
 
   /** Random-hyperplane LSH bucket id (`numPlanes` bits) per vector —
     * the IVF-style coarse quantizer: map-only, no shuffle. Native
@@ -88,6 +110,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), dotD(col("q_vec"), col("c_vec")).as("cosine"))
+      .where(dropNanCosine)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
@@ -98,15 +121,17 @@ object Similarity {
     * bucket join replaces the full cross product; more planes ⇒ smaller
     * buckets ⇒ fewer pairs). Returns the global top-N pairs by cosine.
     *
-    * `maxBucket` bounds the WORST case the planes can't: a degenerate
-    * embedding mass (zero vectors, a model collapsing boilerplate to
-    * one point) lands one bucket with N rows → N²/2 pairs. Buckets
-    * holding more than `maxBucket` vectors are dropped BEFORE the
-    * self-join (same defense as [[Dedup.lshCandidatePairs]]); members
-    * of such a bucket are verbatim-duplicate-shaped clusters that
-    * exact dedup on the embedding bytes catches more cheaply. The cap's
-    * window partitions on the join key, so it rides the join's own
-    * exchange — no extra shuffle. */
+    * `maxBucket` bounds the WORST case the planes can't: a LARGE
+    * degenerate embedding mass (a model collapsing boilerplate to one
+    * point) lands one bucket with N rows → N²/2 pairs. Buckets holding
+    * more than `maxBucket` vectors are dropped BEFORE the self-join
+    * (same defense as [[Dedup.lshCandidatePairs]]); members of such a
+    * bucket are verbatim-duplicate-shaped clusters that exact dedup on
+    * the embedding bytes catches more cheaply. The cap's window
+    * partitions on the join key, so it rides the join's own exchange —
+    * no extra shuffle. A SMALL count of zero-norm vectors (below the
+    * cap) survives bucketing but produces NaN cosines, which the
+    * [[dropNanCosine]] predicate removes before the top-N sort. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    dim: Int, numPlanes: Int, topN: Int,
                    maxBucket: Int = 1024): DataFrame = {
@@ -118,6 +143,7 @@ object Similarity {
     val r = n.select(col("bucket"), col("id").as("b"), col("nv").as("vb"))
     l.join(r, Seq("bucket")).where(col("a") < col("b"))
       .select(col("bucket"), col("a"), col("b"), dotD(col("va"), col("vb")).as("cosine"))
+      .where(dropNanCosine)
       .orderBy(col("cosine").desc, col("a"), col("b"))
       .limit(topN)
   }

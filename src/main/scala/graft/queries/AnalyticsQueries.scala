@@ -210,9 +210,14 @@ object AnalyticsQueries {
 
     // Fixed-point PageRank over the derived host graph (3 iterations) —
     // link-graph quality prior; BIGINT arithmetic end-to-end so the
-    // DuckDB oracle reproduces ranks exactly.
+    // DuckDB oracle reproduces ranks exactly. Restricting src to
+    // h0..h14 makes h15..h19 dst-only — REAL dangling nodes, so the
+    // hash comparison exercises the dangling-mass redistribution, not
+    // just the damping floor.
     "q49_pagerank" -> ((s, dir) => {
-      val edges = t(s, dir, "events").selectExpr(
+      val edges = t(s, dir, "events")
+        .where(col("user_id") % 20 < 15)
+        .selectExpr(
           "concat('h', cast(user_id % 20 as string)) AS src",
           "concat('h', cast(event_id % 20 as string)) AS dst")
         .where(col("src") =!= col("dst"))
@@ -288,6 +293,10 @@ object AnalyticsQueries {
     // component min m satisfies m < x for every other member x, so
     // (x, m) always survives the prune); min over reached labels is
     // the true component id, independent of any round count.
+    // Bound: the prune still admits every label below the receiver, so
+    // a long ascending-id chain materializes O(V^2) intermediate
+    // (node, r) tuples — fine at oracle scale (small-SF documents),
+    // NOT a pattern to lift to the engine side.
     "q50_neardup_components" ->
       s"""WITH RECURSIVE $lshPairsCte,
          |u AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
@@ -341,7 +350,8 @@ object AnalyticsQueries {
         |        list_reduce(list_transform(generate_series(1, len(q_vec)), i -> q_vec[i] * c_vec[i]), (a,b) -> a + b) AS cosine
         |      FROM q, c WHERE q_id <> c_id),
         |r AS (SELECT q_id, c_id, cosine,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+        |      FROM s WHERE NOT isnan(cosine))
         |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     "q32_embed_neardup" -> {
@@ -364,7 +374,7 @@ object AnalyticsQueries {
          |p AS (SELECT l.bucket, l.id AS a, r.id AS b,
          |        list_reduce(list_transform(generate_series(1, 64), i -> l.nv[i] * r.nv[i]), (x,y) -> x + y) AS cosine
          |      FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.id < r.id)
-         |SELECT bucket, a, b, cosine FROM p
+         |SELECT bucket, a, b, cosine FROM p WHERE NOT isnan(cosine)
          |ORDER BY cosine DESC, a, b LIMIT 50""".stripMargin
     },
 
@@ -417,7 +427,8 @@ object AnalyticsQueries {
          |    list_reduce(list_transform(generate_series(1, 64), i -> q.qv[i] * c.cv[i]), (a,b) -> a + b) AS cosine
          |  FROM cand JOIN q ON q.q_id = cand.q_id JOIN c ON c.c_id = cand.c_id),
          |r AS (SELECT q_id, c_id, cosine,
-         |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk FROM s)
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
+         |      FROM s WHERE NOT isnan(cosine))
          |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
     },
 
@@ -585,24 +596,31 @@ object AnalyticsQueries {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails
         |FROM x ORDER BY doc_id""".stripMargin,
 
+    // Per-round dangling CTEs (dN = rank parked on nodes with no
+    // outlinks) mirror the engine's redistribution: every node gains
+    // `dN // |V|` inside the damped term.
     "q49_pagerank" ->
       """WITH e AS (SELECT DISTINCT 'h' || CAST(user_id % 20 AS VARCHAR) AS src,
         |    'h' || CAST(event_id % 20 AS VARCHAR) AS dst
-        |  FROM events WHERE user_id % 20 <> event_id % 20),
+        |  FROM events WHERE user_id % 20 < 15 AND user_id % 20 <> event_id % 20),
         |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nv AS (SELECT count(*) AS n FROM v),
         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
         |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM v),
+        |d1 AS (SELECT coalesce(sum(r0.rank), 0) AS ds FROM r0 LEFT JOIN od ON r0.node = od.src WHERE od.src IS NULL),
         |c1 AS (SELECT e.dst AS node, sum(r0.rank // od.outdeg) AS contrib
         |       FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src GROUP BY e.dst),
-        |r1 AS (SELECT v.node, CAST(150000000000 + (85 * coalesce(c1.contrib, 0)) // 100 AS BIGINT) AS rank
+        |r1 AS (SELECT v.node, CAST(150000000000 + (85 * (coalesce(c1.contrib, 0) + (SELECT ds FROM d1) // (SELECT n FROM nv))) // 100 AS BIGINT) AS rank
         |       FROM v LEFT JOIN c1 ON v.node = c1.node),
+        |d2 AS (SELECT coalesce(sum(r1.rank), 0) AS ds FROM r1 LEFT JOIN od ON r1.node = od.src WHERE od.src IS NULL),
         |c2 AS (SELECT e.dst AS node, sum(r1.rank // od.outdeg) AS contrib
         |       FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src GROUP BY e.dst),
-        |r2 AS (SELECT v.node, CAST(150000000000 + (85 * coalesce(c2.contrib, 0)) // 100 AS BIGINT) AS rank
+        |r2 AS (SELECT v.node, CAST(150000000000 + (85 * (coalesce(c2.contrib, 0) + (SELECT ds FROM d2) // (SELECT n FROM nv))) // 100 AS BIGINT) AS rank
         |       FROM v LEFT JOIN c2 ON v.node = c2.node),
+        |d3 AS (SELECT coalesce(sum(r2.rank), 0) AS ds FROM r2 LEFT JOIN od ON r2.node = od.src WHERE od.src IS NULL),
         |c3 AS (SELECT e.dst AS node, sum(r2.rank // od.outdeg) AS contrib
         |       FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src GROUP BY e.dst),
-        |r3 AS (SELECT v.node, CAST(150000000000 + (85 * coalesce(c3.contrib, 0)) // 100 AS BIGINT) AS rank
+        |r3 AS (SELECT v.node, CAST(150000000000 + (85 * (coalesce(c3.contrib, 0) + (SELECT ds FROM d3) // (SELECT n FROM nv))) // 100 AS BIGINT) AS rank
         |       FROM v LEFT JOIN c3 ON v.node = c3.node)
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
 

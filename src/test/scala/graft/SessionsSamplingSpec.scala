@@ -74,4 +74,30 @@ class SessionsSamplingSpec extends AnyFunSuite {
     val sqlBuckets = ids.selectExpr(Sampling.bucketSql("id")).as[Long].collect()
     assert(sparkBuckets.sameElements(sqlBuckets))
   }
+
+  test("sampling bucket is overflow-safe past 2^33 (web-corpus id range)") {
+    import spark.implicits._
+    val p = BigInt(2147483647L)
+    val m = BigInt(2654435761L)
+    // exact arbitrary-precision reference of the documented formula
+    def ref(id: Long): Long =
+      ((((BigInt(id) mod p) + p) mod p) * m mod BigInt(10000)).toLong
+    val huge = Seq(
+      (1L << 33) + 7L,       // first range the old form corrupted
+      (1L << 40) + 123L,
+      (1L << 62) + 999999L,  // deep BIGINT range
+      3500000001L,           // just past the old ~3.5e9 cliff
+      Long.MaxValue, 0L, 42L)
+    val got = huge.toDF("id").select(Sampling.bucket(col("id"))).as[Long].collect()
+    assert(got.toSeq == huge.map(ref))
+    assert(got.forall(b => b >= 0 && b < 10000))
+    // the SQL mirror agrees at the same extremes (driver-oracle parity)
+    val sqlGot = huge.toDF("id").selectExpr(Sampling.bucketSql("id")).as[Long].collect()
+    assert(sqlGot.toSeq == got.toSeq)
+    // ids below 2^31 keep their pre-fix buckets (q45/q51 stability)
+    val small = Seq(0L, 1L, 9999L, 123456789L, 2147483646L)
+    val smallGot = small.toDF("id").select(Sampling.bucket(col("id"))).as[Long].collect()
+    val legacy = small.map(id => ((BigInt(id) * m) mod BigInt(10000)).toLong)
+    assert(smallGot.toSeq == legacy)
+  }
 }

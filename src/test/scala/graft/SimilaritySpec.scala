@@ -50,6 +50,36 @@ class SimilaritySpec extends AnyFunSuite {
       s"recall@5 with nprobe=5 of 16 cells: $h5/${bf.size}")
   }
 
+  test("zero-norm vectors never occupy top-k/top-N slots (NaN cosines dropped)") {
+    import spark.implicits._
+    // 3 real unit-ish vectors + one all-zero vector: the zero row
+    // normalizes to NaN components, and NaN sorts FIRST under desc —
+    // without the drop it would squat rank 1 for every query
+    val dim = 4
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (99L, Array(0f, 0f, 0f, 0f))) // degenerate
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.cosineTopK(rows, rows.where(col("vec_id") === 1), "vec_id", "embedding", 3)
+      .collect()
+    assert(topk.nonEmpty)
+    assert(!topk.exists(_.getLong(1) == 99L), "zero vector must not appear as a neighbor")
+    assert(topk.forall(r => !r.getDouble(2).isNaN))
+    // same contract for the queries side and the pair generator
+    val asQuery = Similarity.cosineTopK(rows, rows.where(col("vec_id") === 99), "vec_id", "embedding", 3)
+    assert(asQuery.count() == 0, "a zero-vector query has no defined neighbors")
+    val pairs = Similarity.nearDupPairs(rows, "vec_id", "embedding", dim, 1, 100)
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(1) != 99L && r.getLong(2) != 99L))
+    assert(pairs.forall(r => !r.getDouble(3).isNaN))
+    val ivf = Similarity.ivfTopK(rows, rows.where(col("vec_id") === 1), "vec_id", "embedding", dim, 1, 3, 2)
+      .collect()
+    assert(ivf.forall(r => r.getLong(1) != 99L && !r.getDouble(2).isNaN))
+  }
+
   test("the probe set broadcasts; the corpus is never shuffled before the join") {
     val e = embeddings
     val q = e.where(col("vec_id") === 0)

@@ -45,6 +45,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_emails") == 1)
   }
 
+  /** Plain-Scala reference of the engine's integer recurrence, dangling
+    * redistribution included: r' = 0.15s + 0.85(contrib + dangling/|V|). */
+  private def pagerankRef(edgeList: Seq[(String, String)], iterations: Int,
+                          scale: Long): Map[String, Long] = {
+    val outdeg = edgeList.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+    var r = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = edgeList.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      val dangling = nodes.filterNot(outdeg.contains).map(r).sum
+      r = nodes.map(n => n ->
+        (scale * 15 / 100 +
+          85 * (contrib.getOrElse(n, 0L) + dangling / nodes.size) / 100)).toMap
+    }
+    r
+  }
+
   test("fixed-point pagerank matches an independent in-memory reference") {
     import spark.implicits._
     val edgeList = Seq(
@@ -54,23 +72,40 @@ class TextOpsSpec extends AnyFunSuite {
     val scale = 1000000L
     val got = graft.analytics.LinkGraph.pagerank(edges, iterations = 4, scale = scale)
       .as[(String, Long)].collect().toMap
-
-    // plain-Scala reference: same integer recurrence, sequential
-    val outdeg = edgeList.groupBy(_._1).view.mapValues(_.size).toMap
-    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
-    var r = nodes.map(_ -> scale).toMap
-    for (_ <- 1 to 4) {
-      val contrib = edgeList.groupBy(_._2).view.mapValues(
-        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
-      r = nodes.map(n => n -> (scale * 15 / 100 + 85 * contrib.getOrElse(n, 0L) / 100)).toMap
-    }
-    assert(got == r)
+    // every node here has outlinks -> the dangling term is zero and the
+    // recurrence reduces to the classic damped form
+    assert(got == pagerankRef(edgeList, 4, scale))
     // unlinked node sits at the damping floor
     assert(got("d") == scale * 15 / 100)
     // deterministic across partitioning
     val got13 = graft.analytics.LinkGraph.pagerank(edges.repartition(13), iterations = 4, scale = scale)
       .as[(String, Long)].collect().toMap
     assert(got13 == got)
+  }
+
+  test("pagerank redistributes dangling mass: total rank conserved on a leaf-heavy graph") {
+    import spark.implicits._
+    // star: hub h links to 3 leaves with NO outlinks — 3/4 of the mass
+    // parks on dangling nodes every round; without redistribution the
+    // total collapses toward the damping floor
+    val edgeList = Seq("h" -> "l1", "h" -> "l2", "h" -> "l3")
+    val scale = 1000000000000L
+    val nV = 4
+    val got = graft.analytics.LinkGraph
+      .pagerank(edgeList.toDF("src", "dst"), iterations = 5, scale = scale)
+      .as[(String, Long)].collect().toMap
+    assert(got == pagerankRef(edgeList, 5, scale))
+    // mass conservation: floor division leaks < (|E| + 2|V|) units per
+    // round — at scale 10^12 that is vanishing; the OLD semantics lost
+    // 0.85 * dangling/|V| per round (~10^11 units here)
+    val total = got.values.sum
+    assert(math.abs(total - nV.toLong * scale) < 1000L,
+      s"total rank $total vs ${nV.toLong * scale}")
+    // leaves all receive hub contribution + equal dangling share: equal
+    assert(got("l1") == got("l2") && got("l2") == got("l3"))
+    // the hub gets ONLY floor + dangling share; leaves also get the
+    // hub's contribution, so they outrank it
+    assert(got("l1") > got("h"))
   }
 
   test("connected components: chains collapse to one component") {
