@@ -63,9 +63,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir"$extra}"""
     println(line)
     // also land the line in a file: the driver's captured-stdout tail
-    // has truncated the JSON twice running — the artifact must survive
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // has truncated the JSON twice running — the artifact must survive.
+    // Path from env (SPARK_GRAFT_BENCH_OUT) with a cwd-relative
+    // fallback, and best-effort: an unwritable cwd must not turn a
+    // finished benchmark into a failure after the results printed.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Exception =>
+        System.err.println(s"bench: could not write $outPath: $e (results are on stdout)")
+    }
     spark.stop()
   }
 }

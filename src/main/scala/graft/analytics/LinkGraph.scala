@@ -37,11 +37,19 @@ object LinkGraph {
 
   /** Fixed-point PageRank with dangling-mass redistribution. Returns
     * (node, rank) with rank in `scale` units (divide by scale for the
-    * conventional value). */
+    * conventional value). Precondition (enforced): |V|*scale*100 must
+    * fit in a BIGINT — pick `scale` to match the graph size. */
   def pagerank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
                iterations: Int = 3, scale: Long = 1000000000000L): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct() // simple graph: parallel edges count once
+      // pre-partition + pre-sort on the per-round join key (src): the
+      // cached partitioning/ordering survive InMemoryTableScan, so
+      // every iteration's rank⋈edges join moves only the |V|-row rank
+      // side — the |E|-row edge table is never re-exchanged or
+      // re-sorted after round 1.
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
     e.cache()
     // loop invariants are cached: vertices and out-degrees are re-read
     // every round, and an uncached copy would re-aggregate the edges
@@ -50,10 +58,21 @@ object LinkGraph {
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     val nV = vertices.count() // also materializes the vertices cache
+    // Overflow precondition: total rank is conserved at ~|V|*scale
+    // units, and the dangling sum (and any contribution partial sum)
+    // is bounded by it — so |V|*scale must fit a BIGINT with headroom
+    // for the `85 *` numerator. Silent Long wrap here would corrupt
+    // ranks while a DuckDB oracle raises, so fail fast instead: the
+    // default scale=10^12 admits |V| up to ~9.2e4; callers at web
+    // scale (10^9+ nodes) pass a smaller `scale` (10^6 still gives 6
+    // exact decimal digits of rank and admits |V| up to ~9.2e10).
+    require(scale > 0 && nV <= Long.MaxValue / 100L / scale,
+      s"pagerank fixed-point overflow: |V|=$nV * scale=$scale * 85 exceeds " +
+        "Long range; lower `scale` so that |V|*scale*100 < 2^63")
     val base = (scale * 15L) / 100L
 
     var ranks = vertices.withColumn("rank", lit(scale))
-    var prevHandle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    var prevHandle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")

@@ -24,9 +24,14 @@ object Sampling {
     * 2^33 (a 100 TB crawl holds >10^10 URLs) and `id * 2654435761`
     * would silently wrap; `(2^31-2) * 2654435761 < 2^63` by a 1.6×
     * margin. The prime reduction keeps sequential AND strided id
-    * families spread; for ids below 2^31 the bucket is identical to
-    * the unreduced form. The odd multiplier is Knuth's 2^32
-    * golden-ratio constant. */
+    * families spread; for ids below 2^31-1 the reduction is the
+    * identity, so the bucket equals the unreduced form (id = 2^31-1
+    * itself reduces to 0, and ids in [2^31-1, ~3.47e9] — where the
+    * unreduced multiply had not yet overflowed — now map to different
+    * buckets than the pre-reduction formula gave; sample MEMBERSHIP in
+    * that id range shifted when the reduction landed, by design: one
+    * stable formula over the whole id domain beats a piecewise one).
+    * The odd multiplier is Knuth's 2^32 golden-ratio constant. */
   def bucket(id: Column): Column =
     pmod(pmod(id.cast("long"), lit(2147483647L)) * lit(2654435761L), lit(10000L))
 

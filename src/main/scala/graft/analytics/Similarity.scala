@@ -33,18 +33,18 @@ object Similarity {
     * the portable left-to-right spec the oracles use.
     *
     * Rows with a zero or non-finite norm are DROPPED: cosine is
-    * undefined for them. (The native normalize maps an all-zero vector
-    * to itself, so its self-dot is 0 instead of ~1; a vector with
-    * Inf/NaN components normalizes to NaN and fails the same
-    * predicate. The SQL oracles reach the identical exclusion through
-    * `NOT isnan(cosine)` — their unguarded 0/0 division makes exactly
-    * these rows NaN.) */
+    * undefined for them. The rejection is a single pass — the native
+    * normalize itself returns NULL for such vectors (the norm is
+    * already in hand mid-pass), so the filter is a plain IS NOT NULL
+    * predicate with no second walk over the components. The SQL
+    * oracles reach the identical exclusion through `NOT isnan(cosine)`
+    * — their unguarded 0/0 division makes exactly these rows NaN. */
   def normalized(df: DataFrame, idCol: String, vecCol: String,
                  outId: String, outVec: String): DataFrame =
     df.select(col(idCol).as(outId),
       graft.functions.VecExpressions
         .l2Normalize(col(vecCol).cast("array<double>")).as(outVec))
-      .where(dotD(col(outVec), col(outVec)) > lit(0.5))
+      .where(col(outVec).isNotNull)
 
   /** Brute-force cosine top-k: for each query vector (`queries` must be
     * small — it is broadcast), the k nearest corpus vectors by cosine,
@@ -129,9 +129,12 @@ object Similarity {
     * bucket are verbatim-duplicate-shaped clusters that exact dedup on
     * the embedding bytes catches more cheaply. The cap's window
     * partitions on the join key, so it rides the join's own exchange —
-    * no extra shuffle. A SMALL count of zero-norm vectors (below the
-    * cap) survives bucketing but produces NaN cosines, which the
-    * [[dropNanCosine]] predicate removes before the top-N sort. */
+    * no extra shuffle. Zero-norm / non-finite vectors are dropped by
+    * [[normalized]] BEFORE bucketing, so they neither count toward a
+    * bucket's `maxBucket` population nor reach the pair stage — and
+    * the q32 oracle mirrors that by filtering `nr > 0 AND
+    * isfinite(nr)` in its normalize CTE, keeping the bucket census
+    * bit-identical in the degenerate edge case. */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    dim: Int, numPlanes: Int, topN: Int,
                    maxBucket: Int = 1024): DataFrame = {

@@ -44,18 +44,22 @@ object VecOps {
 
   /** One-pass L2 normalize: norm accumulated left-to-right in double,
     * then each component divided — identical op order to the
-    * transform/aggregate formulation. */
+    * transform/aggregate formulation. Returns NULL when the norm is
+    * zero or non-finite: cosine is undefined for such vectors, and
+    * folding the rejection into the same pass (instead of a second
+    * O(dim) self-dot downstream) keeps the degenerate-row filter a
+    * plain `IS NOT NULL` predicate. (Returning the vector or NaNs
+    * instead would let a degenerate row reach ranking: Spark sorts NaN
+    * above every real, so one NaN cosine would win every top-k slot.) */
   def l2normalize(a: ArrayData): ArrayData = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { val v = a.getDouble(i); acc += v * v; i += 1 }
     val nrm = math.sqrt(acc)
+    if (!(nrm > 0) || nrm == Double.PositiveInfinity) return null
     val out = new Array[Double](n)
-    // an all-zero vector normalizes to itself (NOT 0/0 = NaN: Spark
-    // sorts NaN above every real, so one NaN cosine would win every
-    // top-k ranking it touches)
-    if (nrm > 0) { i = 0; while (i < n) { out(i) = a.getDouble(i) / nrm; i += 1 } }
+    i = 0; while (i < n) { out(i) = a.getDouble(i) / nrm; i += 1 }
     new GenericArrayData(out)
   }
 
@@ -146,16 +150,21 @@ case class DotDExpr(left: Expression, right: Expression) extends BinaryExpressio
   override def prettyName: String = "dot_d"
 }
 
-/** `l2_normalize(v)` over ARRAY<DOUBLE>. */
+/** `l2_normalize(v)` over ARRAY<DOUBLE>; NULL on zero/non-finite norm
+  * (see [[VecOps.l2normalize]]) — so the expression is nullable even
+  * over a non-null child. */
 case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
   private val ops = "graft.functions.VecOps$.MODULE$"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any): Any =
     VecOps.l2normalize(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ops.l2normalize($a);")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = $ops.l2normalize($a);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): L2NormalizeExpr =
     copy(child = newChild)

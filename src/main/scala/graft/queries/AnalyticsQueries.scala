@@ -366,7 +366,8 @@ object AnalyticsQueries {
          |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nr,
          |    embedding AS v
          |  FROM embeddings),
-         |nv AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE) / nr) AS nv FROM nrm),
+         |nv AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE) / nr) AS nv FROM nrm
+         |       WHERE nr > 0 AND isfinite(nr)),
          |bk0 AS (SELECT id, nv, ${(0 until 10).map(planeBit).mkString(" + ")} AS bucket FROM nv),
          |bk AS (SELECT id, nv, bucket FROM (
          |  SELECT id, nv, bucket, count(*) OVER (PARTITION BY bucket) AS bkn FROM bk0)
