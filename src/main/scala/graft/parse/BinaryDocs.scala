@@ -209,4 +209,220 @@ object BinaryDocs {
     }
     sb.result()
   }
+
+  // ---- OLE2 / CFBF (legacy .doc / .xls / .ppt) -----------------------
+
+  /** Minimal-but-valid CFBF container writer (MS-CFB v3, 512-byte
+    * sectors): streams under the 4096 cutoff go through the mini
+    * stream + miniFAT exactly as real writers emit them, larger ones
+    * through the FAT — so [[Ole2]]'s both read paths are exercised by
+    * round-trip fixtures. Layout: [FAT streams][mini stream][miniFAT]
+    * [directory][FAT]; header DIFAT only (no DIFAT chain — fixture
+    * files stay far below 109 FAT sectors). */
+  def makeCfbf(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val SS = 512
+    val MS = 64
+    def pad(b: Array[Byte], unit: Int): Array[Byte] =
+      java.util.Arrays.copyOf(b, ((b.length + unit - 1) / unit).max(1) * unit)
+    val (small, big) = streams.partition(_._2.length < 4096)
+
+    val mini = new ByteArrayOutputStream()
+    val miniFat = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val miniStart = scala.collection.mutable.Map.empty[String, Int]
+    for ((name, bytes) <- small) {
+      miniStart(name) = miniFat.length
+      val padded = pad(bytes, MS)
+      val n = padded.length / MS
+      mini.write(padded)
+      for (i <- 1 until n) miniFat += miniFat.length + 1
+      miniFat += 0xfffffffe
+    }
+    val miniBytes = pad(mini.toByteArray, SS)
+
+    // sector ids, in layout order
+    var next = 0
+    val bigStart = big.map { case (name, bytes) =>
+      val s = next; next += pad(bytes, SS).length / SS; name -> s
+    }.toMap
+    val miniSector = next; next += miniBytes.length / SS
+    val miniFatBytes = pad(miniFat.toArray.flatMap(le4), SS)
+    val miniFatSector = next; next += miniFatBytes.length / SS
+
+    // directory: root + one entry per stream, padded to a sector
+    val dirEntries = new ByteArrayOutputStream()
+    def entry(name: String, objType: Int, start: Int, size: Long,
+              child: Int): Unit = {
+      val e = new Array[Byte](128)
+      val nm = name.getBytes(StandardCharsets.UTF_16LE)
+      System.arraycopy(nm, 0, e, 0, math.min(nm.length, 62))
+      put2(e, 64, nm.length + 2)
+      e(66) = objType.toByte
+      e(67) = 1 // black
+      put4(e, 68, -1); put4(e, 72, -1); put4(e, 76, child)
+      put4(e, 116, start)
+      put4(e, 120, size.toInt)
+      dirEntries.write(e)
+    }
+    entry("Root Entry", 5, miniSector, mini.size().toLong,
+      if (streams.nonEmpty) 1 else -1)
+    for ((name, bytes) <- streams)
+      entry(name, 2,
+        if (bytes.length < 4096) miniStart(name) else bigStart(name),
+        bytes.length.toLong, -1)
+    val dirBytes = pad(dirEntries.toByteArray, SS)
+    val dirSector = next; next += dirBytes.length / SS
+
+    // FAT covers everything incl. itself (fixpoint over its own size)
+    var fatSectors = 1
+    var settled = false
+    while (!settled) {
+      val total = next + fatSectors
+      val need = (total * 4 + SS - 1) / SS
+      if (need == fatSectors) settled = true else fatSectors = need
+    }
+    val fatStart = next
+    val totalSectors = next + fatSectors
+    val fat = Array.fill(fatSectors * (SS / 4))(0xffffffff)
+    def chainOf(start: Int, nSec: Int): Unit = {
+      for (i <- 0 until nSec - 1) fat(start + i) = start + i + 1
+      fat(start + nSec - 1) = 0xfffffffe
+    }
+    for ((name, bytes) <- big) chainOf(bigStart(name), pad(bytes, SS).length / SS)
+    chainOf(miniSector, miniBytes.length / SS)
+    chainOf(miniFatSector, miniFatBytes.length / SS)
+    chainOf(dirSector, dirBytes.length / SS)
+    for (i <- 0 until fatSectors) fat(fatStart + i) = 0xfffffffd
+
+    val header = new Array[Byte](SS)
+    val magic = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+    for (i <- 0 until 8) header(i) = magic(i).toByte
+    put2(header, 24, 0x3e); put2(header, 26, 3) // minor/major version
+    put2(header, 28, 0xfffe) // little-endian marker
+    put2(header, 30, 9) // 512-byte sectors
+    put2(header, 32, 6) // 64-byte mini sectors
+    put4(header, 44, fatSectors)
+    put4(header, 48, dirSector)
+    put4(header, 56, 4096) // mini cutoff
+    put4(header, 60, if (miniFat.nonEmpty) miniFatSector else -2)
+    put4(header, 64, miniFatBytes.length / SS)
+    put4(header, 68, -2); put4(header, 72, 0) // no DIFAT chain
+    for (i <- 0 until 109)
+      put4(header, 76 + i * 4, if (i < fatSectors) fatStart + i else -1)
+
+    val out = new ByteArrayOutputStream()
+    out.write(header)
+    for ((name, bytes) <- big) out.write(pad(bytes, SS))
+    out.write(miniBytes)
+    out.write(miniFatBytes)
+    out.write(dirBytes)
+    out.write(fat.flatMap(le4))
+    require(out.size() == SS * (1 + totalSectors))
+    out.toByteArray
+  }
+
+  private def le4(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def put2(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def put4(b: Array[Byte], o: Int, v: Int): Unit =
+    System.arraycopy(le4(v), 0, b, o, 4)
+
+  /** Legacy Word 97 `.doc`: FIB + UTF-16LE text pieces in the
+    * WordDocument stream, CLX piece table in 0Table. The WordDocument
+    * stream is padded past the mini cutoff (as in real files), the
+    * 0Table stays under it — one fixture exercises both CFBF read
+    * paths. With `splitCompressed` (ASCII text only) the text is split
+    * into a CP1252-compressed piece plus a UTF-16 piece to cover both
+    * PCD encodings. */
+  def makeDoc(text: String, splitCompressed: Boolean = false): Array[Byte] = {
+    val fibLen = 1024
+    val pieces: Seq[(String, Boolean)] = // (text, compressed)
+      if (splitCompressed && text.forall(_ < 0x80) && text.length >= 2) {
+        val mid = text.length / 2
+        Seq(text.substring(0, mid) -> true, text.substring(mid) -> false)
+      } else Seq(text -> false)
+
+    val wd = new ByteArrayOutputStream()
+    wd.write(new Array[Byte](fibLen))
+    val pcds = pieces.map { case (t, compressed) =>
+      val off = fibLen + (wd.size() - fibLen)
+      val bytes =
+        if (compressed) t.getBytes(StandardCharsets.ISO_8859_1)
+        else t.getBytes(StandardCharsets.UTF_16LE)
+      wd.write(bytes)
+      val fc = if (compressed) (off * 2) | 0x40000000 else off
+      (t.length, fc)
+    }
+    val wdBytes = java.util.Arrays.copyOf(wd.toByteArray, math.max(wd.size(), 4096))
+    // FIB: wIdent, nFib, whichTbl=0 (0Table); variable blobs sized as
+    // Word 97 writes them (csw=14, cslw=22, cbRgFcLcb=93)
+    put2(wdBytes, 0, 0xa5ec)
+    put2(wdBytes, 2, 0x00c1)
+    put2(wdBytes, 10, 0)
+    var o = 32
+    put2(wdBytes, o, 14); o += 2 + 14 * 2
+    put2(wdBytes, o, 22); o += 2 + 22 * 4
+    put2(wdBytes, o, 93); o += 2
+    val fcClxOff = o + 33 * 8
+
+    // 0Table: CLX = Pcdt only (no Prcs)
+    val n = pcds.length
+    val plcLen = (n + 1) * 4 + n * 8
+    val tbl = new Array[Byte](5 + plcLen)
+    tbl(0) = 2
+    put4(tbl, 1, plcLen)
+    var cp = 0
+    pcds.zipWithIndex.foreach { case ((nChars, _), i) =>
+      put4(tbl, 5 + i * 4, cp); cp += nChars
+    }
+    put4(tbl, 5 + n * 4, cp)
+    pcds.zipWithIndex.foreach { case ((_, fc), i) =>
+      val pcd = 5 + (n + 1) * 4 + i * 8
+      put2(tbl, pcd, 0)
+      put4(tbl, pcd + 2, fc)
+      put2(tbl, pcd + 6, 0)
+    }
+    put4(wdBytes, fcClxOff, 0)
+    put4(wdBytes, fcClxOff + 4, tbl.length)
+    makeCfbf(Seq("WordDocument" -> wdBytes, "0Table" -> tbl))
+  }
+
+  /** Legacy Excel `.xls`: BIFF8 Workbook stream with the text as the
+    * single SST (shared-string-table) entry, UTF-16 form. */
+  def makeXls(text: String): Array[Byte] = {
+    val wb = new ByteArrayOutputStream()
+    def rec(id: Int, payload: Array[Byte]): Unit = {
+      val h = new Array[Byte](4); put2(h, 0, id); put2(h, 2, payload.length)
+      wb.write(h); wb.write(payload)
+    }
+    rec(0x0809, new Array[Byte](16)) // BOF
+    val chars = text.getBytes(StandardCharsets.UTF_16LE)
+    val sst = new Array[Byte](8 + 3 + chars.length)
+    put4(sst, 0, 1); put4(sst, 4, 1) // cstTotal, cstUnique
+    put2(sst, 8, text.length)
+    sst(10) = 1 // fHighByte: UTF-16
+    System.arraycopy(chars, 0, sst, 11, chars.length)
+    rec(0x00fc, sst)
+    rec(0x000a, Array.emptyByteArray) // EOF
+    makeCfbf(Seq("Workbook" -> wb.toByteArray))
+  }
+
+  /** Legacy PowerPoint `.ppt`: a Document container record holding one
+    * TextCharsAtom (UTF-16LE) with the text. */
+  def makePpt(text: String): Array[Byte] = {
+    val chars = text.getBytes(StandardCharsets.UTF_16LE)
+    val atom = new Array[Byte](8 + chars.length)
+    put2(atom, 0, 0x0000)
+    put2(atom, 2, 0x0fa0) // TextCharsAtom
+    put4(atom, 4, chars.length)
+    System.arraycopy(chars, 0, atom, 8, chars.length)
+    val doc = new Array[Byte](8 + atom.length)
+    put2(doc, 0, 0x000f) // container
+    put2(doc, 2, 0x03e8) // Document
+    put4(doc, 4, atom.length)
+    System.arraycopy(atom, 0, doc, 8, atom.length)
+    makeCfbf(Seq("PowerPoint Document" -> doc))
+  }
 }

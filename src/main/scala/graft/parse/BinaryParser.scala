@@ -56,9 +56,10 @@ object BinaryParser {
     val m = mime.toLowerCase
     if (m.contains("html") || m.contains("xhtml")) false
     else isPdf(content) || isRtf(content) || isZip(content) ||
+      Ole2.isOle2(content) ||
       m.contains("pdf") || m.contains("rtf") || m.startsWith("text/") ||
       m.contains("officedocument") || m.contains("opendocument") ||
-      m.contains("msword")
+      m.contains("msword") || m.contains("ms-excel") || m.contains("ms-powerpoint")
   }
 
   /** Dispatch on magic bytes first (the server's Content-Type lies
@@ -70,8 +71,10 @@ object BinaryParser {
     else if (isPdf(content)) parsePdf(content)
     else if (isRtf(content)) parseRtf(content)
     else if (isZip(content)) parseZipContainer(content)
+    else if (Ole2.isOle2(content)) Ole2.parse(content)
     else if (m.contains("pdf") || m.contains("rtf") || m.contains("officedocument") ||
-             m.contains("opendocument") || m.contains("msword"))
+             m.contains("opendocument") || m.contains("msword") ||
+             m.contains("ms-excel") || m.contains("ms-powerpoint"))
       Left("content did not match declared type " + m)
     else if (m.startsWith("text/") || looksTextual(content))
       Right(BinaryParse(Charsets.decode(content, declaredCharset).trim, None, Nil,

@@ -141,17 +141,25 @@ object CoverageQueries {
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          import graft.parse.{BinaryDocs, BinaryParser}
+          import graft.parse.{BinaryDocs, BinaryParser, Ole2}
           val title = s"Doc $id"
           val link = s"https://example.com/doc/$id"
-          val (fmt, parsed) = (id % 4) match {
+          val (fmt, parsed) = (id % 8) match {
             case 0 | 2 => "pdf" -> BinaryParser.parsePdf(
               BinaryDocs.makePdf(text, Some(title), links = Seq(link),
-                compress = id % 4 == 0))
+                compress = id % 8 == 0))
             case 1 => "docx" -> BinaryParser.parseZipContainer(
               BinaryDocs.makeDocx(text, Some(title), links = Seq(link)))
-            case _ => "rtf" -> BinaryParser.parseRtf(
+            case 3 => "rtf" -> BinaryParser.parseRtf(
               BinaryDocs.makeRtf(text, Some(title)))
+            // legacy OLE2 family — split .doc text into a CP1252 +
+            // UTF-16 piece pair when ASCII so both PCD encodings run
+            case 4 => "doc" -> Ole2.parse(
+              BinaryDocs.makeDoc(text, splitCompressed = id % 2 == 0))
+            case 5 => "xls" -> Ole2.parse(BinaryDocs.makeXls(text))
+            case 6 => "ppt" -> Ole2.parse(BinaryDocs.makePpt(text))
+            case _ => "odt" -> BinaryParser.parseZipContainer(
+              BinaryDocs.makeOdt(text, Some(title)))
           }
           val bp = parsed.fold(e => sys.error(e), identity)
           (id, fmt, bp.title.orNull, bp.text,
@@ -241,12 +249,14 @@ object CoverageQueries {
 
     "q43_binary_extract" ->
       """SELECT doc_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 2 THEN 'pdf'
-        |    WHEN 1 THEN 'docx' ELSE 'rtf' END AS fmt,
-        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        |  CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 2 THEN 'pdf'
+        |    WHEN 1 THEN 'docx' WHEN 3 THEN 'rtf' WHEN 4 THEN 'doc'
+        |    WHEN 5 THEN 'xls' WHEN 6 THEN 'ppt' ELSE 'odt' END AS fmt,
+        |  CASE WHEN doc_id % 8 IN (4, 5, 6) THEN NULL
+        |    ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
         |  text AS extracted,
-        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS pages,
-        |  CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS n_links
+        |  CASE WHEN doc_id % 8 IN (0, 2) THEN 1 ELSE 0 END AS pages,
+        |  CASE WHEN doc_id % 8 IN (0, 1, 2) THEN 1 ELSE 0 END AS n_links
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.parse.{BinaryDocs, BinaryParser}
+import graft.parse.{BinaryDocs, BinaryParser, Ole2}
 
 /** Binary-document (Tika-branch) extraction truth tables: PDF round
   * trips (compressed + uncompressed + Unicode + escapes), link
@@ -168,5 +168,72 @@ class BinaryParseSpec extends AnyFunSuite {
     assert(BinaryParser.supports("text/plain", "words".getBytes))
     assert(!BinaryParser.supports("text/html", "<html></html>".getBytes))
     assert(!BinaryParser.supports("application/xhtml+xml", "<html/>".getBytes))
+  }
+
+  test("ole2 .doc round trip: UTF-16 piece, FAT + mini stream paths") {
+    val text = "Hello legacy Word.\nSecond paragraph with caf\u00e9 \u4e2d\u6587."
+    val bytes = BinaryDocs.makeDoc(text)
+    assert(Ole2.isOle2(bytes))
+    val bp = Ole2.parse(bytes).fold(e => fail(e), identity)
+    assert(bp.text == text)
+    assert(bp.metadata("format") == Seq("doc"))
+    assert(bp.metadata("pieces") == Seq("1"))
+  }
+
+  test("ole2 .doc split pieces: CP1252-compressed + UTF-16 PCDs both decode") {
+    val text = "An ascii-only document body that spans exactly two pieces."
+    val bytes = BinaryDocs.makeDoc(text, splitCompressed = true)
+    val bp = Ole2.parse(bytes).fold(e => fail(e), identity)
+    assert(bp.text == text)
+    assert(bp.metadata("pieces") == Seq("2"))
+  }
+
+  test("ole2 .doc paragraph normalization: CR and cell marks become newlines") {
+    val bytes = BinaryDocs.makeDoc("one\rtwo\u0007three")
+    val bp = Ole2.parse(bytes).fold(e => fail(e), identity)
+    assert(bp.text == "one\ntwo\nthree")
+  }
+
+  test("ole2 .xls SST strings extracted") {
+    val text = "Quarterly totals \u2014 sheet text"
+    val bp = Ole2.parse(BinaryDocs.makeXls(text)).fold(e => fail(e), identity)
+    assert(bp.text == text)
+    assert(bp.metadata("format") == Seq("xls"))
+  }
+
+  test("ole2 .ppt text atoms extracted") {
+    val text = "Slide title\nBullet one"
+    val bp = Ole2.parse(BinaryDocs.makePpt(text)).fold(e => fail(e), identity)
+    assert(bp.text == text)
+    assert(bp.metadata("format") == Seq("ppt"))
+  }
+
+  test("ole2 dispatch: BinaryParser routes on the D0CF11E0 magic") {
+    val doc = BinaryDocs.makeDoc("dispatched")
+    val viaMime = BinaryParser.parse(doc, "application/msword")
+    assert(viaMime.exists(_.text == "dispatched"))
+    // magic beats a lying mime
+    val viaLie = BinaryParser.parse(doc, "text/plain")
+    assert(viaLie.exists(_.text == "dispatched"))
+    assert(BinaryParser.supports("application/vnd.ms-excel", Array[Byte](1, 2)))
+    assert(BinaryParser.supports("", doc))
+  }
+
+  test("ole2 fuzz: truncated and corrupted containers fail, never throw") {
+    val doc = BinaryDocs.makeDoc("payload " * 40)
+    for (n <- Seq(8, 100, 512, 700, 1500, doc.length - 7)) {
+      val t = java.util.Arrays.copyOf(doc, n)
+      assert(Ole2.parse(t).isLeft || Ole2.parse(t).isRight) // no throw
+    }
+    // flip bytes through the header/FAT region
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val m = doc.clone()
+      for (_ <- 1 to 8) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Ole2.parse(m) // must not throw
+    }
+    // an OLE2 container with no recognized payload is a Left
+    val alien = BinaryDocs.makeCfbf(Seq("Mystery" -> Array[Byte](1, 2, 3)))
+    assert(Ole2.parse(alien).isLeft)
   }
 }
