@@ -3,6 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Dump `explain("formatted")` for the headline queries into PLANS.md —
   * the reviewed-plan artifact: every headline operator's physical plan
@@ -45,9 +46,29 @@ object ExplainDump {
     "q46_top_terms" ->
       "TF-IDF-shaped top-k: ONE scan+explode (df via count-over-term window on aggregated rows, not a self-join that re-scans); partial WindowGroupLimit prunes to k per doc BELOW the final exchange.",
     "q49_pagerank" ->
-      "Fixed-point PageRank: static 3-iteration DAG — per round one join of the small rank side against edges + one dst aggregation; BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
+      "Fixed-point PageRank, 3 materialized rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->
-      "Pair clustering: min-label rounds are join+min-agg over the undirected pair list (cached once); labels converge deterministically — min is commutative, so no partitioning sensitivity.")
+      "Pair clustering to convergence: each round is the `round body` plan below — self ∪ edge-join ∪ pointer-jump (Shiloach–Vishkin label-of-label) into ONE min-aggregation, checkpointed per round (UnsafeRow path) with the previous label carried through the agg so the convergence count is the same single action. The undirected pair list is cached pre-partitioned/pre-sorted on the join key — per round zero exchange/sort on the edge side; pointer jumping makes rounds O(log diameter). The final plan is the cluster aggregation over the last checkpoint.")
+
+  /** Pre-checkpoint round bodies for the iterative operators — the
+    * plan each loop round actually materializes (the final-plan dump
+    * alone would show only a scan of the last checkpoint). Built by
+    * the SAME code the loops run, so these cannot drift. */
+  private val roundPlans: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q49_pagerank" -> ((s, dir) => {
+      val edges = graft.queries.Tables.events(s, dir)
+        .where(col("user_id") % 20 < 15)
+        .selectExpr(
+          "concat('h', cast(user_id % 20 as string)) AS src",
+          "concat('h', cast(event_id % 20 as string)) AS dst")
+        .where(col("src") =!= col("dst"))
+      graft.analytics.LinkGraph.roundPlan(edges)
+    }),
+    "q50_neardup_components" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.analytics.Dedup.ccRoundPlan(
+        graft.analytics.Dedup.lshCandidatePairs(docs, "doc_id", "text", "source"))
+    }))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
@@ -71,6 +92,11 @@ object ExplainDump {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
+      for (rp <- roundPlans.get(name)) {
+        val rplan = rp(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        sb.append(s"\n### $name — round body (pre-checkpoint, one iteration)\n\n```\n$rplan```\n")
+      }
     }
     Files.write(Paths.get(out), sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote $out")

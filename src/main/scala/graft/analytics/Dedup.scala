@@ -125,24 +125,7 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                           maxIterations: Int = 20): DataFrame = {
-    // Symmetrize in ONE pass over `pairs`: the input to this operator
-    // is typically an expensive candidate generator (MinHash window +
-    // self-join), and the union-of-two-selects formulation evaluates
-    // it twice before the cache can help. explode(array(struct)) emits
-    // both directions from a single evaluation.
-    val und = pairs
-      .select(explode(array(
-        struct(col(aCol).as("x"), col(bCol).as("y")),
-        struct(col(bCol).as("x"), col(aCol).as("y")))).as("e"))
-      .select(col("e.x").as("x"), col("e.y").as("y"))
-      .distinct()
-      // pre-partition AND pre-sort on the per-round join key: the
-      // cached plan's outputPartitioning/outputOrdering survive the
-      // InMemoryTableScan, so every round's edge⋈label join reuses
-      // them — zero exchange and zero sort on the (big) edge side per
-      // round; only the |V|-row label side moves.
-      .repartition(col("y"))
-      .sortWithinPartitions("y")
+    val und = symmetrized(pairs, aCol, bCol)
     und.cache()
     val nodes = und.select(col("x").as("node")).distinct()
     var labels = nodes.withColumn("comp", col("node"))
@@ -151,33 +134,7 @@ object Dedup {
     var round = 0
     while (!converged && round < maxIterations) {
       round += 1
-      // one round = min over (own label ∪ neighbor labels): a union +
-      // single min-aggregation — ONE shuffle; the edge⋈label join
-      // builds on the materialized label table (broadcast-sized
-      // relative to the edges). The self branch carries the node's
-      // previous label through the aggregation (exactly one non-null
-      // `prev` per node), so convergence falls out of the same pass.
-      val compType = labels.schema("comp").dataType
-      val self = labels.select(col("node"), col("comp"),
-        col("comp").as("prev"))
-      val viaNbr = und
-        .join(labels.withColumnRenamed("node", "y")
-                    .withColumnRenamed("comp", "ycomp"), "y")
-        .select(col("x").as("node"), col("ycomp").as("comp"),
-          lit(null).cast(compType).as("prev"))
-      // pointer jump: x currently labeled c takes c's own label too —
-      // a |V|⋈|V| self-join of the (checkpointed) label table, tiny
-      // next to the edge join, and it turns O(diameter) rounds into
-      // O(log diameter)
-      val viaPtr = labels
-        .join(labels.select(col("node").as("comp"), col("comp").as("comp2")),
-          Seq("comp"))
-        .select(col("node"), col("comp2").as("comp"),
-          lit(null).cast(compType).as("prev"))
-      val (next, handle) = Iterate.checkpoint(
-        self.union(viaNbr).union(viaPtr)
-          .groupBy("node")
-          .agg(min(col("comp")).as("comp"), max(col("prev")).as("prev")))
+      val (next, handle) = Iterate.checkpoint(ccRound(und, labels))
       // the ONE action of the round: a DataFrame aggregate over the
       // checkpointed frame — its first action materializes every
       // partition of the checkpoint AND counts label changes, all on
@@ -195,6 +152,62 @@ object Dedup {
           "under-merged (and will not match an exact transitive closure)")
     und.unpersist()
     labels
+  }
+
+  /** Symmetrize candidate pairs in ONE pass: the input is typically an
+    * expensive generator (MinHash window + self-join), and the
+    * union-of-two-selects formulation would evaluate it twice before
+    * the cache can help; explode(array(struct)) emits both directions
+    * from a single evaluation. The result is pre-partitioned AND
+    * pre-sorted on the per-round join key: the cached plan's
+    * outputPartitioning/outputOrdering survive the InMemoryTableScan,
+    * so every round's edge⋈label join reuses them — zero exchange and
+    * zero sort on the (big) edge side per round; only the |V|-row
+    * label side moves. */
+  private def symmetrized(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs
+      .select(explode(array(
+        struct(col(aCol).as("x"), col(bCol).as("y")),
+        struct(col(bCol).as("x"), col(aCol).as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .distinct()
+      .repartition(col("y"))
+      .sortWithinPartitions("y")
+
+  /** One label-propagation round, pre-checkpoint: min over (a) the
+    * node's own label — which also carries `prev` for the convergence
+    * count, (b) neighbor labels via the edge join, (c) the label of
+    * the current label (pointer jump). One union + one min-aggregation
+    * = ONE shuffle beyond the joins. Shared between the loop and
+    * [[ccRoundPlan]] so the dumped explain can never drift from the
+    * shipped iteration. */
+  private def ccRound(und: DataFrame, labels: DataFrame): DataFrame = {
+    val compType = labels.schema("comp").dataType
+    val self = labels.select(col("node"), col("comp"),
+      col("comp").as("prev"))
+    val viaNbr = und
+      .join(labels.withColumnRenamed("node", "y")
+                  .withColumnRenamed("comp", "ycomp"), "y")
+      .select(col("x").as("node"), col("ycomp").as("comp"),
+        lit(null).cast(compType).as("prev"))
+    val viaPtr = labels
+      .join(labels.select(col("node").as("comp"), col("comp").as("comp2")),
+        Seq("comp"))
+      .select(col("node"), col("comp2").as("comp"),
+        lit(null).cast(compType).as("prev"))
+    self.union(viaNbr).union(viaPtr)
+      .groupBy("node")
+      .agg(min(col("comp")).as("comp"), max(col("prev")).as("prev"))
+  }
+
+  /** Round-1's pre-checkpoint frame for plan inspection (ExplainDump):
+    * the real loop materializes exactly this shape every round. */
+  private[graft] def ccRoundPlan(pairs: DataFrame, aCol: String = "a",
+                                 bCol: String = "b"): DataFrame = {
+    val und = symmetrized(pairs, aCol, bCol)
+    val labels = und.select(col("x").as("node")).distinct()
+      .withColumn("comp", col("node"))
+    ccRound(und, labels)
   }
 
   /** LSH candidate pairs from unigram MinHash, banded 2×2 (band A =

@@ -74,27 +74,8 @@ object LinkGraph {
     var ranks = vertices.withColumn("rank", lit(scale))
     var prevHandle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
     for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
-        // integer `div` BEFORE the sum: exact floor, order-independent
-        // (a double `/` + cast could differ from true floor by 1 ulp)
-        .selectExpr("dst AS node", "rank div outdeg AS c")
-        .groupBy("node").agg(sum(col("c")).as("contrib"))
-      // dangling mass: total rank parked on nodes with no outlinks —
-      // a left-anti of the |V|-row rank table against the out-degree
-      // table, reduced to ONE row (cross-joins back as a broadcast)
-      val dangling = ranks
-        .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("dangling"))
       val (next, handle) = Iterate.checkpoint(
-        vertices
-          .join(contribs, Seq("node"), "left")
-          .crossJoin(dangling)
-          .select(col("node"),
-            (lit(base) +
-              expr(s"(85 * (coalesce(contrib, 0L) + dangling div $nV)) div 100"))
-              .cast("long").as("rank")))
+        round(e, vertices, outdeg, ranks, nV, base))
       handle.count() // materialize this round before freeing the last
       prevHandle.foreach(_.unpersist(false))
       prevHandle = Some(handle)
@@ -106,5 +87,48 @@ object LinkGraph {
       } else ranks
     e.unpersist(); vertices.unpersist(); outdeg.unpersist()
     out
+  }
+
+  /** One PageRank round, pre-checkpoint — the plan each iteration
+    * materializes. Shared between the loop and [[roundPlan]] so the
+    * dumped explain can never drift from the shipped iteration. */
+  private def round(e: DataFrame, vertices: DataFrame, outdeg: DataFrame,
+                    ranks: DataFrame, nV: Long, base: Long): DataFrame = {
+    val contribs = e
+      .join(ranks.withColumnRenamed("node", "src"), "src")
+      .join(outdeg, "src")
+      // integer `div` BEFORE the sum: exact floor, order-independent
+      // (a double `/` + cast could differ from true floor by 1 ulp)
+      .selectExpr("dst AS node", "rank div outdeg AS c")
+      .groupBy("node").agg(sum(col("c")).as("contrib"))
+    // dangling mass: total rank parked on nodes with no outlinks —
+    // a left-anti of the |V|-row rank table against the out-degree
+    // table, reduced to ONE row (cross-joins back as a broadcast)
+    val dangling = ranks
+      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .agg(coalesce(sum(col("rank")), lit(0L)).as("dangling"))
+    vertices
+      .join(contribs, Seq("node"), "left")
+      .crossJoin(dangling)
+      .select(col("node"),
+        (lit(base) +
+          expr(s"(85 * (coalesce(contrib, 0L) + dangling div $nV)) div 100"))
+          .cast("long").as("rank"))
+  }
+
+  /** Round-1's pre-checkpoint frame for plan inspection (ExplainDump):
+    * the real loop materializes exactly this shape every iteration —
+    * the post-checkpoint plan is just a scan of its output. */
+  private[graft] def roundPlan(edges: DataFrame, srcCol: String = "src",
+                               dstCol: String = "dst",
+                               scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src")).sortWithinPartitions("src")
+    val vertices = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nV = vertices.count()
+    round(e, vertices, outdeg, vertices.withColumn("rank", lit(scale)),
+      nV, (scale * 15L) / 100L)
   }
 }

@@ -68,7 +68,8 @@ object FileProtocol extends Protocol {
   * metadata carries `http.method.head`, like `httpclient/HttpProtocol
   * .java:209` / `okhttp/HttpProtocol.java:387`) with content-limit
   * trim, optional If-Modified-Since, custom request headers, and an
-  * optional fixed forward proxy (`okhttp/HttpProtocol.java:78`);
+  * optional forward proxy — fixed (`okhttp/HttpProtocol.java:78`) or a
+  * per-request-rotating pool (`core/.../proxy/MultiProxyManager.java:38`);
   * redirects are NOT followed (the crawl loop handles REDIRECTION
   * statuses itself, like `okhttp/HttpProtocol.java:287-437`). */
 final class HttpProtocol(
@@ -79,15 +80,40 @@ final class HttpProtocol(
     extraHeaders: Map[String, String] = Map.empty,
     useCookies: Boolean = true,
     proxyHost: Option[String] = None,
-    proxyPort: Int = 8080) extends Protocol {
+    proxyPort: Int = 8080,
+    proxyPool: Seq[String] = Nil) extends Protocol {
 
   @transient private lazy val client: HttpClient = {
     val b = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NEVER)
       .connectTimeout(Duration.ofMillis(connectTimeoutMs))
-    proxyHost.foreach(h => b.proxy(java.net.ProxySelector.of(
+    if (proxyPool.nonEmpty) b.proxy(rotatingSelector)
+    else proxyHost.foreach(h => b.proxy(java.net.ProxySelector.of(
       new java.net.InetSocketAddress(h, proxyPort))))
     b.build()
+  }
+
+  /** Round-robin over a `host:port` proxy pool — MultiProxyManager
+    * semantics (`core/.../proxy/MultiProxyManager.java:38-76`: rotate
+    * per request, not per host, so load spreads even when one site
+    * dominates the fetch batch). Takes precedence over the fixed
+    * `proxyHost` when non-empty. */
+  @transient private lazy val rotatingSelector: java.net.ProxySelector = {
+    val parsed = proxyPool.map { hp =>
+      val i = hp.lastIndexOf(':')
+      require(i > 0, s"proxyPool entry must be host:port, got $hp")
+      new java.net.Proxy(java.net.Proxy.Type.HTTP,
+        new java.net.InetSocketAddress(hp.substring(0, i), hp.substring(i + 1).toInt))
+    }.toIndexedSeq
+    val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    new java.net.ProxySelector {
+      override def select(uri: java.net.URI): java.util.List[java.net.Proxy] =
+        java.util.Collections.singletonList(
+          parsed(Math.floorMod(next.getAndIncrement(), parsed.size)))
+      override def connectFailed(uri: java.net.URI,
+                                 sa: java.net.SocketAddress,
+                                 ioe: java.io.IOException): Unit = ()
+    }
   }
 
   def fetch(url: String, metadata: Map[String, Seq[String]]): ProtocolResponse = {

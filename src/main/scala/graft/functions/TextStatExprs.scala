@@ -83,13 +83,36 @@ object LangProfiles {
     * whose dominant script covers ≥ `scriptThreshold` of its non-space
     * code points is labeled by script, confidence = that fraction. */
   val scripts: Seq[(String, Int, Int)] = Seq(
+    ("am", 0x1200, 0x137f), // Ethiopic
     ("ar", 0x0600, 0x06ff),
+    ("bn", 0x0980, 0x09ff),
     ("el", 0x0370, 0x03ff),
+    ("gu", 0x0a80, 0x0aff),
+    ("he", 0x0590, 0x05ff),
     ("hi", 0x0900, 0x097f),
+    ("hy", 0x0530, 0x058f),
     ("ja", 0x3040, 0x30ff),
+    ("ka", 0x10a0, 0x10ff),
+    ("km", 0x1780, 0x17ff),
+    ("kn", 0x0c80, 0x0cff),
     ("ko", 0xac00, 0xd7af),
+    ("lo", 0x0e80, 0x0eff),
+    ("ml", 0x0d00, 0x0d7f),
+    ("my", 0x1000, 0x109f),
+    ("pa", 0x0a00, 0x0a7f), // Gurmukhi
     ("ru", 0x0400, 0x04ff),
+    ("si", 0x0d80, 0x0dff),
+    ("ta", 0x0b80, 0x0bff),
+    ("te", 0x0c00, 0x0c7f),
+    ("th", 0x0e00, 0x0e7f),
     ("zh", 0x4e00, 0x9fff))
+
+  // overlapping ranges would make "dominant script" ambiguous
+  scripts.sortBy(_._2).sliding(2).foreach {
+    case Seq((la, _, hiA), (lb, loB, _)) =>
+      require(hiA < loB, s"script ranges overlap: $la..$hiA vs $lb..$loB")
+    case _ => ()
+  }
 
   val scriptThreshold = 0.3
 
@@ -117,7 +140,43 @@ object LangProfiles {
       "ing", "ng ", " be", "ver", "oor", " vo", "den", "ten", " in", "in ", "cht"),
     "pt" -> Seq(" de", "de ", " qu", "que", "ue ", " co", "os ", "as ", " es",
       "ão ", "ção", " pa", "par", "ra ", "ar ", " do", "do ", "da ", " da",
-      "em ", " em", "ent", "nte", " se", "ade", "dad", " po", "or ", "es ", "com"))
+      "em ", " em", "ent", "nte", " se", "ade", "dad", " po", "or ", "es ", "com"),
+    "pl" -> Seq(" ni", "nie", "ie ", " po", " na", "na ", "ch ", " pr", "prz",
+      "rze", "ego", "go ", " do", "ści", " za", "owa", "ani", "nia", "ia ",
+      " je", "jes", "est", "się", " si", "ych", " w ", " z ", "ej ", "ać ", "ow "),
+    "ro" -> Seq(" de", "de ", " în", "în ", "ul ", "are", " ca", "car", "re ",
+      "ea ", "și ", " și", "ate", " pe", "pen", "tru", "lor", " co", "con",
+      "ui ", "lui", " cu", "cu ", "ste", " ac", "ace", "ilo", "or ", "tă ", "ei "),
+    "sv" -> Seq("en ", " de", "det", "et ", " oc", "och", "ch ", " at", "att",
+      "tt ", "för", " fö", "ar ", " so", "som", "om ", "er ", " ha", "an ",
+      "ing", "ng ", " in", "de ", " ti", "til", "ill", " me", "med", "ed ", "lla"),
+    "da" -> Seq("er ", "en ", " de", "det", " at", "at ", " og", "og ", "de ",
+      " fo", "for", "or ", " ti", "til", "il ", " me", "med", " ha", "der",
+      "nde", "ere", " er", "ing", "ng ", " si", "ig ", "ler", "rne", "ed ", "kke"),
+    "no" -> Seq("er ", "en ", " de", "det", "et ", " og", "og ", " ti", "til",
+      "il ", " fo", "for", "or ", " ha", "har", "ar ", " ik", "ikk", "kke",
+      " so", "som", "om ", "ing", "ng ", " me", "med", " på", "på ", "ene", "ret"),
+    "fi" -> Seq("en ", "in ", "an ", " on", "on ", "ist", "sta", " ja", "ja ",
+      "aan", "än ", "ään", "lla", "ssa", " ka", " pa", "tta", "ta ", "si ",
+      "un ", "ksi", "lle", "itt", "ttä", "tä ", " jo", "oka", "ka ", " se", "sen"),
+    "cs" -> Seq(" po", " na", "na ", " je", "je ", "se ", " se", "ní ", "ost",
+      " př", "pře", " pr", "pro", "ro ", "ou ", " do", "ho ", "ého", " ne",
+      "la ", "le ", " za", "ce ", "em ", " kt", "kte", "ter", "ých", "ně ", "ři "),
+    "hu" -> Seq(" a ", " az", "az ", "el ", " el", "egy", " eg", "gy ", "ek ",
+      " me", "meg", "en ", "ség", "ég ", "nek", " ne", "tt ", "ett", " ho",
+      "hog", "ogy", " va", "van", "án ", "ban", "ben", " be", "ás ", "és ", " és"),
+    "tr" -> Seq(" bi", "bir", "ir ", "lar", "ar ", "ler", "er ", " ka", " ol",
+      "ola", "an ", "ın ", "arı", "rı ", " ya", "yor", "or ", " ve", "ve ",
+      "in ", "nin", " bu", "bu ", "da ", "de ", "nda", " iç", "içi", "çin", "ını"),
+    "id" -> Seq(" me", "men", "an ", "kan", " di", "di ", "ang", "ng ", " ya",
+      "yan", "ada", " ad", " be", "ber", "nya", "ya ", " pe", "per", "ara",
+      " da", "dan", "dal", "ala", "lam", " se", "seb", "ter", " te", "ata", "tan"),
+    "vi" -> Seq("ng ", " ng", "ngư", " th", " nh", "như", " cá", "các", "ác ",
+      " là", "là ", " củ", "của", "ủa ", " và", "và ", "ới ", " vớ", "với",
+      "ông", " ch", "cho", "ho ", " đư", "đượ", "ợc ", "ên ", "iện", " mộ", "ột "),
+    "ca" -> Seq("els", " am", "amb", "mb ", "ció", "ió ", "tat", " se", "sev",
+      "eva", " mé", "més", "és ", "nt ", "ant", "men", " aq", "aqu", "que",
+      " qu", "per", " pe", "les", " le", "est", " es", "de ", " de", "la ", " la"))
 
   trigrams.foreach { case (l, ts) =>
     require(ts.distinct.size == ts.size, s"duplicate trigram in profile $l")

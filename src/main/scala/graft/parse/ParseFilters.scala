@@ -199,7 +199,7 @@ final class MimeTypeNormalization(key: String = "format") extends ParseFilter {
   * (`external/langid/.../LanguageID.java:54`: n-gram detector, keep the
   * prediction only above a probability threshold). Uses the shared
   * trigram-profile + script-range model ([[graft.functions.LangIdOps]],
-  * 14 languages); no tag when the detector says `und` or confidence is
+  * 42 languages); no tag when the detector says `und` or confidence is
   * below `minConf`. */
 final class LanguageIdParseFilter(key: String = "lang", minConf: Double = 0.0)
     extends ParseFilter {

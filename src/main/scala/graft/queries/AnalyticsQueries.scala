@@ -110,7 +110,7 @@ object AnalyticsQueries {
         .orderBy("doc_id")),
 
     // Language ID: character-trigram profiles + script detection
-    // (14 languages), one native pass per doc.
+    // (42 languages), one native pass per doc.
     "q28_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),

@@ -64,6 +64,26 @@ class TextStatsSpec extends AnyFunSuite {
     assert(LangIdOps.detect("तेज भूरी लोमड़ी आलसी कुत्ते के ऊपर कूदती है")._1 == "hi")
   }
 
+  test("langid: round-6 breadth — new Latin profiles separate") {
+    assert(LangIdOps.detect("Szybki brązowy lis przeskakuje nad leniwym psem i biegnie do lasu przez pole")._1 == "pl")
+    assert(LangIdOps.detect("Den snabba bruna räven hoppar över den lata hunden och springer in i skogen")._1 == "sv")
+    assert(LangIdOps.detect("Hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve ormana doğru koşar")._1 == "tr")
+    assert(LangIdOps.detect("Nopea ruskea kettu hyppää laiskan koiran yli ja juoksee metsään mäen taakse")._1 == "fi")
+    assert(LangIdOps.detect("Rychlá hnědá liška skáče přes líného psa a běží do lesa přes pole a potok")._1 == "cs")
+    assert(LangIdOps.detect("A gyors barna róka átugrik a lusta kutya felett és az erdőbe fut a dombon át")._1 == "hu")
+    assert(LangIdOps.detect("Vulpea maro rapidă sare peste câinele leneș și aleargă în pădure peste deal")._1 == "ro")
+    assert(LangIdOps.detect("Con cáo nâu nhanh nhẹn nhảy qua con chó lười và chạy vào rừng qua cánh đồng")._1 == "vi")
+    assert(LangIdOps.detect("Rubah coklat yang cepat melompat di atas anjing yang malas dan berlari ke dalam hutan")._1 == "id")
+  }
+
+  test("langid: round-6 breadth — new script ranges separate") {
+    assert(LangIdOps.detect("השועל החום המהיר קופץ מעל הכלב העצלן ורץ אל היער")._1 == "he")
+    assert(LangIdOps.detect("สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ")._1 == "th")
+    assert(LangIdOps.detect("দ্রুত বাদামী শিয়াল অলস কুকুরের উপর লাফ দেয়")._1 == "bn")
+    assert(LangIdOps.detect("விரைவான பழுப்பு நரி சோம்பேறி நாயின் மீது குதிக்கிறது")._1 == "ta")
+    assert(LangIdOps.detect("வ")._1 == "ta") // single code point still classifies
+  }
+
   test("langid: und for empty, numeric, and unknown text; confidence in range") {
     assert(LangIdOps.detect("") === (("und", 0.0)))
     assert(LangIdOps.detect("   ") === (("und", 0.0)))
