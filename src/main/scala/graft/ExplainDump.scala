@@ -55,15 +55,9 @@ object ExplainDump {
     * alone would show only a scan of the last checkpoint). Built by
     * the SAME code the loops run, so these cannot drift. */
   private val roundPlans: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-    "q49_pagerank" -> ((s, dir) => {
-      val edges = graft.queries.Tables.events(s, dir)
-        .where(col("user_id") % 20 < 15)
-        .selectExpr(
-          "concat('h', cast(user_id % 20 as string)) AS src",
-          "concat('h', cast(event_id % 20 as string)) AS dst")
-        .where(col("src") =!= col("dst"))
-      graft.analytics.LinkGraph.roundPlan(edges)
-    }),
+    "q49_pagerank" -> ((s, dir) =>
+      graft.analytics.LinkGraph.roundPlan(
+        graft.queries.AnalyticsQueries.q49Edges(s, dir))),
     "q50_neardup_components" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.analytics.Dedup.ccRoundPlan(

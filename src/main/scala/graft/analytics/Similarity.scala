@@ -51,28 +51,22 @@ object Similarity {
     * self-matches excluded. Ties broken by corpus id. Map-only over the
     * corpus + one window shuffle on q_id (tiny output side).
     *
-    * Zero-norm / non-finite vectors normalize to NaN components and a
-    * NaN cosine — and NaN sorts FIRST under `desc` in Spark, so one
-    * degenerate row would otherwise squat a top-k slot. Every cosine
-    * consumer here drops NaN scores ([[dropNanCosine]]). */
+    * Zero-norm / non-finite vectors are rejected inside the native
+    * normalize ([[normalized]] keeps only non-null unit vectors), so
+    * every pair reaching the dot product is finite and no NaN cosine
+    * can exist to squat a `desc` top-k slot (Spark sorts NaN above
+    * every real). The SQL oracles reach the same exclusion through
+    * `NOT isnan(cosine)` on their unguarded 0/0 division. */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
     val q = normalized(queries, idCol, vecCol, "q_id", "q_vec")
     val c = normalized(corpus, idCol, vecCol, "c_id", "c_vec")
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), dotD(col("q_vec"), col("c_vec")).as("cosine"))
-      .where(dropNanCosine)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
   }
-
-  /** Keep only finite cosines: a zero-norm or non-finite input vector
-    * yields NaN (0/0 in the normalize), and Spark orders NaN ABOVE every
-    * real value — without this predicate a single degenerate vector
-    * outranks every true neighbor in a `desc` top-k. Mirrored in the
-    * SQL oracles as `NOT isnan(cosine)`. */
-  private def dropNanCosine: Column = !isnan(col("cosine"))
 
   /** Random-hyperplane LSH bucket id (`numPlanes` bits) per vector —
     * the IVF-style coarse quantizer: map-only, no shuffle. Native
@@ -110,7 +104,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), dotD(col("q_vec"), col("c_vec")).as("cosine"))
-      .where(dropNanCosine)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("cosine"), col("rnk"))
@@ -146,7 +139,6 @@ object Similarity {
     val r = n.select(col("bucket"), col("id").as("b"), col("nv").as("vb"))
     l.join(r, Seq("bucket")).where(col("a") < col("b"))
       .select(col("bucket"), col("a"), col("b"), dotD(col("va"), col("vb")).as("cosine"))
-      .where(dropNanCosine)
       .orderBy(col("cosine").desc, col("a"), col("b"))
       .limit(topN)
   }

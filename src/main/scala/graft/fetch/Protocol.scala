@@ -98,13 +98,23 @@ final class HttpProtocol(
     * per request, not per host, so load spreads even when one site
     * dominates the fetch batch). Takes precedence over the fixed
     * `proxyHost` when non-empty. */
-  @transient private lazy val rotatingSelector: java.net.ProxySelector = {
-    val parsed = proxyPool.map { hp =>
+  // validated EAGERLY: a malformed pool entry must fail construction,
+  // not surface as a silent -1 on every fetch (the lazy client is only
+  // touched inside fetch's catch-all, which would swallow the error)
+  private val parsedProxyPool: IndexedSeq[(String, Int)] =
+    proxyPool.map { hp =>
       val i = hp.lastIndexOf(':')
-      require(i > 0, s"proxyPool entry must be host:port, got $hp")
-      new java.net.Proxy(java.net.Proxy.Type.HTTP,
-        new java.net.InetSocketAddress(hp.substring(0, i), hp.substring(i + 1).toInt))
+      val portOk = i > 0 && i < hp.length - 1 && hp.substring(i + 1).forall(_.isDigit)
+      require(portOk, s"proxyPool entry must be host:port, got '$hp'")
+      val port = hp.substring(i + 1).toInt
+      require(port > 0 && port <= 65535, s"proxyPool port out of range in '$hp'")
+      (hp.substring(0, i), port)
     }.toIndexedSeq
+
+  @transient private lazy val rotatingSelector: java.net.ProxySelector = {
+    val parsed = parsedProxyPool.map { case (h, p) =>
+      new java.net.Proxy(java.net.Proxy.Type.HTTP, new java.net.InetSocketAddress(h, p))
+    }
     val next = new java.util.concurrent.atomic.AtomicInteger(0)
     new java.net.ProxySelector {
       override def select(uri: java.net.URI): java.util.List[java.net.Proxy] =

@@ -392,6 +392,12 @@ object BinaryDocs {
   /** Legacy Excel `.xls`: BIFF8 Workbook stream with the text as the
     * single SST (shared-string-table) entry, UTF-16 form. */
   def makeXls(text: String): Array[Byte] = {
+    // BIFF8 record length and the SST cch are both u16: a longer text
+    // would silently wrap both fields and corrupt the fixture — fail
+    // loudly instead (Continue-record spill is out of the writer's
+    // scope; the parser documents the matching read-side limitation)
+    require(text.length * 2 + 11 <= 0xffff,
+      s"makeXls text too long for a single SST record: ${text.length} chars")
     val wb = new ByteArrayOutputStream()
     def rec(id: Int, payload: Array[Byte]): Unit = {
       val h = new Array[Byte](4); put2(h, 0, id); put2(h, 2, payload.length)

@@ -76,9 +76,13 @@ object Ole2 {
         i += 1
       }
       var difat = i32(content, 68)
-      var difatCount = u32(content, 72)
+      // bound by the FILE, not the header's count: a crafted header
+      // declaring 2^32 DIFAT sectors (or a self-referencing chain)
+      // must terminate — a file physically cannot hold more DIFAT
+      // sectors than it has sectors
+      val difatCap = math.min(u32(content, 72), maxSector.toLong) + 4
       var guard = 0
-      while (difat >= 0 && difat < maxSector && guard < difatCount + 4) {
+      while (difat >= 0 && difat < maxSector && guard < difatCap) {
         val base = sectorAt(difat)
         var j = 0
         while (j < sectorSize / 4 - 1) {
@@ -127,7 +131,12 @@ object Ole2 {
     }
 
     val dir: Seq[DirEntry] = {
-      val dirBytes = readFatStream(i32(content, 48), content.length.toLong)
+      // size by the chain, not the file: the directory is typically one
+      // sector, and a whole-file-sized buffer would double per-document
+      // memory on a large capture
+      val start = i32(content, 48)
+      val dirBytes = readFatStream(start,
+        chain(start, maxSector + 1).length.toLong * sectorSize)
       val out = ArrayBuffer.empty[DirEntry]
       var o = 0
       while (o + 128 <= dirBytes.length) {

@@ -214,15 +214,9 @@ object AnalyticsQueries {
     // h0..h14 makes h15..h19 dst-only — REAL dangling nodes, so the
     // hash comparison exercises the dangling-mass redistribution, not
     // just the damping floor.
-    "q49_pagerank" -> ((s, dir) => {
-      val edges = t(s, dir, "events")
-        .where(col("user_id") % 20 < 15)
-        .selectExpr(
-          "concat('h', cast(user_id % 20 as string)) AS src",
-          "concat('h', cast(event_id % 20 as string)) AS dst")
-        .where(col("src") =!= col("dst"))
-      graft.analytics.LinkGraph.pagerank(edges, iterations = 3).orderBy("node")
-    }),
+    "q49_pagerank" -> ((s, dir) =>
+      graft.analytics.LinkGraph.pagerank(q49Edges(s, dir), iterations = 3)
+        .orderBy("node")),
 
     // Sequence packing: concat-then-chop token budgeting per language,
     // budget 256 — integer window arithmetic, one shuffle.
@@ -236,6 +230,19 @@ object AnalyticsQueries {
         .orderBy("lang", "seq_id")
     })
   )
+
+  /** q49's derived host graph — restricting src to h0..h14 makes
+    * h15..h19 dst-only, i.e. REAL dangling nodes, so the oracle hash
+    * exercises dangling-mass redistribution. Shared with ExplainDump's
+    * round-body dump so the dumped plan runs over the same edges the
+    * query does. */
+  private[graft] def q49Edges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("user_id") % 20 < 15)
+      .selectExpr(
+        "concat('h', cast(user_id % 20 as string)) AS src",
+        "concat('h', cast(event_id % 20 as string)) AS dst")
+      .where(col("src") =!= col("dst"))
 
   /** Shared pair-generation CTE (q22's LSH banding), reused by the
     * component-clustering oracle. */

@@ -153,9 +153,10 @@ object CoverageQueries {
             case 3 => "rtf" -> BinaryParser.parseRtf(
               BinaryDocs.makeRtf(text, Some(title)))
             // legacy OLE2 family — split .doc text into a CP1252 +
-            // UTF-16 piece pair when ASCII so both PCD encodings run
+            // UTF-16 piece pair (when ASCII) so both PCD encodings run;
+            // non-ASCII texts take makeDoc's single-UTF-16-piece path
             case 4 => "doc" -> Ole2.parse(
-              BinaryDocs.makeDoc(text, splitCompressed = id % 2 == 0))
+              BinaryDocs.makeDoc(text, splitCompressed = true))
             case 5 => "xls" -> Ole2.parse(BinaryDocs.makeXls(text))
             case 6 => "ppt" -> Ole2.parse(BinaryDocs.makePpt(text))
             case _ => "odt" -> BinaryParser.parseZipContainer(

@@ -236,4 +236,17 @@ class BinaryParseSpec extends AnyFunSuite {
     val alien = BinaryDocs.makeCfbf(Seq("Mystery" -> Array[Byte](1, 2, 3)))
     assert(Ole2.parse(alien).isLeft)
   }
+
+  test("ole2 adversarial DIFAT: huge declared count + self-loop terminates") {
+    val m = BinaryDocs.makeDoc("payload " * 20).clone()
+    def put4(o: Int, v: Long): Unit = for (i <- 0 until 4)
+      m(o + i) = ((v >> (8 * i)) & 0xff).toByte
+    put4(68, 0L)            // first DIFAT sector = sector 0
+    put4(72, 0xfffffffeL)   // declared DIFAT count: ~2^32
+    put4(512 + 508, 0L)     // sector 0's next-DIFAT pointer -> itself
+    val t0 = System.nanoTime()
+    Ole2.parse(m) // Left or Right both fine — must return, fast
+    assert((System.nanoTime() - t0) / 1e9 < 5.0,
+      "a crafted DIFAT header must not hang the parser")
+  }
 }
