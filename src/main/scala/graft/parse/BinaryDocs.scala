@@ -4,6 +4,8 @@ import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 import java.util.zip.Deflater
 
+import scala.collection.mutable.ArrayBuffer
+
 /** Deterministic synthetic binary documents — the test/bench corpus
   * generator for the Tika-branch plumbing (`BinaryParser`). Real crawl
   * content arrives as bytes from the fetch stage; these builders make
@@ -389,28 +391,55 @@ object BinaryDocs {
     makeCfbf(Seq("WordDocument" -> wdBytes, "0Table" -> tbl))
   }
 
-  /** Legacy Excel `.xls`: BIFF8 Workbook stream with the text as the
-    * single SST (shared-string-table) entry, UTF-16 form. */
-  def makeXls(text: String): Array[Byte] = {
-    // BIFF8 record length and the SST cch are both u16: a longer text
-    // would silently wrap both fields and corrupt the fixture — fail
-    // loudly instead (Continue-record spill is out of the writer's
-    // scope; the parser documents the matching read-side limitation)
-    require(text.length * 2 + 11 <= 0xffff,
-      s"makeXls text too long for a single SST record: ${text.length} chars")
+  /** Legacy Excel `.xls`: BIFF8 Workbook with the text as the single
+    * SST entry, UTF-16 form (one record — real files split at 8 KB,
+    * see [[makeXlsSst]]). */
+  def makeXls(text: String): Array[Byte] = makeXlsSst(Seq(text))
+
+  /** BIFF8 Workbook with an SST of `texts`, split into SST + Continue
+    * records whenever a record would exceed `maxPayload` (the real
+    * BIFF limit is 8224 bytes; small values force splits for tests).
+    * Splits follow MS-XLS: only at character boundaries, with the
+    * continuation fragment restating its grbit byte; headers
+    * (cch/flags) never split. Strings are written UTF-16 (wide). */
+  def makeXlsSst(texts: Seq[String], maxPayload: Int = 8224): Array[Byte] = {
+    require(maxPayload >= 16, "maxPayload too small for any SST structure")
+    require(texts.forall(_.length <= 0xffff), "cch is u16: string too long")
+    val records = ArrayBuffer.empty[ByteArrayOutputStream]
+    var cur = new ByteArrayOutputStream()
+    records += cur
+    def room = maxPayload - cur.size()
+    def newRecord(): Unit = { cur = new ByteArrayOutputStream(); records += cur }
+    def atomic(bytes: Array[Byte]): Unit = {
+      if (room < bytes.length) newRecord()
+      cur.write(bytes)
+    }
+    val head = new Array[Byte](8)
+    put4(head, 0, texts.size); put4(head, 4, texts.size) // cstTotal, cstUnique
+    cur.write(head)
+    for (t <- texts) {
+      val hdr = new Array[Byte](3)
+      put2(hdr, 0, t.length)
+      hdr(2) = 1 // fHighByte: UTF-16
+      atomic(hdr)
+      val chars = t.getBytes(StandardCharsets.UTF_16LE)
+      var off = 0
+      while (off < chars.length) {
+        if (room < 2) { newRecord(); cur.write(1) } // fragment grbit: wide
+        val k = math.min(chars.length - off, (room / 2) * 2)
+        cur.write(chars, off, k)
+        off += k
+      }
+    }
     val wb = new ByteArrayOutputStream()
     def rec(id: Int, payload: Array[Byte]): Unit = {
       val h = new Array[Byte](4); put2(h, 0, id); put2(h, 2, payload.length)
       wb.write(h); wb.write(payload)
     }
     rec(0x0809, new Array[Byte](16)) // BOF
-    val chars = text.getBytes(StandardCharsets.UTF_16LE)
-    val sst = new Array[Byte](8 + 3 + chars.length)
-    put4(sst, 0, 1); put4(sst, 4, 1) // cstTotal, cstUnique
-    put2(sst, 8, text.length)
-    sst(10) = 1 // fHighByte: UTF-16
-    System.arraycopy(chars, 0, sst, 11, chars.length)
-    rec(0x00fc, sst)
+    records.zipWithIndex.foreach { case (r, i) =>
+      rec(if (i == 0) 0x00fc else 0x003c, r.toByteArray)
+    }
     rec(0x000a, Array.emptyByteArray) // EOF
     makeCfbf(Seq("Workbook" -> wb.toByteArray))
   }

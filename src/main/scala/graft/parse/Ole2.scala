@@ -23,8 +23,9 @@ import scala.collection.mutable.ArrayBuffer
   *     0Table/1Table stream → text pieces (CP1252 when the piece's
   *     fCompressed bit is set, UTF-16LE otherwise).
   *   - `.xls` (Workbook stream): BIFF8 record walk, text from the SST
-  *     (shared-string table); strings spanning Continue records are
-  *     truncated at the record boundary (documented limitation).
+  *     (shared-string table), including strings spanning Continue
+  *     records (fresh grbit per character fragment, rich-run/ext
+  *     payloads skipped across boundaries).
   *   - `.ppt` (PowerPoint Document stream): recursive record walk,
   *     text from TextCharsAtom (UTF-16LE) / TextBytesAtom (latin-1).
   *
@@ -276,35 +277,95 @@ object Ole2 {
 
   // ---- .xls (BIFF8 SST) ----------------------------------------------
 
+  /** BIFF8 SST extraction with Continue-record support: records cap at
+    * ~8 KB, so any real spreadsheet's shared-string table spans
+    * Continue (0x003C) records. Per MS-XLS, splits happen only at
+    * character boundaries, rich-run/ext payloads continue verbatim,
+    * and character data resuming in a Continue restates its grbit
+    * (the encoding may flip between fragments). The walk is a cursor
+    * over the SST+Continues span list; any structural inconsistency
+    * stops cleanly with whatever was extracted so far. */
   private def parseXls(cf: Cfbf): Either[String, BinaryParser.BinaryParse] = {
     val wb = cf.stream("Workbook").orElse(cf.stream("Book")).get
-    val strings = ArrayBuffer.empty[String]
+    // locate the SST record and its trailing Continue records
     var o = 0
-    while (o + 4 <= wb.length) {
+    var spans = Vector.empty[(Int, Int)] // payload [start, end)
+    while (o + 4 <= wb.length && spans.isEmpty) {
       val id = u16(wb, o)
       val len = u16(wb, o + 2)
-      if (id == 0x00fc) { // SST
-        var p = o + 4 + 8 // skip cstTotal, cstUnique
-        val recEnd = o + 4 + len
-        while (p + 3 <= recEnd) {
-          val cch = u16(wb, p)
-          val fl = wb(p + 2) & 0xff
-          var q = p + 3
-          if ((fl & 0x08) != 0) q += 2 // rich runs count
-          if ((fl & 0x04) != 0) q += 4 // ext size
-          val wide = (fl & 0x01) != 0
-          val nBytes = if (wide) cch * 2 else cch
-          if (q + nBytes <= recEnd) {
-            strings += new String(wb, q, nBytes,
-              if (wide) StandardCharsets.UTF_16LE else StandardCharsets.ISO_8859_1)
-            p = q + nBytes // rich/ext trailing data not consumed: strings
-            // are length-prefixed so the walk stays aligned only without
-            // runs; bail to record end on rich text
-            if ((fl & 0x0c) != 0) p = recEnd
-          } else p = recEnd // spans a Continue record — truncate here
+      if (len < 0) o = wb.length
+      else if (id == 0x00fc) {
+        spans = Vector((o + 4, math.min(o + 4 + len, wb.length)))
+        var q = o + 4 + len
+        var cont = true
+        while (cont && q + 4 <= wb.length && u16(wb, q) == 0x003c) {
+          val l2 = u16(wb, q + 2)
+          if (l2 < 0) cont = false
+          else { spans :+= ((q + 4, math.min(q + 4 + l2, wb.length))); q += 4 + l2 }
         }
+      } else o += 4 + len
+    }
+    if (spans.isEmpty) return Left(".xls Workbook has no SST record")
+
+    var si = 0
+    var p = spans(0)._1
+    def left: Int = spans(si)._2 - p
+    def hop(): Boolean =
+      if (si + 1 < spans.length) { si += 1; p = spans(si)._1; true } else false
+    // structure headers never split across records (MS-XLS 2.1.4)
+    def ensure(n: Int): Boolean = { while (left == 0 && hop()) {}; left >= n }
+    def rdU8(): Int = { val v = wb(p) & 0xff; p += 1; v }
+    def rdU16(): Int = { val v = u16(wb, p); p += 2; v }
+    def rdU32(): Long = { val v = u32(wb, p); p += 4; v }
+
+    if (!ensure(8)) return Left(".xls SST header truncated")
+    rdU32() // cstTotal
+    val cstUnique = rdU32()
+    val strings = ArrayBuffer.empty[String]
+    var ok = true
+    var i = 0L
+    while (ok && i < cstUnique && i < (1L << 22)) {
+      if (!ensure(3)) ok = false
+      else {
+        val cch = rdU16()
+        val flFull = rdU8() // bit0 fHighByte, bit2 fExtSt, bit3 fRichSt
+        var wide = (flFull & 0x01) != 0
+        var cRun = 0
+        var cbExt = 0L
+        if ((flFull & 0x08) != 0) { if (ensure(2)) cRun = rdU16() else ok = false }
+        if (ok && (flFull & 0x04) != 0) { if (ensure(4)) cbExt = rdU32() else ok = false }
+        if (ok) {
+          val sb = new java.lang.StringBuilder
+          var n = cch
+          while (ok && n > 0) {
+            if (left == 0) {
+              // fragment resumes in the next Continue with a fresh grbit
+              if (!hop() || left < 1) ok = false
+              else wide = (rdU8() & 0x01) != 0
+            }
+            if (ok) {
+              val per = if (wide) 2 else 1
+              val k = math.min(n, left / per)
+              if (k <= 0) ok = false // odd dangling byte: corrupt
+              else {
+                sb.append(new String(wb, p, k * per,
+                  if (wide) StandardCharsets.UTF_16LE else StandardCharsets.ISO_8859_1))
+                p += k * per
+                n -= k
+              }
+            }
+          }
+          // rich runs (4 B each) and ext blocks continue verbatim —
+          // skip across span boundaries without re-reading grbits
+          var skip = cRun.toLong * 4 + cbExt
+          while (ok && skip > 0) {
+            if (left == 0) { if (!hop()) ok = false }
+            else { val k = math.min(skip, left.toLong).toInt; p += k; skip -= k }
+          }
+          if (ok) strings += sb.toString
+        }
+        i += 1
       }
-      if (len < 0) o = wb.length else o += 4 + len
     }
     if (strings.isEmpty) Left(".xls Workbook has no extractable SST strings")
     else Right(BinaryParser.BinaryParse(strings.mkString("\n").trim, None, Nil,

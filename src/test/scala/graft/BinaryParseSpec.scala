@@ -249,4 +249,32 @@ class BinaryParseSpec extends AnyFunSuite {
     assert((System.nanoTime() - t0) / 1e9 < 5.0,
       "a crafted DIFAT header must not hang the parser")
   }
+
+  test("ole2 .xls SST spanning Continue records: multi-string, mid-string splits") {
+    // force tiny records: every string header/fragment lands in its own
+    // Continue; the parser must stitch fragments and keep alignment
+    val texts = Seq(
+      "first shared string, long enough to span several continue records",
+      "second \u2014 unicode survives fragment boundaries: caf\u00e9 \u4e2d\u6587",
+      "third")
+    val bytes = BinaryDocs.makeXlsSst(texts, maxPayload = 32)
+    val bp = Ole2.parse(bytes).fold(e => fail(e), identity)
+    assert(bp.text == texts.mkString("\n"))
+    assert(bp.metadata("sst_strings") == Seq("3"))
+    // sanity: the split really happened (payload >> one record)
+    assert(texts.map(_.length * 2).sum > 32)
+  }
+
+  test("ole2 .xls SST Continue fuzz: truncated continue chains never throw") {
+    val bytes = BinaryDocs.makeXlsSst(Seq("alpha beta gamma delta " * 10), maxPayload = 24)
+    for (n <- Seq(bytes.length - 1, bytes.length - 64, bytes.length - 512)) {
+      if (n > 8) Ole2.parse(java.util.Arrays.copyOf(bytes, n)) // no throw
+    }
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 100) {
+      val m = bytes.clone()
+      for (_ <- 1 to 6) m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Ole2.parse(m) // no throw
+    }
+  }
 }

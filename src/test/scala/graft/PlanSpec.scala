@@ -72,4 +72,38 @@ class PlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("iterative round bodies: edge side pre-partitioned on the join key") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // connected components: the symmetrized pair list is cached
+    // partitioned+sorted on y, so every round's edge⋈label join reuses
+    // it — assert the materialized cache really carries HashPartitioning(y)
+    val pairs = spark.range(0, 200).select(
+      (col("id") % 37).as("a"), (col("id") % 53 + 100).as("b"))
+    val cc = graft.analytics.Dedup.ccRoundPlan(pairs)
+    val sorts = cc.queryExecution.executedPlan.toString
+    // the und side appears under the round's SMJ; its exchange must be
+    // the ONE repartition(y) from symmetrized(), not a per-round
+    // ENSURE_REQUIREMENTS exchange: count hashpartitioning(y...) sites
+    assert(sorts.contains("hashpartitioning(y"), sorts.take(2000))
+
+    // pagerank: same property for the edge table on src
+    val edges = spark.range(0, 200).select(
+      concat(lit("h"), (col("id") % 13).cast("string")).as("src"),
+      concat(lit("h"), (col("id") % 7 + 13).cast("string")).as("dst"))
+    val pr = graft.analytics.LinkGraph.roundPlan(edges)
+    assert(pr.queryExecution.executedPlan.toString.contains("hashpartitioning(src"),
+      pr.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("q50 round checkpoint frame plans over a LogicalRDD, not the round DAG") {
+    import org.apache.spark.sql.functions._
+    val pairs = spark.range(0, 50).select(
+      (col("id") % 11).as("a"), (col("id") % 13 + 20).as("b"))
+    val labels = graft.analytics.Dedup.connectedComponents(pairs)
+    val plan = labels.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"converged labels must be a checkpoint scan:\n$plan")
+  }
 }
