@@ -240,10 +240,16 @@ object Dedup {
       .withColumn("bkn",
         count(lit(1)).over(Window.partitionBy(col(groupCol), col("bk"))))
       .where(col("bkn") <= maxBucket).drop("bkn")
-    val l = bands.select(col(groupCol), col(idCol).as("a"), col("bk"))
-    val r = bands.select(col(groupCol), col(idCol).as("b"), col("bk"))
-    l.join(r, Seq(groupCol, "bk")).where(col("a") < col("b"))
-      .select(col(groupCol), col("a"), col("b"))
+    // self-join with the SAME plan on both sides, columns renamed
+    // AFTER the join: both children canonicalize identically, so
+    // ReuseExchange materializes the expensive side (scan + minhash +
+    // explode + window) ONCE and the second side reads the first's
+    // shuffle files — projecting a/b before the join would make the
+    // subtrees differ and double the corpus scan. (PlanSpec pins the
+    // ReusedExchange.)
+    bands.as("l").join(bands.as("r"), Seq(groupCol, "bk"))
+      .where(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(groupCol), col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
       .distinct()
   }
 
@@ -280,9 +286,12 @@ object Dedup {
     val pruned = tok
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col(groupCol), col("w"))))
       .where(col("df") <= maxDf).drop("df")
-    val l = pruned.select(col(groupCol), col(idCol).as("a"), col("w"))
-    val r = pruned.select(col(groupCol), col(idCol).as("b"), col("w"))
-    val shared = l.join(r, Seq(groupCol, "w")).where(col("a") < col("b"))
+    // rename AFTER the self-join (not before) so both join children
+    // canonicalize identically and ReuseExchange evaluates the
+    // tokenize + df-window side once — see lshCandidatePairs
+    val shared = pruned.as("l").join(pruned.as("r"), Seq(groupCol, "w"))
+      .where(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(groupCol), col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
       .groupBy(col(groupCol), col("a"), col("b")).agg(count(lit(1)).as("inter"))
     val sa = sizes.select(col(idCol).as("a_id"), col("sz").as("sza"))
     val sb = sizes.select(col(idCol).as("b_id"), col("sz").as("szb"))

@@ -135,10 +135,14 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("nv"), dim, numPlanes))
       .withColumn("bkn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .where(col("bkn") <= maxBucket).drop("bkn")
-    val l = n.select(col("bucket"), col("id").as("a"), col("nv").as("va"))
-    val r = n.select(col("bucket"), col("id").as("b"), col("nv").as("vb"))
-    l.join(r, Seq("bucket")).where(col("a") < col("b"))
-      .select(col("bucket"), col("a"), col("b"), dotD(col("va"), col("vb")).as("cosine"))
+    // rename AFTER the self-join so both children canonicalize
+    // identically: ReuseExchange then runs the normalize + bucket +
+    // cap-window side once and the second side reads its shuffle files
+    // (pre-projecting a/va vs b/vb would force two corpus passes)
+    n.as("l").join(n.as("r"), Seq("bucket"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("bucket"), col("l.id").as("a"), col("r.id").as("b"),
+        dotD(col("l.nv"), col("r.nv")).as("cosine"))
       .orderBy(col("cosine").desc, col("a"), col("b"))
       .limit(topN)
   }

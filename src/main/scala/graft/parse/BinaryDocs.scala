@@ -444,20 +444,27 @@ object BinaryDocs {
     makeCfbf(Seq("Workbook" -> wb.toByteArray))
   }
 
-  /** Legacy PowerPoint `.ppt`: a Document container record holding one
-    * TextCharsAtom (UTF-16LE) with the text. */
+  /** Legacy PowerPoint `.ppt`: a Document container holding one text
+    * atom per line — UTF-16LE TextCharsAtom for lines with non-Latin-1
+    * characters, 8-bit TextBytesAtom otherwise (as real writers emit),
+    * each wrapped in its own nested container (slide-shaped nesting,
+    * so the reader's recursive walk is exercised). */
   def makePpt(text: String): Array[Byte] = {
-    val chars = text.getBytes(StandardCharsets.UTF_16LE)
-    val atom = new Array[Byte](8 + chars.length)
-    put2(atom, 0, 0x0000)
-    put2(atom, 2, 0x0fa0) // TextCharsAtom
-    put4(atom, 4, chars.length)
-    System.arraycopy(chars, 0, atom, 8, chars.length)
-    val doc = new Array[Byte](8 + atom.length)
-    put2(doc, 0, 0x000f) // container
-    put2(doc, 2, 0x03e8) // Document
-    put4(doc, 4, atom.length)
-    System.arraycopy(atom, 0, doc, 8, atom.length)
+    def record(verInst: Int, typ: Int, payload: Array[Byte]): Array[Byte] = {
+      val r = new Array[Byte](8 + payload.length)
+      put2(r, 0, verInst); put2(r, 2, typ); put4(r, 4, payload.length)
+      System.arraycopy(payload, 0, r, 8, payload.length)
+      r
+    }
+    val slides = text.split("\n", -1).map { line =>
+      val atom =
+        if (line.forall(_ < 0x100))
+          record(0x0000, 0x0fa8, line.getBytes(StandardCharsets.ISO_8859_1))
+        else
+          record(0x0000, 0x0fa0, line.getBytes(StandardCharsets.UTF_16LE))
+      record(0x000f, 0x03ee, atom) // Slide container
+    }
+    val doc = record(0x000f, 0x03e8, slides.flatten.toArray) // Document
     makeCfbf(Seq("PowerPoint Document" -> doc))
   }
 }

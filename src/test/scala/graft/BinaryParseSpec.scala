@@ -201,11 +201,15 @@ class BinaryParseSpec extends AnyFunSuite {
     assert(bp.metadata("format") == Seq("xls"))
   }
 
-  test("ole2 .ppt text atoms extracted") {
-    val text = "Slide title\nBullet one"
+  test("ole2 .ppt text atoms extracted (bytes + chars atoms, nested containers)") {
+    // latin-1 lines become TextBytesAtoms, the unicode line a
+    // TextCharsAtom, each inside its own Slide container — the reader
+    // must recurse and decode both encodings
+    val text = "Slide title\nBullet one\n\u4e2d\u6587 caf\u00e9"
     val bp = Ole2.parse(BinaryDocs.makePpt(text)).fold(e => fail(e), identity)
     assert(bp.text == text)
     assert(bp.metadata("format") == Seq("ppt"))
+    assert(bp.metadata("text_atoms") == Seq("3"))
   }
 
   test("ole2 dispatch: BinaryParser routes on the D0CF11E0 magic") {

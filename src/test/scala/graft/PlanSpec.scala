@@ -106,4 +106,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
       s"converged labels must be a checkpoint scan:\n$plan")
   }
+
+  test("pair-generator self-joins reuse one exchange (single corpus pass)") {
+    import org.apache.spark.sql.functions._
+    // the expensive side (minhash/tokenize/normalize + window) must be
+    // evaluated ONCE: both join children canonicalize identically, so
+    // the second side is a ReusedExchange over the first's shuffle
+    val docs = spark.range(0, 300).select(
+      col("id").as("doc_id"),
+      concat(lit("w"), (col("id") % 40).cast("string"),
+        lit(" x y z common words "), (col("id") % 7).cast("string")).as("text"),
+      (col("id") % 3).cast("string").as("source"))
+    val lsh = graft.analytics.Dedup.lshCandidatePairs(docs, "doc_id", "text", "source")
+    lsh.collect() // AQE: reuse is visible in the final adaptive plan
+    assert(lsh.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      lsh.queryExecution.executedPlan.toString.take(3000))
+
+    val jac = graft.analytics.Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.1)
+    jac.collect()
+    assert(jac.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      jac.queryExecution.executedPlan.toString.take(3000))
+
+    val emb = spark.range(0, 100).select(col("id").as("vec_id"),
+      array((0 until 8).map(i => (hash(col("id"), lit(i)) % 100).cast("float") / 100f): _*)
+        .as("embedding"))
+    val ndp = graft.analytics.Similarity.nearDupPairs(emb, "vec_id", "embedding", 8, 4, 10)
+    ndp.collect()
+    assert(ndp.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      ndp.queryExecution.executedPlan.toString.take(3000))
+  }
 }
