@@ -40,12 +40,25 @@ object Bench {
         Window.partitionBy("n").orderBy("n")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))).count()
     } catch { case _: Throwable => () }
-    def runSuite(dir: String): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+    // SPARK_GRAFT_ONLY=q22,q24 restricts to a subset (prefix match on
+    // the query name); SPARK_GRAFT_REPS=3 runs the suite N times in ONE
+    // JVM and keeps the per-query minimum — on a shared host the min is
+    // the signal, single runs carry ±30% load noise.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
+    def runSuite(dir: String): Map[String, Double] = {
+      val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      val runs = (1 to reps).map { _ =>
+        qs.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+      }
+      runs.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    }
     def js(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val results = runSuite(sfDir)

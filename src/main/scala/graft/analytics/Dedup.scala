@@ -241,12 +241,13 @@ object Dedup {
         count(lit(1)).over(Window.partitionBy(col(groupCol), col("bk"))))
       .where(col("bkn") <= maxBucket).drop("bkn")
     // self-join with the SAME plan on both sides, columns renamed
-    // AFTER the join: both children canonicalize identically, so
-    // ReuseExchange materializes the expensive side (scan + minhash +
-    // explode + window) ONCE and the second side reads the first's
-    // shuffle files — projecting a/b before the join would make the
-    // subtrees differ and double the corpus scan. (PlanSpec pins the
-    // ReusedExchange.)
+    // AFTER the join. Catalyst canonicalizes aliases away, so even a
+    // pre-join rename keeps the exchanges identical and ReuseExchange
+    // evaluates the expensive side (scan + minhash + explode + window)
+    // once — measured A/B at sf10: both forms produce the same plan.
+    // This form + the PlanSpec ReusedExchange pin guard the reuse
+    // against future per-side edits (e.g. a filter on one side only),
+    // which WOULD silently double the corpus pass.
     bands.as("l").join(bands.as("r"), Seq(groupCol, "bk"))
       .where(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(groupCol), col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
@@ -286,9 +287,9 @@ object Dedup {
     val pruned = tok
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col(groupCol), col("w"))))
       .where(col("df") <= maxDf).drop("df")
-    // rename AFTER the self-join (not before) so both join children
-    // canonicalize identically and ReuseExchange evaluates the
-    // tokenize + df-window side once — see lshCandidatePairs
+    // rename AFTER the self-join so both children stay canonically
+    // identical and ReuseExchange runs the tokenize + df-window side
+    // once — see lshCandidatePairs for why this is a guard, not a fix
     val shared = pruned.as("l").join(pruned.as("r"), Seq(groupCol, "w"))
       .where(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(groupCol), col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))

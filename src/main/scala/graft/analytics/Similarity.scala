@@ -135,10 +135,10 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("nv"), dim, numPlanes))
       .withColumn("bkn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .where(col("bkn") <= maxBucket).drop("bkn")
-    // rename AFTER the self-join so both children canonicalize
-    // identically: ReuseExchange then runs the normalize + bucket +
-    // cap-window side once and the second side reads its shuffle files
-    // (pre-projecting a/va vs b/vb would force two corpus passes)
+    // rename AFTER the self-join so both children stay canonically
+    // identical: ReuseExchange runs the normalize + bucket + cap-window
+    // side once and the second side reads its shuffle files — see
+    // Dedup.lshCandidatePairs for why this is a guard, not a fix
     n.as("l").join(n.as("r"), Seq("bucket"))
       .where(col("l.id") < col("r.id"))
       .select(col("bucket"), col("l.id").as("a"), col("r.id").as("b"),
