@@ -30,7 +30,8 @@ object Dedup {
     * (the reference's dedup-by-signature idea, `MD5SignatureParseFilter
     * .java:48`, applied set-wide). One shuffle. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(md5(col(textCol)).as("digest"), col(idCol))
+    graft.plans.InputWidth.widen(df)
+      .select(md5(col(textCol)).as("digest"), col(idCol))
       .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
@@ -80,7 +81,7 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 4, shingleK: Int = 3): DataFrame = {
     require(numHashes <= 4, "one md5 yields 4 chunks")
-    df.select(col(idCol),
+    graft.plans.InputWidth.widen(df).select(col(idCol),
         graft.functions.TextHashExpressions.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
       .where(col("sig").isNotNull)
       .select(col(idCol) +:
@@ -228,7 +229,7 @@ object Dedup {
     // join key, so ONE self-join covers both bands (instead of a join
     // per band unioned after, which would evaluate the signature
     // expression once per join side per band)
-    val bands = df
+    val bands = graft.plans.InputWidth.widen(df)
       .select(col(groupCol), col(idCol),
         graft.functions.TextHashExpressions
           .minhashSig(col(textCol), 1, 4, distinct = true).as("sig"))
@@ -261,7 +262,7 @@ object Dedup {
     * DuckDB oracle; this computes the same hash without the 16×|words|
     * row blowup or any shuffle. */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
+    graft.plans.InputWidth.widen(df).select(col(idCol),
         graft.functions.TextHashExpressions.simhash16(col(textCol)).as("simhash"))
       .where(col("simhash").isNotNull)
 
@@ -281,8 +282,9 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, minJaccard: Double,
                    maxDf: Int = 1024): DataFrame = {
-    val tok = df.select(col(groupCol), col(idCol),
-      explode(array_distinct(words(col(textCol)))).as("w"))
+    val tok = graft.plans.InputWidth.widen(df)
+      .select(col(groupCol), col(idCol),
+        explode(array_distinct(words(col(textCol)))).as("w"))
     val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val pruned = tok
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col(groupCol), col("w"))))

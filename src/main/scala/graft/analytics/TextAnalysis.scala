@@ -93,7 +93,8 @@ object TextAnalysis {
     // relational post-filter: `Dedup.words`' higher-order `filter`
     // lambda is CodegenFallback, and in a per-token explode that
     // interpretation cost multiplies by corpus token count
-    val toks = df.select(col(idCol),
+    val toks = graft.plans.InputWidth.widen(df)
+      .select(col(idCol),
         explode(split(col(textCol), " ")).as("term"))
       .where(col("term") =!= "")
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
@@ -134,7 +135,7 @@ object TextAnalysis {
     * windowed relational formulation survives as the DuckDB oracle. */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
                             shingleK: Int = 4, window: Int = 5): DataFrame =
-    df.select(col(idCol),
+    graft.plans.InputWidth.widen(df).select(col(idCol),
         graft.functions.TextHashExpressions.winnowFp(col(textCol), shingleK, window).as("wf"))
       .where(col("wf").isNotNull)
       .select(col(idCol),

@@ -137,7 +137,7 @@ object CoverageQueries {
     // Map-only per doc: no shuffle beyond the final presentation sort.
     "q43_binary_extract" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
+      graft.plans.InputWidth.widen(t(s, dir, "documents"))
         .select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
