@@ -29,9 +29,12 @@ object Dedup {
   /** Exact dedup: keep the smallest id per content digest
     * (the reference's dedup-by-signature idea, `MD5SignatureParseFilter
     * .java:48`, applied set-wide). One shuffle. */
+  // deliberately NOT widened (see InputWidth): md5 is ~as cheap per
+  // row as the repartition it would buy, and the groupBy right after
+  // re-parallelizes everything downstream anyway — measured 1.5 s ->
+  // 2.1 s at sf10 WITH widening, the one site where it lost
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    graft.plans.InputWidth.widen(df)
-      .select(md5(col(textCol)).as("digest"), col(idCol))
+    df.select(md5(col(textCol)).as("digest"), col(idCol))
       .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
