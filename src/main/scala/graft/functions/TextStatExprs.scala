@@ -116,6 +116,42 @@ object LangProfiles {
 
   val scriptThreshold = 0.3
 
+  /** Member languages disambiguated INSIDE a detected script family:
+    * family default language → (member, marker code-point ranges).
+    * Markers are characters routine in the member but (near-)absent
+    * from the family default and every sibling member — е.g. ї/є are
+    * Ukrainian-only within Cyrillic, ے is Urdu-only within
+    * Arabic-script, kana is Japanese-only alongside Han. A member
+    * claims the doc when its markers cover ≥ [[memberThreshold]] of
+    * non-space code points (largest coverage wins, ties language-
+    * ascending); otherwise the family default stands. Confidence stays
+    * the family-script fraction either way. */
+  val members: Map[String, Seq[(String, Seq[(Int, Int)])]] = Map(
+    "ru" -> Seq(
+      "be" -> Seq(0x045e -> 0x045e), // ў
+      "bg" -> Seq(0x044a -> 0x044a), // ъ (rare in ru, routine in bg)
+      "mk" -> Seq(0x0453 -> 0x0453, 0x0455 -> 0x0455, 0x045c -> 0x045c), // ѓ ѕ ќ
+      "sr" -> Seq(0x0452 -> 0x0452, 0x045b -> 0x045b), // ђ ћ (mk uses ѓ ќ instead)
+      "uk" -> Seq(0x0454 -> 0x0454, 0x0457 -> 0x0457, 0x0491 -> 0x0491)), // є ї ґ
+    "ar" -> Seq(
+      "fa" -> Seq(0x067e -> 0x067e, 0x0686 -> 0x0686, 0x0698 -> 0x0698,
+        0x06af -> 0x06af), // پ چ ژ گ (also Urdu, but ur's own markers outscore)
+      "ur" -> Seq(0x0679 -> 0x0679, 0x0688 -> 0x0688, 0x0691 -> 0x0691,
+        0x06be -> 0x06be, 0x06d2 -> 0x06d2)), // ٹ ڈ ڑ ھ ے
+    "zh" -> Seq(
+      "ja" -> Seq(0x3040 -> 0x30ff))) // kana: kanji-heavy ja beats 30% han
+
+  // member lists sorted (the oracle mirrors language-ascending ties);
+  // markers MAY sit inside tier-1 ranges by design — uk's є/ї/ґ are
+  // Cyrillic code points, ja's kana markers double as its own tier-1
+  // range (kana-dominant text short-circuits to ja before this tier)
+  members.foreach { case (fam, ms) =>
+    require(scripts.exists(_._1 == fam), s"member family $fam has no script")
+    require(ms.map(_._1) == ms.map(_._1).sorted, s"members of $fam not sorted")
+  }
+
+  val memberThreshold = 0.005
+
   /** Frequent word-padded character trigrams per Latin language, most
     * discriminative first; trigram i carries weight `size - i`. Public
     * frequency knowledge (Cavnar–Trenkle style profiles). */
@@ -176,7 +212,46 @@ object LangProfiles {
       "ông", " ch", "cho", "ho ", " đư", "đượ", "ợc ", "ên ", "iện", " mộ", "ột "),
     "ca" -> Seq("els", " am", "amb", "mb ", "ció", "ió ", "tat", " se", "sev",
       "eva", " mé", "més", "és ", "nt ", "ant", "men", " aq", "aqu", "que",
-      " qu", "per", " pe", "les", " le", "est", " es", "de ", " de", "la ", " la"))
+      " qu", "per", " pe", "les", " le", "est", " es", "de ", " de", "la ", " la"),
+    "af" -> Seq("die", " di", "ie ", "en ", " en", "van", " va", "an ", "het",
+      " he", "et ", " ni", "nie", " wa", "wat", "at ", " om", "om ", " te",
+      "te ", " ge", "ge ", "ing", "ng ", "vir", " vi", "ir ", "aan", " aa", "eer"),
+    "et" -> Seq(" ja", "ja ", " on", "on ", " ei", "ei ", " et", "et ", "see",
+      " se", "ee ", " ol", "oli", "li ", " ka", "ka ", "kui", " ku", "ui ",
+      "mis", " mi", "is ", "aga", " ag", "ga ", "oma", "ma ", "ud ", "se ", "ele"),
+    "eu" -> Seq("eta", " et", "ta ", " da", "da ", " ez", "ez ", "bat", " ba",
+      "at ", "ere", " er", "re ", "en ", "ak ", "ean", "an ", "tze", "zen",
+      " ze", "iza", " iz", "ko ", " ko", "ien", "rri", "tik", "ela", "dut", "ura"),
+    "gl" -> Seq(" de", "de ", " qu", "que", "ue ", "non", " no", "on ", "unh",
+      "nha", "ha ", " un", "par", " pa", "ara", "ra ", "con", " co", "os ",
+      "as ", "do ", " do", "da ", " da", "ció", "ión", "ón ", "áis", "is ", "se "),
+    "hr" -> Seq(" je", "je ", " se", "se ", " na", "na ", " da", "da ", " za",
+      "za ", "su ", " su", " od", "od ", "koj", "oji", "ji ", " ko", "što",
+      " št", "to ", "ije", "ja ", "og ", " pr", "pro", "ost", "ih ", "ima", "ti "),
+    "is" -> Seq(" og", "og ", " að", "að ", " er", "er ", " se", "sem", "em ",
+      "um ", "en ", "við", " vi", "ið ", "ekk", "kki", "ki ", " þa", "það",
+      "ann", "nn ", "var", " va", "ar ", "til", " ti", "il ", "með", " me", "eð "),
+    "lt" -> Seq(" ir", "ir ", "yra", " yr", "ra ", "kad", " ka", "ad ", "tai",
+      " ta", "ai ", "su ", " su", "bet", " be", "et ", "aip", "ip ", " iš",
+      "iš ", "uvo", "vo ", "as ", "is ", "us ", "tų ", "ių ", "ais", "iau", "mas"),
+    "lv" -> Seq(" un", "un ", " ir", "ir ", " ka", "ka ", " ar", "ar ", "par",
+      " pa", "as ", "bet", " be", "et ", "kas", "vai", " va", "ai ", " no",
+      "no ", " uz", "uz ", "tas", " ta", "ja ", "iem", "em ", " pi", "ies", "ot "),
+    "sk" -> Seq(" je", "je ", " sa", "sa ", " na", "na ", " to", "to ", "že ",
+      " že", "som", " so", "om ", "ako", " ak", "ko ", "ale", " al", "le ",
+      " pr", "pre", "re ", " po", "po ", "kto", "tor", "orý", "rý ", " ne", "ie "),
+    "sl" -> Seq(" je", "je ", " in", "in ", " se", "se ", " na", "na ", " da",
+      "da ", " za", "za ", "so ", " so", "ki ", " ki", "pa ", " pa", "tud",
+      "udi", "di ", " ko", "kot", "ot ", "bi ", " bi", " po", "po ", "nje", "ih "),
+    "sq" -> Seq("dhe", " dh", "he ", " të", "të ", " në", "në ", " me", "me ",
+      " që", "që ", " pë", "për", "ër ", " ng", "nga", "ga ", " si", "si ",
+      "jan", "anë", " ja", "ësh", "sht", "htë", " ës", "ka ", " ka", "uar", "it "),
+    "sw" -> Seq(" na", "na ", " ya", "ya ", " wa", "wa ", "kwa", " kw", "ni ",
+      " ni", "za ", " za", "kat", "ati", "tik", "ika", " ka", "ku ", " ku",
+      "uwa", "ili", " il", "li ", "cha", " ch", "ha ", "ana", "ama", "kut", "mba"),
+    "tl" -> Seq("ang", " an", "ng ", " ng", " sa", "sa ", " na", "na ", "mga",
+      " mg", "ga ", " ay", "ay ", " at", "at ", "par", "ara", "ra ", "ito",
+      " it", "to ", "hin", "ind", "ndi", "di ", " hi", "ako", " ak", "iya", "ya "))
 
   trigrams.foreach { case (l, ts) =>
     require(ts.distinct.size == ts.size, s"duplicate trigram in profile $l")
@@ -209,7 +284,11 @@ object LangIdOps {
   /** (language, confidence) for a document, or ("und", 0.0).
     * Decision order (mirrored exactly by the SQL oracle):
     * 1. dominant non-Latin script ≥ 30% of non-space code points →
-    *    that language, confidence = fraction (ties: lang asc);
+    *    that family's language, confidence = fraction (ties: lang
+    *    asc); 1b. if the family has member languages, the member
+    *    whose marker code points cover ≥ 0.5% of non-space code
+    *    points (largest coverage, ties lang asc) replaces the family
+    *    default — confidence unchanged;
     * 2. else best trigram-profile score > 0 → that language,
     *    confidence = score / totalTrigrams (ties: lang asc);
     * 3. else und. Text is ASCII-lowercased; words are split-on-' '. */
@@ -246,7 +325,10 @@ object LangIdOps {
       k += 1
     }
     val frac = scriptCounts(bestScript).toDouble / nonspace
-    if (frac >= scriptThreshold) return (scripts(bestScript)._1, frac)
+    if (frac >= scriptThreshold) {
+      val fam = scripts(bestScript)._1
+      return (resolveMember(fam, s, nonspace), frac)
+    }
     // trigram pass: word-padded trigrams by code point
     val scores = new Array[Long](latinLangs.length)
     var ntg = 0L
@@ -271,6 +353,41 @@ object LangIdOps {
     if (scores(best) > 0) (latinLangs(best), scores(best).toDouble / ntg)
     else ("und", 0.0)
   }
+
+  /** Tier 1b: the member language of `fam` whose markers cover ≥
+    * memberThreshold of non-space code points — largest coverage,
+    * ties language-ascending (member lists are sorted) — else `fam`.
+    * One extra O(n) pass, and only for the three families that have
+    * members. */
+  private def resolveMember(fam: String, s: String, nonspace: Long): String =
+    members.get(fam) match {
+      case None => fam
+      case Some(ms) =>
+        val counts = new Array[Long](ms.length)
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          var m = 0
+          while (m < ms.length) {
+            val rs = ms(m)._2
+            var r = 0
+            while (r < rs.length) {
+              if (cp >= rs(r)._1 && cp <= rs(r)._2) counts(m) += 1
+              r += 1
+            }
+            m += 1
+          }
+          i += Character.charCount(cp)
+        }
+        var best = -1
+        var m = 0
+        while (m < ms.length) {
+          if (counts(m).toDouble / nonspace >= memberThreshold &&
+              (best < 0 || counts(m) > counts(best))) best = m
+          m += 1
+        }
+        if (best < 0) fam else ms(best)._1
+    }
 
   /** Expression entry point: struct(lang, conf) as an InternalRow. */
   def langIdRow(text: UTF8String): InternalRow = {

@@ -10,8 +10,14 @@ import org.apache.spark.sql.functions._
   * (`core/.../Metadata.java`): `getFirstValue` (91-116), `getValues`,
   * `setValue`/`addValue` (132-178), prefix scans `keySet(prefix)` (215-219)
   * and prefixed bulk merge `putAll(m, prefix)` (75-86) — but as pure
-  * Catalyst column expressions (the map and transform built-ins, all
-  * codegen-friendly), never UDFs.
+  * Catalyst column expressions, never UDFs. Honest cost note: the
+  * higher-order map functions (`map_filter`, `transform_keys`) are
+  * CodegenFallback — interpreted per row, though still null-safe,
+  * prunable and far cheaper than opaque UDFs. That is fine here
+  * because these run on per-STATUS-ROW paths (a handful of keys per
+  * map); the per-outlink hot path — tens of evaluations per parsed
+  * page — uses the typed [[MetadataTransfer]] on plain Scala maps
+  * inside the parse stage instead.
   */
 object MetadataOps {
 

@@ -481,6 +481,14 @@ object AnalyticsQueries {
           s"('$l', '${tg.replace("'", "''")}', ${ts.size - i})"
         }
       }.mkString(", ")
+      val memberVals = LangProfiles.members.toSeq.sortBy(_._1).flatMap {
+        case (fam, ms) => ms.map { case (m, ranges) =>
+          val cls = ranges.map { case (lo, hi) =>
+            if (lo == hi) f"\\x{$lo%04x}" else f"\\x{$lo%04x}-\\x{$hi%04x}"
+          }.mkString
+          s"('$fam', '$m', '[$cls]')"
+        }
+      }.mkString(", ")
       s"""WITH lo AS (SELECT doc_id,
          |    translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t
          |  FROM documents),
@@ -492,6 +500,16 @@ object AnalyticsQueries {
          |    SELECT doc_id, lang, n_s,
          |      row_number() OVER (PARTITION BY doc_id ORDER BY n_s DESC, lang) AS rk
          |    FROM scr) WHERE rk = 1),
+         |mem AS (SELECT b.doc_id, m.fam, m.lang,
+         |    length(b.t) - length(regexp_replace(b.t, m.pat, '', 'g')) AS n_m,
+         |    b.n_nonspace
+         |  FROM base b, (VALUES $memberVals) m(fam, lang, pat)),
+         |mbest AS (SELECT doc_id, fam, lang FROM (
+         |    SELECT doc_id, fam, lang,
+         |      row_number() OVER (PARTITION BY doc_id, fam ORDER BY n_m DESC, lang) AS rk
+         |    FROM mem
+         |    WHERE n_nonspace > 0 AND CAST(n_m AS DOUBLE) / n_nonspace >= 0.005)
+         |  WHERE rk = 1),
          |w AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS wd FROM base),
          |tg AS (SELECT doc_id, unnest(list_transform(
          |    generate_series(1, length(concat(' ', wd, ' ')) - 2),
@@ -505,7 +523,8 @@ object AnalyticsQueries {
          |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
          |    FROM sc) WHERE rk = 1 AND score > 0)
          |SELECT b.doc_id,
-         |  CASE WHEN b.n_nonspace > 0 AND CAST(sb.n_s AS DOUBLE) / b.n_nonspace >= 0.3 THEN sb.lang
+         |  CASE WHEN b.n_nonspace > 0 AND CAST(sb.n_s AS DOUBLE) / b.n_nonspace >= 0.3
+         |         THEN coalesce(mb.lang, sb.lang)
          |       WHEN lb.lang IS NOT NULL THEN lb.lang
          |       ELSE 'und' END AS lang_pred,
          |  CASE WHEN b.n_nonspace > 0 AND CAST(sb.n_s AS DOUBLE) / b.n_nonspace >= 0.3
@@ -514,6 +533,7 @@ object AnalyticsQueries {
          |       ELSE 0.0 END AS confidence
          |FROM base b
          |LEFT JOIN sbest sb USING (doc_id)
+         |LEFT JOIN mbest mb ON mb.doc_id = b.doc_id AND mb.fam = sb.lang
          |LEFT JOIN lbest lb USING (doc_id)
          |LEFT JOIN ntg n USING (doc_id)
          |ORDER BY b.doc_id""".stripMargin

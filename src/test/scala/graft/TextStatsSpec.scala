@@ -84,6 +84,44 @@ class TextStatsSpec extends AnyFunSuite {
     assert(LangIdOps.detect("வ")._1 == "ta") // single code point still classifies
   }
 
+  test("langid: round-6 breadth — second wave of Latin profiles") {
+    assert(LangIdOps.detect("Die vinnige bruin jakkals spring oor die lui hond en hardloop in die bos in")._1 == "af")
+    assert(LangIdOps.detect("Kiire pruun rebane hüppab üle laisa koera ja jookseb metsa poole kui on õhtu")._1 == "et")
+    assert(LangIdOps.detect("Azeri arre azkarrak txakur alferraren gainetik salto egiten du eta basora doa")._1 == "eu")
+    assert(LangIdOps.detect("Unha rapaza nova non quería ir á escola porque a néboa cubría o camiño do bosque")._1 == "gl")
+    assert(LangIdOps.detect("Pas koji je skakao preko ograde bio je brz ali lisica koja trči u šumu je brža i što je najvažnije pametnija")._1 == "hr")
+    assert(LangIdOps.detect("Fljótur brúnn refur stökk yfir lata hundinn og hljóp inn í skóginn með það")._1 == "is")
+    assert(LangIdOps.detect("Greita ruda lapė šokinėja per tingų šunį ir bėga į mišką kad surastų maisto")._1 == "lt")
+    assert(LangIdOps.detect("Ātra brūna lapsa lec pāri slinkam sunim un skrien uz mežu kas ir aiz kalna")._1 == "lv")
+    assert(LangIdOps.detect("Rýchla hnedá líška skáče cez lenivého psa a beží do lesa ktorý je za poľom")._1 == "sk")
+    assert(LangIdOps.detect("Hitra rjava lisica skoči čez lenega psa in teče v gozd kot bi se nič ne zgodilo")._1 == "sl")
+    assert(LangIdOps.detect("Dhelpra e shpejtë kafe kërcen mbi qenin përtac dhe vrapon në pyll që është larg")._1 == "sq")
+    assert(LangIdOps.detect("Mbweha wa kahawia mwenye kasi anaruka juu ya mbwa mvivu na kukimbia katika msitu")._1 == "sw")
+    assert(LangIdOps.detect("Ang mabilis na kayumangging soro ay tumalon sa ibabaw ng tamad na aso at tumakbo sa gubat")._1 == "tl")
+  }
+
+  test("langid: script-family members resolved by marker letters") {
+    // Cyrillic family: default ru, members by distinctive letters
+    assert(LangIdOps.detect("Быстрая коричневая лиса прыгает через ленивую собаку")._1 == "ru")
+    assert(LangIdOps.detect("Її єдине бажання було якнайшвидше дістатися до лісу і знайти їжу")._1 == "uk") // є ї
+    assert(LangIdOps.detect("Бързата кафява лисица прескача мързеливото куче и бяга към гората")._1 == "bg") // ъ
+    assert(LangIdOps.detect("Брза смеђа лисица прескаче лењог пса и трчи у шуму преко ћуприје")._1 == "sr") // ђ ћ
+    assert(LangIdOps.detect("Брзата кафеава лисица прескокнува преку мрзливото куче и ѕвони ѓаволски")._1 == "mk") // ѕ ѓ
+    assert(LangIdOps.detect("Хуткая карычневая лісіца пераскоквае праз гультаяватага сабаку ў лес")._1 == "be") // ў
+    // Arabic-script family: default ar; fa by پ/چ/گ, ur by ے/ڑ/ھ even
+    // though ur also uses the fa letters (ur's own markers outcount)
+    assert(LangIdOps.detect("الثعلب البني السريع يقفز فوق الكلب الكسول")._1 == "ar")
+    assert(LangIdOps.detect("روباه قهوه‌ای چابک از روی سگ تنبل می‌پرد")._1 == "fa")
+    assert(LangIdOps.detect("تیز بھوری لومڑی سست کتے کے اوپر چھلانگ لگاتی ہے")._1 == "ur")
+    // Han family: kanji-heavy Japanese still resolves to ja via kana
+    // markers; pure-Han text stays zh
+    assert(LangIdOps.detect("敏捷的棕色狐狸跳过懒狗")._1 == "zh")
+    assert(LangIdOps.detect("日本国憲法第九条は戦争放棄と戦力不保持を規定する条文です")._1 == "ja")
+    // confidence is still the family-script fraction for members
+    val (l, c) = LangIdOps.detect("Бързата кафява лисица прескача мързеливото куче")
+    assert(l == "bg" && c > 0.9)
+  }
+
   test("langid: und for empty, numeric, and unknown text; confidence in range") {
     assert(LangIdOps.detect("") === (("und", 0.0)))
     assert(LangIdOps.detect("   ") === (("und", 0.0)))
