@@ -41,12 +41,13 @@ object Bench {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))).count()
     } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q22,q24 restricts to a subset (prefix match on
-    // the query name); SPARK_GRAFT_REPS=3 runs the suite N times in ONE
+    // the query name); SPARK_GRAFT_REPS=N runs the suite N times in ONE
     // JVM and keeps the per-query minimum — on a shared host the min is
-    // the signal, single runs carry ±30% load noise.
+    // the signal, single runs carry ±30% (spikes: 3×) load noise.
+    // Default 2: one rep re-measures whatever load spike it landed in.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
     def runSuite(dir: String): Map[String, Double] = {
       val qs = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
@@ -73,7 +74,7 @@ object Bench {
     val extra = small.map(m =>
       s""","total_sf001":${m.values.sum},"queries_sf001":${js(m)}""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${js(results)},"sf":"$sfDir"$extra}"""
     println(line)
     // also land the line in a file: the driver's captured-stdout tail
     // has truncated the JSON twice running — the artifact must survive.
