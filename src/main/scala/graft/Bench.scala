@@ -73,15 +73,22 @@ object Bench {
         Some(runSuite(sf001Dir.toString)) else None
     val extra = small.map(m =>
       s""","total_sf001":${m.values.sum},"queries_sf001":${js(m)}""").getOrElse("")
+    // a subset run must be distinguishable from the full suite: the
+    // "only" key records the filter, and the file lands as
+    // bench_subset.json so a 2-query A/B can never clobber (or
+    // masquerade as) the full-run artifact.
+    val onlyKey = only.map(o =>
+      s""","only":${o.map("\"" + _ + "\"").mkString("[", ",", "]")}""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${js(results)},"sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$onlyKey,"queries":${js(results)},"sf":"$sfDir"$extra}"""
     println(line)
     // also land the line in a file: the driver's captured-stdout tail
     // has truncated the JSON twice running — the artifact must survive.
     // Path from env (SPARK_GRAFT_BENCH_OUT) with a cwd-relative
     // fallback, and best-effort: an unwritable cwd must not turn a
     // finished benchmark into a failure after the results printed.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench_subset.json" else "bench_out.json")
     try
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -48,7 +48,7 @@ object ExplainDump {
     "q49_pagerank" ->
       "Fixed-point PageRank, 3 materialized rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->
-      "Pair clustering to convergence: each round is the `round body` plan below — self ∪ edge-join ∪ pointer-jump (Shiloach–Vishkin label-of-label) into ONE min-aggregation, checkpointed per round (UnsafeRow path) with the previous label carried through the agg so the convergence count is the same single action. The undirected pair list is cached pre-partitioned/pre-sorted on the join key — per round zero exchange/sort on the edge side; pointer jumping makes rounds O(log diameter). The final plan is the cluster aggregation over the last checkpoint.")
+      "Pair clustering to convergence over DIGEST REPRESENTATIVES: verbatim duplicates collapse in a combiner-friendly pre-aggregation on (source, md5(text)) BEFORE any pair generation (see the `pair generation` plan below — partial+final HashAggregate on the digest, text never shuffles), so pair/CC mass prices by distinct texts, not corpus rows. Each CC round is the `round body` plan — self ∪ edge-join ∪ pointer-jump (Shiloach–Vishkin label-of-label) into ONE min-aggregation, checkpointed per round (UnsafeRow path) with the previous label carried through the agg so the convergence count is the same single action; the undirected rep-pair list is cached pre-partitioned/pre-sorted on the join key (zero per-round edge-side exchange), pointer jumping makes rounds O(log diameter). Labels then expand back to every member through the (small, checkpointed) digest→component map. The final plan is the cluster aggregation over that expansion join.")
 
   /** Pre-checkpoint round bodies for the iterative operators — the
     * plan each loop round actually materializes (the final-plan dump
@@ -61,8 +61,14 @@ object ExplainDump {
     "q50_neardup_components" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.analytics.Dedup.ccRoundPlan(
-        graft.analytics.Dedup.lshCandidatePairs(docs, "doc_id", "text", "source"))
+        graft.analytics.Dedup.repPairs(docs, "doc_id", "text", "source"))
     }))
+
+  /** Additional pre-pass plans dumped alongside a query's final plan. */
+  private val prePlans: Map[String, (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Map(
+    "q50_neardup_components" -> (("pair generation (digest-collapsed)",
+      (s, dir) => graft.analytics.Dedup.repPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source"))))
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
@@ -86,6 +92,11 @@ object ExplainDump {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
+      for ((title, pp) <- prePlans.get(name)) {
+        val pplan = pp(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        sb.append(s"\n### $name — $title\n\n```\n$pplan```\n")
+      }
       for (rp <- roundPlans.get(name)) {
         val rplan = rp(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)

@@ -258,6 +258,119 @@ object Dedup {
       .distinct()
   }
 
+  /** Verbatim-duplicate collapse — the digest pre-pass of the near-dup
+    * pipeline: one row per (group, md5(text)) with the group's smallest
+    * id as representative, its member count as `weight`, and the two
+    * LSH band keys (identical across members by construction, so `min`
+    * just picks the shared value). The aggregation is combiner-friendly
+    * (partial HashAggregate collapses duplicates map-side before the
+    * shuffle), and the shuffle carries only (group, digest, id, 2 band
+    * strings) — the text itself never moves. Docs whose MinHash
+    * signature is NULL (no words) are dropped here, exactly as
+    * [[lshCandidatePairs]] drops them before banding. */
+  private[graft] def digestReps(df: DataFrame, idCol: String, textCol: String,
+                                groupCol: String): DataFrame = {
+    val sig = graft.functions.TextHashExpressions
+      .minhashSig(col(textCol), 1, 4, distinct = true)
+    graft.plans.InputWidth.widen(df)
+      .select(col(groupCol), md5(col(textCol)).as("digest"),
+        col(idCol).as("m_id"), sig.as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col(groupCol), col("digest"), col("m_id"),
+        concat_ws("_", lit("A"), col("sig").getItem(0), col("sig").getItem(1)).as("bkA"),
+        concat_ws("_", lit("B"), col("sig").getItem(2), col("sig").getItem(3)).as("bkB"))
+      .groupBy(col(groupCol), col("digest"))
+      .agg(min(col("m_id")).as("rep"), count(lit(1)).as("weight"),
+        min(col("bkA")).as("bkA"), min(col("bkB")).as("bkB"))
+  }
+
+  /** Band-tagged bucket rows over digest representatives, capped on the
+    * SUM OF MEMBER WEIGHTS per (group, bucket) — i.e. the number of
+    * ORIGINAL documents in the bucket, so the cap decision is
+    * bit-identical to running [[lshCandidatePairs]]'s per-doc count cap
+    * over the uncollapsed corpus (every member of a digest group lands
+    * in exactly the buckets its representative lands in). The weight
+    * window partitions on the same (group, bk) key as the downstream
+    * self-join, so it rides the join's exchange. */
+  private[graft] def repBands(reps: DataFrame, groupCol: String,
+                              maxBucket: Int): DataFrame =
+    reps.select(col(groupCol), col("rep"), col("weight"),
+        explode(array(col("bkA"), col("bkB"))).as("bk"))
+      .withColumn("bkn",
+        sum(col("weight")).over(Window.partitionBy(col(groupCol), col("bk"))))
+      .where(col("bkn") <= maxBucket).drop("bkn")
+
+  /** Representative-level candidate pairs (plan-inspection entry: the
+    * full digest-collapse → band → self-join pipeline, un-cached). */
+  private[graft] def repPairs(df: DataFrame, idCol: String, textCol: String,
+                              groupCol: String, maxBucket: Int = 1024): DataFrame = {
+    val bands = repBands(digestReps(df, idCol, textCol, groupCol), groupCol, maxBucket)
+    bands.as("l").join(bands.as("r"), Seq(groupCol, "bk"))
+      .where(col("l.rep") < col("r.rep"))
+      .select(col("l.rep").as("a"), col("r.rep").as("b"))
+      .distinct()
+  }
+
+  /** Near-dup components over the WHOLE corpus with the verbatim
+    * duplicates collapsed out of the expensive middle: digest pre-pass
+    * ([[digestReps]]) → LSH banding + self-join over REPRESENTATIVES
+    * only → [[connectedComponents]] on the rep graph → labels expanded
+    * back to every member through the digest→component map.
+    *
+    * Produces bit-identical output to running lshCandidatePairs +
+    * connectedComponents over the uncollapsed corpus (the exact
+    * transitive-closure oracle), because:
+    *  - members of a digest group share their representative's
+    *    signature, so the doc-level pair graph is exactly the rep-level
+    *    graph with each rep blown up into a verbatim clique — expansion
+    *    preserves components, and the rep (= group min id) preserves
+    *    the min-label component ids;
+    *  - the bucket cap counts original docs via the weight sum
+    *    ([[repBands]]), so the same buckets drop;
+    *  - a weight ≥ 2 group surviving in ≥ 1 bucket is a component even
+    *    when its rep has no external pair (its members pair with EACH
+    *    OTHER in the uncollapsed graph) — emitted as an internal
+    *    clique; a fully-capped-out or singleton rep with no pairs
+    *    produces no output rows, same as the uncollapsed pipeline.
+    *
+    * Scale: pair mass and CC edge mass now price by DISTINCT texts —
+    * a ×100-replicated corpus generates ×10⁴ fewer candidate pairs —
+    * while the per-doc work stays a map-only pass feeding a
+    * combiner-collapsed shuffle of tiny columns. The expansion join is
+    * |docs|⋈|component digests| on (group, digest), AQE-broadcastable
+    * when the component map is small. */
+  def nearDupComponents(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, maxBucket: Int = 1024,
+                        maxIterations: Int = 20): DataFrame = {
+    val reps = digestReps(df, idCol, textCol, groupCol)
+    reps.cache()
+    val bands = repBands(reps, groupCol, maxBucket)
+    val pairs = bands.as("l").join(bands.as("r"), Seq(groupCol, "bk"))
+      .where(col("l.rep") < col("r.rep"))
+      .select(col("l.rep").as("a"), col("r.rep").as("b"))
+      .distinct()
+    val ccLabels = connectedComponents(pairs, "a", "b", maxIterations)
+    // verbatim cliques: weight ≥ 2 groups that survived the cap in at
+    // least one bucket but whose rep found no cross-digest pair
+    val internal = bands.select(col("rep"), col("weight")).distinct()
+      .where(col("weight") >= 2)
+      .join(ccLabels.select(col("node").as("rep")), Seq("rep"), "left_anti")
+      .select(col("rep").as("node"), col("rep").as("comp"))
+    val digestComp = reps
+      .join(ccLabels.union(internal), reps("rep") === col("node"))
+      .select(col(groupCol), col("digest"), col("comp"))
+    // materialize the (small) digest→component map through a checkpoint
+    // so `reps` can be freed before the caller's final action; the
+    // checkpoint backs the returned frame, like the CC labels' own
+    // final-round checkpoint
+    val (dc, _) = Iterate.checkpoint(digestComp)
+    dc.count()
+    reps.unpersist()
+    df.select(col(groupCol), md5(col(textCol)).as("digest"), col(idCol))
+      .join(dc, Seq(groupCol, "digest"))
+      .select(col(idCol).as("node"), col("comp"))
+  }
+
   /** 16-bit SimHash over distinct words: per-bit ±1 contributions
     * summed, bit set when the sum is positive. Single codegen'd pass
     * per document ([[graft.functions.SimHash16Expr]]) — the
@@ -271,17 +384,32 @@ object Dedup {
 
   /** Exact n-gram (here unigram-set) Jaccard similarity for pairs within
     * a group, over a pre-filtered subset. Shared-word self-join →
-    * intersection counts; per-doc set sizes joined back (broadcast).
+    * intersection counts; per-doc set sizes attached BEFORE the join
+    * (broadcast), enabling a size-ratio prefilter at the join itself.
     *
-    * Skew defense: a token appearing in `d` docs fans the self-join out
-    * to d²/2 rows, so tokens with document frequency above `maxDf` are
-    * pruned from the JOIN inputs in-operator (the per-doc set sizes —
-    * the Jaccard denominator — still count every token, so surviving
-    * pairs keep their exact Jaccard... minus intersection mass carried
-    * ONLY by ubiquitous tokens, and a pair sharing nothing but
-    * stop-words sits far below any useful `minJaccard` anyway). The df
-    * window partitions on the join key (group, w), reusing the join's
-    * exchange. */
+    * Skew defenses, in evaluation order:
+    *  - a token appearing in `d` docs fans the self-join out to d²/2
+    *    rows, so tokens with document frequency above `maxDf` are
+    *    pruned from the JOIN inputs in-operator (the per-doc set sizes
+    *    — the Jaccard denominator — still count every token, so
+    *    surviving pairs keep their exact Jaccard... minus intersection
+    *    mass carried ONLY by ubiquitous tokens, and a pair sharing
+    *    nothing but stop-words sits far below any useful `minJaccard`
+    *    anyway). The df window partitions on the join key (group, w),
+    *    reusing the join's exchange.
+    *  - size-ratio prefilter: jaccard ≤ min(|A|,|B|)/max(|A|,|B|)
+    *    (the intersection is at most the smaller set, the union at
+    *    least the larger), so a pair with size ratio below `minJaccard`
+    *    is dropped AT the self-join, before it ever reaches the
+    *    intersection groupBy. The comparison uses the same
+    *    least/greatest DIVISION the final filter uses — division
+    *    rounding is monotone, so ratio ≥ jaccard as exact rationals
+    *    implies the same ordering of the rounded doubles and the
+    *    prefilter can never drop a pair the exact filter would keep
+    *    (a `sz_small >= j * sz_big` product form CAN, when jaccard
+    *    lands exactly on the threshold).
+    * Carrying the true sizes through the groupBy keys also removes the
+    * two post-aggregation size joins the previous formulation needed. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, minJaccard: Double,
                    maxDf: Int = 1024): DataFrame = {
@@ -292,18 +420,18 @@ object Dedup {
     val pruned = tok
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col(groupCol), col("w"))))
       .where(col("df") <= maxDf).drop("df")
+      .join(broadcast(sizes), Seq(idCol))
     // rename AFTER the self-join so both children stay canonically
     // identical and ReuseExchange runs the tokenize + df-window side
     // once — see lshCandidatePairs for why this is a guard, not a fix
-    val shared = pruned.as("l").join(pruned.as("r"), Seq(groupCol, "w"))
-      .where(col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(groupCol), col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
-      .groupBy(col(groupCol), col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    val sa = sizes.select(col(idCol).as("a_id"), col("sz").as("sza"))
-    val sb = sizes.select(col(idCol).as("b_id"), col("sz").as("szb"))
-    shared
-      .join(broadcast(sa), col("a") === col("a_id"))
-      .join(broadcast(sb), col("b") === col("b_id"))
+    pruned.as("l").join(pruned.as("r"), Seq(groupCol, "w"))
+      .where(col(s"l.$idCol") < col(s"r.$idCol") &&
+        least(col("l.sz"), col("r.sz")).cast("double") /
+          greatest(col("l.sz"), col("r.sz")).cast("double") >= minJaccard)
+      .select(col(groupCol), col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+        col("l.sz").as("sza"), col("r.sz").as("szb"))
+      .groupBy(col(groupCol), col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .where(col("jaccard") >= minJaccard)

@@ -53,10 +53,13 @@ object LinkGraph {
     e.cache()
     // loop invariants are cached: vertices and out-degrees are re-read
     // every round, and an uncached copy would re-aggregate the edges
-    // per iteration.
+    // per iteration. try/finally below: the overflow require() fires
+    // AFTER these caches land, and a failed precondition must not
+    // leave three tables pinned in the block manager for the session.
     val vertices = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    try {
     val nV = vertices.count() // also materializes the vertices cache
     // Overflow precondition: total rank is conserved at ~|V|*scale
     // units, and the dangling sum (and any contribution partial sum)
@@ -81,12 +84,10 @@ object LinkGraph {
       prevHandle = Some(handle)
       ranks = next
     }
-    val out =
-      if (iterations <= 0) { // degenerate call: still return materialized
-        val (df, h) = Iterate.checkpoint(ranks); h.count(); df
-      } else ranks
-    e.unpersist(); vertices.unpersist(); outdeg.unpersist()
-    out
+    if (iterations <= 0) { // degenerate call: still return materialized
+      val (df, h) = Iterate.checkpoint(ranks); h.count(); df
+    } else ranks
+    } finally { e.unpersist(); vertices.unpersist(); outdeg.unpersist() }
   }
 
   /** One PageRank round, pre-checkpoint — the plan each iteration

@@ -26,8 +26,10 @@ object TextAnalysis {
     * script-range detection, [[graft.functions.LangProfiles]]) — the
     * reference's LanguageID parse filter approach
     * (`external/langid/.../LanguageID.java:54`), run as ONE codegen'd
-    * pass per document. 42 languages (23 by script range, 19 by Latin trigram profile) + und; confidence = dominant
-    * script fraction, or profile score / total trigrams. */
+    * pass per document. Language inventory lives in
+    * [[graft.functions.LangProfiles]] (script ranges + script-family
+    * marker tiers + Latin trigram profiles) + und; confidence =
+    * dominant script fraction, or profile score / total trigrams. */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
         graft.functions.TextStatExpressions.langId(col(textCol)).as("li"))

@@ -29,7 +29,9 @@ final class HttpBulkIndexSink(
     endpoint: String,
     index: String = "content",
     create: Boolean = false,
-    batchSize: Int = 500) extends IndexSink {
+    batchSize: Int = 500,
+    connectTimeoutMs: Int = 30000,
+    readTimeoutMs: Int = 60000) extends IndexSink {
 
   private def jsonStr(c: org.apache.spark.sql.Column) =
     // to_json of a one-field struct, shorn of the wrapper — produces a
@@ -56,6 +58,7 @@ final class HttpBulkIndexSink(
 
   private def post(lines: DataFrame): Unit = {
     val (ep, bs) = (endpoint.stripSuffix("/"), batchSize)
+    val (cto, rto) = (connectTimeoutMs, readTimeoutMs)
     lines.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.grouped(bs).foreach { batch =>
         val body = batch.map(_.getString(0)).mkString
@@ -63,6 +66,10 @@ final class HttpBulkIndexSink(
         val conn = java.net.URI.create(s"$ep/_bulk").toURL
           .openConnection().asInstanceOf[java.net.HttpURLConnection]
         try {
+          // a hung or half-open endpoint must FAIL the task (engaging
+          // the retry semantics documented above), not block it forever
+          conn.setConnectTimeout(cto)
+          conn.setReadTimeout(rto)
           conn.setRequestMethod("POST")
           conn.setRequestProperty("Content-Type", "application/x-ndjson")
           conn.setDoOutput(true)

@@ -198,9 +198,9 @@ final class MimeTypeNormalization(key: String = "format") extends ParseFilter {
 /** Language ID over extracted text — LanguageID parse filter
   * (`external/langid/.../LanguageID.java:54`: n-gram detector, keep the
   * prediction only above a probability threshold). Uses the shared
-  * trigram-profile + script-range model ([[graft.functions.LangIdOps]],
-  * 42 languages); no tag when the detector says `und` or confidence is
-  * below `minConf`. */
+  * trigram-profile + script-range model ([[graft.functions.LangIdOps]];
+  * inventory in [[graft.functions.LangProfiles]]); no tag when the
+  * detector says `und` or confidence is below `minConf`. */
 final class LanguageIdParseFilter(key: String = "lang", minConf: Double = 0.0)
     extends ParseFilter {
   def apply(ctx: ParseContext): ParseContext = {

@@ -110,7 +110,7 @@ object AnalyticsQueries {
         .orderBy("doc_id")),
 
     // Language ID: character-trigram profiles + script detection
-    // (42 languages), one native pass per doc.
+    // (inventory in LangProfiles), one native pass per doc.
     "q28_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -193,20 +193,20 @@ object AnalyticsQueries {
         .orderBy("lang")
     }),
 
-    // Near-dup clustering: LSH candidate pairs → connected components
-    // (min-label propagation to convergence) → per-cluster size +
-    // members; the canonical keep-one-per-cluster stage of the dedup
-    // pipeline. The oracle is the exact transitive closure (recursive
-    // CTE), so the fixed-point loop is verified against true
-    // components, not a fixed round count.
-    "q50_neardup_components" -> ((s, dir) => {
-      val pairs = Dedup.lshCandidatePairs(
-        t(s, dir, "documents"), "doc_id", "text", "source")
-      Dedup.connectedComponents(pairs)
+    // Near-dup clustering: digest pre-pass (verbatim duplicates
+    // collapse to one representative) → LSH candidate pairs over reps →
+    // connected components (min-label propagation to convergence) →
+    // labels expanded back to every member → per-cluster size; the
+    // canonical keep-one-per-cluster stage of the dedup pipeline. The
+    // oracle is the exact transitive closure over the UNCOLLAPSED
+    // doc-level pair graph (recursive CTE), so both the fixed-point
+    // loop and the collapse/expand equivalence are verified against
+    // true components, not a fixed round count.
+    "q50_neardup_components" -> ((s, dir) =>
+      Dedup.nearDupComponents(t(s, dir, "documents"), "doc_id", "text", "source")
         .groupBy("comp")
         .agg(count(lit(1)).as("n_docs"), max("node").as("max_doc"))
-        .orderBy("comp")
-    }),
+        .orderBy("comp")),
 
     // Fixed-point PageRank over the derived host graph (3 iterations) —
     // link-graph quality prior; BIGINT arithmetic end-to-end so the

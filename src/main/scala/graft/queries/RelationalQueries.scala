@@ -62,18 +62,23 @@ object RelationalQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("hour", "event_type")),
 
-    // Per-supplier as-of-style latest shipment (window last-value) —
-    // keyset pagination shape of HybridSpout refills.
-    "q15_latest_per_supplier" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+    // Per-supplier as-of-style latest shipment — keyset pagination
+    // shape of HybridSpout refills. `max(struct(...))` compares the
+    // fields in order, so the struct's field order IS the tie-break
+    // (shipdate desc, then orderkey, then linenumber — max = latest):
+    // one combiner-friendly hash aggregate, no per-partition sort of
+    // the full fact table (a row_number window would sort all of
+    // lineitem just to keep one row per supplier; WindowGroupLimit
+    // trims the window's OUTPUT, not the sort itself).
+    "q15_latest_per_supplier" -> ((s, dir) =>
       t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_shipdate"))
-        .orderBy("l_suppkey")
-    }),
+        .groupBy(col("l_suppkey"))
+        .agg(max(struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+          .as("top"))
+        .select(col("l_suppkey"),
+          col("top.l_orderkey").as("l_orderkey"),
+          col("top.l_shipdate").as("l_shipdate"))
+        .orderBy("l_suppkey")),
 
     // Grouped top-N with rank over join — per-nation top-3 customers by
     // account balance (broadcast nation, window on customer).

@@ -80,6 +80,76 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(capped.count() === 0L)
   }
 
+  test("nearDupComponents matches the uncollapsed pair+CC pipeline exactly") {
+    // fixture exercises every collapse/expand path: a verbatim clique
+    // with no external pairs (1-5), a dup pair plus a near-dup neighbor
+    // (10-12), a pair-free singleton (20), and the SAME text in another
+    // source (30-31: must form its own component, never merge across
+    // the group column)
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "alpha beta gamma delta epsilon", "web")) ++
+      Seq((10L, "red green blue cyan magenta yellow black white", "web"),
+          (11L, "red green blue cyan magenta yellow black white", "web"),
+          (12L, "red green blue cyan magenta yellow black white extra", "web"),
+          (20L, "solo entry mentioning entirely disjoint vocabulary", "web"),
+          (30L, "alpha beta gamma delta epsilon", "news"),
+          (31L, "alpha beta gamma delta epsilon", "news"))
+    ).toDF("doc_id", "text", "source")
+    val collapsed = Dedup.nearDupComponents(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("comp"))).toSet
+    val baseline = Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(docs, "doc_id", "text", "source"))
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("comp"))).toSet
+    assert(collapsed === baseline)
+    // verbatim cliques land as internal components with min-id labels
+    assert((1 to 5).forall(i => collapsed.contains((i.toLong, 1L))))
+    assert(collapsed.contains((30L, 30L)) && collapsed.contains((31L, 30L)))
+    assert(!collapsed.exists(_._1 == 20L)) // pair-free singleton excluded
+  }
+
+  test("nearDupComponents: weight-sum cap = per-doc cap of the uncollapsed pipeline") {
+    val docs = boilerplate(200)
+    // cap below the MEMBER count: one rep, but the bucket holds 200
+    // original docs — must drop, exactly as the uncollapsed cap does
+    assert(Dedup.nearDupComponents(docs, "doc_id", "text", "source",
+      maxBucket = 100).count() === 0L)
+    // cap above: the 200-member verbatim clique survives, comp = min id
+    val comps = Dedup.nearDupComponents(docs, "doc_id", "text", "source",
+        maxBucket = 300)
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("comp")))
+    assert(comps.length === 200 && comps.forall(_._2 === 1L))
+  }
+
+  test("jaccardPairs: size-ratio prefilter never drops a pair with jaccard >= j") {
+    // driver-side brute force is the ground truth; the fixture includes
+    // the exact-threshold case jaccard == min/max == j (a 7-token
+    // subset of a 20-token doc at j = 7/20 = 0.35) where a
+    // `sz_small >= j * sz_big` PRODUCT prefilter would round up and
+    // wrongly drop the pair — the division form must keep it
+    val j = 0.35
+    val texts: Seq[(Long, String)] =
+      Seq(
+        (1L, (1 to 7).map("t" + _).mkString(" ")),  // A ⊂ B, ratio exactly j
+        (2L, (1 to 20).map("t" + _).mkString(" ")),
+        (3L, (1 to 6).map("t" + _).mkString(" ")),  // ratio 0.3 < j vs doc 2
+        (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")) ++
+      (5 to 40).map(i => (i.toLong,
+        (0 until 5 + i % 11).map(k => "w" + ((i * 7 + k * 3) % 29)).mkString(" ")))
+    val docs = texts.map { case (id, t) => (id, t, "web") }
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", "source", j, maxDf = 10000)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val sets = texts.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSet }.toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb2) <- sets.toSeq if a < b
+      jac = (sa & sb2).size.toDouble / (sa ++ sb2).size
+      if jac >= j
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 2L)), "exact-threshold pair must survive the prefilter")
+  }
+
   test("jaccardPairs: prune is a no-op when no token exceeds maxDf") {
     val docs = Seq(
       (1L, "red green blue", "web"),

@@ -107,6 +107,23 @@ class PlanSpec extends AnyFunSuite {
       s"converged labels must be a checkpoint scan:\n$plan")
   }
 
+  test("q50 pair generation: digest pre-aggregation below the self-join") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 300).select(
+      col("id").as("doc_id"),
+      concat(lit("w"), (col("id") % 40).cast("string"),
+        lit(" x y z common words "), (col("id") % 7).cast("string")).as("text"),
+      (col("id") % 3).cast("string").as("source"))
+    val rp = graft.analytics.Dedup.repPairs(docs, "doc_id", "text", "source")
+    rp.collect()
+    val plan = rp.queryExecution.executedPlan.toString
+    // verbatim collapse = a hash aggregate shuffled on (source, digest)
+    // BEFORE any join; the self-join sides still share one exchange
+    assert(plan.contains("hashpartitioning(source") && plan.contains("digest"),
+      plan.take(3000))
+    assert(plan.contains("ReusedExchange"), plan.take(3000))
+  }
+
   test("pair-generator self-joins reuse one exchange (single corpus pass)") {
     import org.apache.spark.sql.functions._
     // the expensive side (minhash/tokenize/normalize + window) must be
