@@ -21,6 +21,8 @@ object ExplainDump {
       "Merge-dedup ladder: single shuffle on sha256(url); everything else map-side.",
     "q13_join_revenue" ->
       "Fact-dim joins: customer broadcast (BroadcastHashJoin), lineitem⋈orders shuffle once on the join key; AQE picks the final shape.",
+    "q15_latest_per_supplier" ->
+      "Latest-per-key as ONE codegen'd hash aggregate: the (shipdate, orderkey, linenumber) tie-break packs into a single BIGINT (numeric order = lexicographic tie-break; ranges fail-fast checked) so the aggregate is max(long) with map-side partials — partial+final HashAggregate, no Sort, no Window (a row_number window would sort all of lineitem — WindowGroupLimit trims the window's OUTPUT, not the sort — and max(struct) falls back to SortAggregate, struct buffers not being UnsafeRow-mutable). The only Sort is the trailing oracle-determinism orderBy. Scales with supplier count, not row count.",
     "q21_minhash_sig" ->
       "MinHash: ONE codegen'd pass per document (native minhash_sig expression) — no explode, no shuffle; the signature stage is a pure map over the corpus.",
     "q23_simhash" ->

@@ -63,22 +63,46 @@ object RelationalQueries {
         .orderBy("hour", "event_type")),
 
     // Per-supplier as-of-style latest shipment — keyset pagination
-    // shape of HybridSpout refills. `max(struct(...))` compares the
-    // fields in order, so the struct's field order IS the tie-break
-    // (shipdate desc, then orderkey, then linenumber — max = latest):
-    // one combiner-friendly hash aggregate, no per-partition sort of
-    // the full fact table (a row_number window would sort all of
-    // lineitem just to keep one row per supplier; WindowGroupLimit
-    // trims the window's OUTPUT, not the sort itself).
-    "q15_latest_per_supplier" -> ((s, dir) =>
+    // shape of HybridSpout refills. ONE combiner-friendly hash
+    // aggregate, no per-partition sort of the full fact table (a
+    // row_number window would sort all of lineitem just to keep one
+    // row per supplier — WindowGroupLimit trims the window's OUTPUT,
+    // not the sort; and `max(struct(...))` would fall back to
+    // SortAggregate, because struct agg buffers aren't
+    // UnsafeRow-mutable). The tie-break tuple is packed into ONE
+    // BIGINT so the aggregate stays a codegen'd max(long)
+    // HashAggregate: days-since-epoch (15 bits, through 2059) << 48 |
+    // orderkey (45 bits) << 3 | linenumber (3 bits, TPC-H 1..7);
+    // numeric order of the pack IS the lexicographic tie-break
+    // (latest shipdate, then orderkey, then linenumber). A silent
+    // field overflow would corrupt the argmax, so out-of-range rows
+    // raise instead (same fail-fast stance as pagerank's rank-wrap
+    // guard) — the range check is a codegen'd branch per row.
+    "q15_latest_per_supplier" -> ((s, dir) => {
+      val days = datediff(col("l_shipdate"), lit("1970-01-01"))
+      // midnight check included: a time-of-day component would be
+      // silently coarsened by day-granularity packing, changing the
+      // tie-break — fail fast instead
+      val inRange = days.between(0, (1 << 15) - 1) &&
+        col("l_orderkey").between(0, (1L << 45) - 1) &&
+        col("l_linenumber").between(0, 7) &&
+        col("l_shipdate") === date_trunc("day", col("l_shipdate"))
+      val pack = when(inRange,
+          days.cast("long") * lit(1L << 48) +
+            col("l_orderkey") * lit(8L) + col("l_linenumber"))
+        .otherwise(raise_error(
+          lit("q15 tie-break pack overflow: shipdate/orderkey/linenumber out of range"))
+          .cast("long"))
       t(s, dir, "lineitem")
         .groupBy(col("l_suppkey"))
-        .agg(max(struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
-          .as("top"))
+        .agg(max(pack).as("p"))
         .select(col("l_suppkey"),
-          col("top.l_orderkey").as("l_orderkey"),
-          col("top.l_shipdate").as("l_shipdate"))
-        .orderBy("l_suppkey")),
+          shiftright(col("p"), 3).bitwiseAND(lit((1L << 45) - 1)).as("l_orderkey"),
+          date_add(lit("1970-01-01").cast("date"),
+            shiftright(col("p"), 48).cast("int"))
+            .cast("timestamp").as("l_shipdate"))
+        .orderBy("l_suppkey")
+    }),
 
     // Grouped top-N with rank over join — per-nation top-3 customers by
     // account balance (broadcast nation, window on customer).
