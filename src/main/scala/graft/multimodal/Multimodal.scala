@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -45,19 +45,77 @@ object Multimodal {
         .map(f => f.map(b => (b & 0xff).toDouble).sum / FrameBytes).toSeq
   }
 
-  /** Synthesize a media table from the `documents` text (UTF-8 bytes as
-    * the opaque payload) — deterministic, so oracle-checkable. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3).cast("int") + 1).as("kind"),
-      col("text").cast("binary").as("bytes"),
-      struct(
+  // hex-string builders for binary assembly in column algebra:
+  // unhex(lpad(hex(n))) is a big-endian byte field; the le variants
+  // swap byte pairs for little-endian formats (GIF/BMP)
+  private def be16hex(c: Column) = lpad(hex(c), 4, "0")
+  private def be32hex(c: Column) = lpad(hex(c), 8, "0")
+  private def le16hex(c: Column) = {
+    val h = be16hex(c)
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def le32hex(c: Column) = {
+    val h = be32hex(c)
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
+
+  /** Header lengths in bytes of the four synthesized image formats
+    * (PNG sig+IHDR+CRC / GIF header+LSD+flags / BMP file+full DIB
+    * header / JPEG SOI+APP0+SOF0) — exported so oracles can reproduce
+    * payload sizes. */
+  val ImageHeaderBytes: Seq[Int] = Seq(33, 13, 54, 39)
+
+  /** Synthesize a media table from the `documents` text — deterministic,
+    * so oracle-checkable. `image`-kind payloads carry a REAL image
+    * header (PNG / GIF / BMP / JPEG cycling by doc_id, dimensions a
+    * documented function of doc_id) built with byte-exact column
+    * algebra, then the UTF-8 text as body; `meta.width/height/mime`
+    * for images come from actually PARSING those bytes back
+    * ([[ImageHeaders.imageMeta]]), so the oracle's closed-form dims
+    * verify the build→parse round trip. Audio/video stay opaque
+    * octet-streams behind the codec stub, with the duration heuristic
+    * they always had. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val kind = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (col("doc_id") % 3).cast("int") + 1)
+    val w = (lit(16) + pmod(col("doc_id") * 7, lit(1000))).cast("int")
+    val h = (lit(16) + pmod(col("doc_id") * 13, lit(800))).cast("int")
+    val fmt = pmod(floor(col("doc_id") / 3).cast("long"), lit(4))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      be32hex(w), be32hex(h), lit("0802000000" + "00000000"))
+    val gifHex = concat(lit("474946383961"), le16hex(w), le16hex(h), lit("F70000"))
+    val bmpHex = concat(
+      lit("424D" + "00000000" + "00000000" + "36000000" + "28000000"),
+      le32hex(w), le32hex(h), lit("0100" + "1800" + "0" * 48))
+    val jpgHex = concat(
+      lit("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "0001" + "0001" + "0000"
+        + "FFC0" + "0011" + "08"),
+      be16hex(h), be16hex(w), lit("03" + "011100" + "021101" + "031101"))
+    val headerHex = when(fmt === 0, pngHex).when(fmt === 1, gifHex)
+      .when(fmt === 2, bmpHex).otherwise(jpgHex)
+    val bytes = when(kind === "image",
+        concat(unhex(headerHex), col("text").cast("binary")))
+      .otherwise(col("text").cast("binary"))
+    val framed = docs.select(
+      col("doc_id").as("media_id"), kind.as("kind"),
+      bytes.as("bytes"), col("n_chars"))
+    val im = ImageHeaders.imageMeta(col("bytes"))
+    framed.select(
+      col("media_id"), col("kind"), col("bytes"),
+      when(col("kind") === "image",
+        struct(
+          im.getField("mime").as("mime"),
+          im.getField("width").as("width"),
+          im.getField("height").as("height"),
+          lit(null).cast("long").as("duration_ms")))
+      .otherwise(struct(
         lit("application/octet-stream").as("mime"),
         lit(null).cast("integer").as("width"),
         lit(null).cast("integer").as("height"),
-        (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
+        (col("n_chars") * 10).cast("long").as("duration_ms"))).as("meta"))
+  }
 
   /** Frame-sample stage: every row → (media_id, kind, n_frames,
     * sampled frame indices). Column-algebra framing (length arithmetic)
@@ -65,7 +123,7 @@ object Multimodal {
     * [[decodePartitions]]. */
   def frameSample(media: DataFrame, everyNth: Int): DataFrame =
     media.select(
-      col("media_id"), col("kind"),
+      col("media_id"), col("kind"), col("meta"),
       (length(col("bytes")) / FakeCodec.FrameBytes).cast("long").as("n_frames"))
       // |{0, n, 2n, ...} ∩ [0, n_frames)| in O(1) arithmetic — building
       // a sequence() per row would materialize a 67M-element array for

@@ -125,14 +125,21 @@ object AnalyticsQueries {
       TextAnalysis.winnowingFingerprints(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // Multimodal: binary media framing + sampling stats per kind.
+    // Multimodal: binary media framing + sampling stats per kind, plus
+    // REAL image dimensions — image payloads carry actual PNG/GIF/BMP/
+    // JPEG headers and width/height are parsed back from the bytes
+    // (ImageHeaders), so the oracle's closed-form dims verify the
+    // build→parse round trip end to end.
     "q31_media_frames" -> ((s, dir) =>
       Multimodal.frameSample(
           Multimodal.mediaFromDocuments(t(s, dir, "documents")), 4)
         .groupBy("kind")
         .agg(count(lit(1)).as("n_media"),
           sum("n_frames").as("total_frames"),
-          sum("sampled_frames").as("total_sampled"))
+          sum("sampled_frames").as("total_sampled"),
+          count(col("meta.width")).as("n_with_dims"),
+          sum(col("meta.width")).as("sum_width"),
+          sum(col("meta.height")).as("sum_height"))
         .orderBy("kind")),
 
     // Sessionization: 30-min inactivity gap per user; per-session
@@ -562,17 +569,36 @@ object AnalyticsQueries {
          |FROM wm WHERE pos <= np - 5
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q31_media_frames" ->
-      """WITH m AS (SELECT doc_id AS media_id,
-        |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
-        |    octet_length(encode(text)) AS nbytes FROM documents),
-        |f AS (SELECT media_id, kind, nbytes // 16 AS n_frames,
-        |        CASE WHEN nbytes // 16 > 0 THEN (nbytes // 16 + 3) // 4 ELSE 0 END AS sampled_frames
-        |      FROM m)
-        |SELECT kind, count(*) AS n_media,
-        |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
-        |  CAST(sum(sampled_frames) AS BIGINT) AS total_sampled
-        |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
+    "q31_media_frames" -> {
+      // image payloads gain a real format header whose byte length
+      // depends on the format cycle (png/gif/bmp/jpeg by doc_id/3 % 4)
+      val hdrLen = graft.multimodal.Multimodal.ImageHeaderBytes
+        .zipWithIndex.map { case (n, i) => s"WHEN $i THEN $n" }.mkString(" ")
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         |    octet_length(encode(text)) AS tbytes,
+         |    CAST(doc_id // 3 AS INT) % 4 AS fmt,
+         |    CAST(16 + (doc_id * 7) % 1000 AS INT) AS w,
+         |    CAST(16 + (doc_id * 13) % 800 AS INT) AS h
+         |  FROM documents),
+         |f AS (SELECT media_id, kind,
+         |        CASE WHEN kind = 'image'
+         |             THEN tbytes + (CASE fmt $hdrLen END)
+         |             ELSE tbytes END AS nbytes,
+         |        CASE WHEN kind = 'image' THEN w END AS width,
+         |        CASE WHEN kind = 'image' THEN h END AS height
+         |      FROM m),
+         |g AS (SELECT kind, nbytes // 16 AS n_frames,
+         |        CASE WHEN nbytes // 16 > 0 THEN (nbytes // 16 + 3) // 4 ELSE 0 END AS sampled_frames,
+         |        width, height FROM f)
+         |SELECT kind, count(*) AS n_media,
+         |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+         |  CAST(sum(sampled_frames) AS BIGINT) AS total_sampled,
+         |  count(width) AS n_with_dims,
+         |  CAST(sum(width) AS BIGINT) AS sum_width,
+         |  CAST(sum(height) AS BIGINT) AS sum_height
+         |FROM g GROUP BY kind ORDER BY kind""".stripMargin
+    },
 
     "q44_sessionize" ->
       s"""WITH e AS (${Tables.eventsSql}),

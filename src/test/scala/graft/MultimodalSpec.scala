@@ -60,6 +60,72 @@ class MultimodalSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def dims(b: Array[Byte]): Option[(String, Int, Int)] =
+    Option(graft.multimodal.ImageHeaders.parseRow(b)).map(r =>
+      (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2)))
+
+  test("image headers: byte-built fixtures parse to exact dimensions") {
+    // PNG 640×480: signature + IHDR (width/height big-endian u32)
+    assert(dims(hx("89504E470D0A1A0A 0000000D 49484452 00000280 000001E0 0802000000 00000000"))
+      === Some(("image/png", 640, 480)))
+    // GIF89a and GIF87a 320×200 (little-endian u16)
+    assert(dims(hx("474946383961 4001 C800 F70000")) === Some(("image/gif", 320, 200)))
+    assert(dims(hx("474946383761 4001 C800 F70000")) === Some(("image/gif", 320, 200)))
+    // BMP BITMAPINFOHEADER 100×50, and top-down (height -50 two's complement)
+    val bmpHead = "424D 00000000 00000000 36000000 28000000"
+    assert(dims(hx(s"$bmpHead 64000000 32000000 0100 1800" + "00" * 24))
+      === Some(("image/bmp", 100, 50)))
+    assert(dims(hx(s"$bmpHead 64000000 CEFFFFFF 0100 1800" + "00" * 24))
+      === Some(("image/bmp", 100, 50)))
+    // BMP OS/2 BITMAPCOREHEADER (dib size 12, u16 fields) 64×32
+    assert(dims(hx("424D 00000000 00000000 1A000000 0C000000 4000 2000 0100 1800"))
+      === Some(("image/bmp", 64, 32)))
+    // JPEG: SOI + APP0(JFIF) + COM + SOF0 1024×768 (height BEFORE width)
+    assert(dims(hx("FFD8 FFE00010 4A46494600 0101 00 0001 0001 0000" +
+      "FFFE0004 ABCD" + "FFC00011 08 0300 0400 03 011100 021101 031101"))
+      === Some(("image/jpeg", 1024, 768)))
+    // progressive JPEG (SOF2) with a DHT (C4 — must be skipped, not
+    // mistaken for a frame header) before it
+    assert(dims(hx("FFD8 FFC40005 100000 FFC20011 08 0040 0080 03 011100 021101 031101"))
+      === Some(("image/jpeg", 128, 64)))
+  }
+
+  test("image headers: non-images and truncated payloads return null") {
+    assert(dims(null) === None)
+    assert(dims("just some text".getBytes("UTF-8")) === None)
+    assert(dims(Array[Byte]()) === None)
+    assert(dims(hx("89504E470D0A1A0A 0000000D")) === None)         // truncated PNG
+    assert(dims(hx("FFD8 FFDA0002")) === None)                     // SOS before SOF
+    assert(dims(hx("FFD8 00")) === None)                           // lost marker sync
+    assert(dims(hx("474946383961 0000 C800 F70000")) === None)     // zero width GIF
+    // a payload that merely STARTS like text but is long enough to
+    // index must not throw
+    assert(dims(("BM" + "x" * 60).getBytes("UTF-8")).forall(_._1 == "image/bmp"))
+  }
+
+  test("media table: image payloads carry real headers; dims parse to the formula") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val imgs = media.where(col("kind") === "image")
+      .select(col("media_id"), col("meta.mime"), col("meta.width"), col("meta.height"))
+      .collect()
+    assert(imgs.nonEmpty)
+    val mimes = Seq("image/png", "image/gif", "image/bmp", "image/jpeg")
+    imgs.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) === mimes(((id / 3) % 4).toInt), s"media_id=$id")
+      assert(r.getInt(2) === 16 + (id * 7 % 1000).toInt, s"media_id=$id width")
+      assert(r.getInt(3) === 16 + (id * 13 % 800).toInt, s"media_id=$id height")
+    }
+    // audio/video stay opaque: no dims, duration heuristic intact
+    val av = media.where(col("kind") =!= "image")
+      .select(col("meta.mime"), col("meta.width"), col("meta.duration_ms")).collect()
+    assert(av.forall(r => r.getString(0) == "application/octet-stream" && r.isNullAt(1)))
+    assert(av.forall(!_.isNullAt(2)))
+  }
+
   test("size-aware repartition sizes task count by byte volume") {
     val media = Multimodal.mediaFromDocuments(docs)
     val total = media.select(sum(length(col("bytes")))).head().getLong(0)
