@@ -89,6 +89,86 @@ class FrontierSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mid-batch crash after fetch, before merge commit: restart is exactly-once") {
+    // the streaming-layer companion to FrontierCrashSpec's store-level
+    // manifest-swap coverage: kill the standing query AFTER the fetch
+    // stage ran but BEFORE the frontier merge commits, restart from the
+    // same checkpoint, and require the frontier to land in the exact
+    // state an uninterrupted run produces — the offset-log/commit-log
+    // gap makes Structured Streaming replay the same batch, the source
+    // re-runs the selection against the unchanged store, and the
+    // sha256-keyed merge applies it exactly once
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.fetch.{FetchStage, ProtocolFactory}
+    import graft.filters.UrlFilterChain
+    import graft.parse.ParseStage
+    import graft.streaming.CrawlTopology
+
+    val site = Files.createTempDirectory("crash_site")
+    Files.write(site.resolve("a.html"),
+      """<html><body><a href="b.html">next</a></body></html>""".getBytes)
+    Files.write(site.resolve("b.html"),
+      "<html><body>leaf</body></html>".getBytes)
+
+    val root = Files.createTempDirectory("frontier_crash_stream").toString
+    val store = new FrontierStore(root)
+    val chain = new UrlFilterChain(Seq())
+    CrawlTopology.seed(spark, store, Seq(s"file://$site/a.html"), chain)
+    val ckpt = Files.createTempDirectory("crash_ckpt").toString
+
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def startQ() = CrawlTopology.frontierStream(spark, root,
+        perBucket = 5, maxKeys = 5, limit = 10)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val fetched = FetchStage.fetch(spark, batch, new ProtocolFactory(),
+            crawlDelayMs = 0, respectRobots = false)
+          fetched.cache()
+          // the fetch has genuinely happened (an action ran) ...
+          if (fetched.count() > 0 && crashOnce.getAndSet(false))
+            sys.error("injected crash between fetch and merge commit")
+          // ... and only the surviving run reaches the merge
+          val parsed = ParseStage.parse(fetched, chain)
+          val statuses = fetched.select(col("url"),
+            when(col("redirect_to").isNotNull, Status.Redirection)
+              .otherwise(col("status")).as("status"), col("metadata"))
+          val outlinks = parsed.where(col("kind").isin("outlink", "redirect"))
+            .select(col("target_url").as("url"),
+              lit(Status.Discovered).as("status"), col("metadata"))
+          store.merge(spark, statuses.unionByName(outlinks), CrawlTopology.now())
+          fetched.unpersist()
+        }
+        ()
+      }
+      .start()
+
+    val q1 = startQ()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.awaitTermination(120000); if (q1.exception.isDefined) throw q1.exception.get
+    }
+    // nothing committed: the crash landed between fetch and merge
+    val afterCrash = store.read(spark).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("status"))
+    assert(afterCrash.toSeq == Seq(s"file://$site/a.html" -> Status.Discovered),
+      s"merge must not have committed: ${afterCrash.toSeq}")
+
+    val q2 = startQ()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // exactly-once frontier state: both pages present exactly once,
+    // both FETCHED — the crashed batch was neither lost nor doubled
+    val rows = store.read(spark).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("status"))
+    assert(rows.length == rows.map(_._1).distinct.length,
+      s"duplicated frontier rows: ${rows.toSeq}")
+    val byUrl = rows.toMap
+    assert(byUrl == Map(
+      s"file://$site/a.html" -> Status.Fetched,
+      s"file://$site/b.html" -> Status.Fetched), rows.toSeq.toString)
+  }
+
   test("closed crawl loop through the source: each merge schedules the next batch") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions._
