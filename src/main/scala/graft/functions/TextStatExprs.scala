@@ -251,7 +251,34 @@ object LangProfiles {
       "uwa", "ili", " il", "li ", "cha", " ch", "ha ", "ana", "ama", "kut", "mba"),
     "tl" -> Seq("ang", " an", "ng ", " ng", " sa", "sa ", " na", "na ", "mga",
       " mg", "ga ", " ay", "ay ", " at", "at ", "par", "ara", "ra ", "ito",
-      " it", "to ", "hin", "ind", "ndi", "di ", " hi", "ako", " ak", "iya", "ya "))
+      " it", "to ", "hin", "ind", "ndi", "di ", " hi", "ako", " ak", "iya", "ya "),
+    // round-7 breadth tail (az/cy/eo/ga/ha/la/mt/so): ə-trigrams keep
+    // az clear of tr; hyphen trigrams (il-/l-k) are Maltese-only —
+    // punctuation survives trigram extraction by design
+    "az" -> Seq(" və", "və ", "lər", "ər ", "ın ", "dır", "ır ", " bi", "bir",
+      "ir ", "əri", "ri ", " ol", "lar", "ar ", "ən ", "dən", " bu", "bu ",
+      "ki ", " ki", "əsi", "si ", "ini", "ni ", "ılı", "lı ", "ünd", "ndə", "də "),
+    "cy" -> Seq(" yn", "yn ", " y ", "mae", " ma", "ae ", " ar", "yr ", " yr",
+      "edd", "dd ", "wed", "edi", "di ", " we", " bo", "bod", "od ", "gyd",
+      " gy", "yda", " ei", "ei ", "eth", "th ", "iad", "ad ", " i ", " o ", "au "),
+    "eo" -> Seq(" la", "la ", "kaj", " ka", "aj ", " es", "est", "sta", "tas",
+      "as ", " de", "de ", " en", "en ", " al", "al ", " ke", "ke ", "oj ",
+      "ojn", "jn ", " mi", "mi ", "on ", "ant", "ata", "ita", "is ", "os ", "ro "),
+    "ga" -> Seq("agu", "gus", "us ", " ag", "ag ", " an", "an ", " ar", "ar ",
+      " na", "na ", "ach", "ch ", " ch", " go", "go ", " le", "le ", "bhí",
+      "hí ", " bh", "atá", "tá ", " at", "adh", "dh ", "ail", "il ", "ear", "nn "),
+    "ha" -> Seq(" da", "da ", " ya", "ya ", " ta", "ta ", " ba", "ba ", "mai",
+      "ai ", " ma", " ka", "kan", "an ", "wan", "ann", "nan", " wa", " su",
+      "suk", "uka", "ka ", "cik", "iki", "kin", " ci", "in ", "kum", "uma", "ma "),
+    "la" -> Seq(" et", "et ", "um ", "us ", " in", "in ", "est", " es", "st ",
+      "que", " qu", "ue ", "qui", " no", "non", "on ", " ad", "ad ", "cum",
+      " cu", "ibu", "bus", "tur", "ur ", "rum", "ere", "nt ", "tis", "iam", "em "),
+    "mt" -> Seq(" li", "li ", " ta", "ta ", " il", "il-", "għa", " għ", "ħa ",
+      "ija", "ja ", " ma", "ma ", "iet", "et ", "tal", "al ", " fi", "fil",
+      "l-k", "jie", "ie ", " hu", "hu ", "wa ", " u ", "lha", "ha ", "zij", "ien"),
+    "so" -> Seq("yaa", "aya", " ay", "ay ", "aa ", "wax", " wa", "axa", "xa ",
+      " oo", "oo ", " ka", "ka ", " dh", "dha", "aha", "ada", "an ", "aan",
+      " ah", "ah ", "uu ", " uu", "iyo", " iy", "yo ", "ood", "ays", "nta", "day"))
 
   trigrams.foreach { case (l, ts) =>
     require(ts.distinct.size == ts.size, s"duplicate trigram in profile $l")

@@ -100,6 +100,19 @@ class TextStatsSpec extends AnyFunSuite {
     assert(LangIdOps.detect("Ang mabilis na kayumangging soro ay tumalon sa ibabaw ng tamad na aso at tumakbo sa gubat")._1 == "tl")
   }
 
+  test("langid: round-7 breadth — tail profiles separate") {
+    assert(LangIdOps.detect("Sürətli qəhvəyi tülkü tənbəl itin üzərindən tullanır və meşəyə doğru qaçır")._1 == "az")
+    assert(LangIdOps.detect("Mae'r llwynog brown cyflym yn neidio dros y ci diog ac y mae yn rhedeg i mewn i'r goedwig")._1 == "cy")
+    assert(LangIdOps.detect("La rapida bruna vulpo saltas super la mallaborema hundo kaj kuras en la arbaron")._1 == "eo")
+    assert(LangIdOps.detect("Léimeann an sionnach donn gasta thar an madra leisciúil agus ritheann sé isteach sa choill")._1 == "ga")
+    assert(LangIdOps.detect("Saurin dila mai launin ruwan kasa ya yi tsalle a kan kare mai lalaci kuma ya gudu cikin daji")._1 == "ha")
+    assert(LangIdOps.detect("Vulpes fusca celeris super canem pigrum salit et in silvam currit dum cibum quaerit")._1 == "la")
+    assert(LangIdOps.detect("Il-volpi kannella mgħaġġla taqbeż fuq il-kelb għażżien u tiġri lejn il-foresta")._1 == "mt")
+    assert(LangIdOps.detect("Dawacada dhaqsaha leh ayaa ka booday eyga caajiska ah waxayna u ordaysaa kaynta oo dhan")._1 == "so")
+    // a turkic sibling must not steal tr (shared suffix shapes, no ə)
+    assert(LangIdOps.detect("Hızlı kahverengi tilki tembel köpeğin üzerinden atlar ve ormana doğru koşar")._1 == "tr")
+  }
+
   test("langid: script-family members resolved by marker letters") {
     // Cyrillic family: default ru, members by distinctive letters
     assert(LangIdOps.detect("Быстрая коричневая лиса прыгает через ленивую собаку")._1 == "ru")
