@@ -383,9 +383,12 @@ object Dedup {
       .where(col("simhash").isNotNull)
 
   /** Exact n-gram (here unigram-set) Jaccard similarity for pairs within
-    * a group, over a pre-filtered subset. Shared-word self-join →
-    * intersection counts; per-doc set sizes attached BEFORE the join
-    * (broadcast), enabling a size-ratio prefilter at the join itself.
+    * a group, over a pre-filtered subset. Digest pre-pass (verbatim
+    * duplicates collapse to one representative, results expand back to
+    * member pairs — bit-identical output, see inline notes), then
+    * shared-word self-join → intersection counts; per-digest set sizes
+    * attached BEFORE the join (broadcast), enabling a size-ratio
+    * prefilter at the join itself.
     *
     * Skew defenses, in evaluation order:
     *  - a token appearing in `d` docs fans the self-join out to d²/2
@@ -413,28 +416,71 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, minJaccard: Double,
                    maxDf: Int = 1024): DataFrame = {
-    val tok = graft.plans.InputWidth.widen(df)
-      .select(col(groupCol), col(idCol),
-        explode(array_distinct(words(col(textCol)))).as("w"))
-    val sizes = tok.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // digest collapse (same move as [[nearDupComponents]]): verbatim
+    // duplicates share their token set, so tokenize / df-window /
+    // self-join / intersection-count all run over one representative
+    // per (group, md5(text)) and the results expand back to member
+    // pairs afterward. min(text) inside the combiner-friendly
+    // aggregation IS the shared text (all members identical), so the
+    // shuffle carries ~distinct texts per partition, not the corpus.
+    val reps = graft.plans.InputWidth.widen(df)
+      .select(col(groupCol), md5(col(textCol)).as("digest"),
+        col(idCol).as("m_id"), col(textCol).as("m_text"))
+      .groupBy(col(groupCol), col("digest"))
+      .agg(count(lit(1)).as("weight"), min(col("m_text")).as("rtext"))
+    val tok = reps.select(col(groupCol), col("digest"), col("weight"),
+      explode(array_distinct(words(col("rtext")))).as("w"))
+    val sizes = tok.groupBy(col(groupCol), col("digest")).agg(count(lit(1)).as("sz"))
+    // weighted document frequency: sum of member counts = the df the
+    // uncollapsed pipeline would see, so the SAME tokens are pruned
     val pruned = tok
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col(groupCol), col("w"))))
+      .withColumn("df", sum(col("weight")).over(Window.partitionBy(col(groupCol), col("w"))))
       .where(col("df") <= maxDf).drop("df")
-      .join(broadcast(sizes), Seq(idCol))
-    // rename AFTER the self-join so both children stay canonically
-    // identical and ReuseExchange runs the tokenize + df-window side
-    // once — see lshCandidatePairs for why this is a guard, not a fix
-    pruned.as("l").join(pruned.as("r"), Seq(groupCol, "w"))
-      .where(col(s"l.$idCol") < col(s"r.$idCol") &&
+      .join(broadcast(sizes), Seq(groupCol, "digest"))
+    // cross-digest pairs: one exact jaccard per digest pair — shared
+    // by every member pair across the two groups. Rename AFTER the
+    // self-join so both children stay canonically identical and
+    // ReuseExchange runs the tokenize + df-window side once.
+    val crossRep = pruned.as("l").join(pruned.as("r"), Seq(groupCol, "w"))
+      .where(col("l.digest") < col("r.digest") &&
         least(col("l.sz"), col("r.sz")).cast("double") /
           greatest(col("l.sz"), col("r.sz")).cast("double") >= minJaccard)
-      .select(col(groupCol), col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"),
+      .select(col(groupCol), col("l.digest").as("da"), col("r.digest").as("db"),
         col("l.sz").as("sza"), col("r.sz").as("szb"))
-      .groupBy(col(groupCol), col("a"), col("b"), col("sza"), col("szb"))
+      .groupBy(col(groupCol), col("da"), col("db"), col("sza"), col("szb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
       .where(col("jaccard") >= minJaccard)
-      .select(col(groupCol), col("a"), col("b"), col("jaccard"))
+      .select(col(groupCol), col("da"), col("db"), col("jaccard"))
+    // same-digest pairs: identical token sets, but the REPORTED
+    // jaccard under df-pruning is s/(2k − s) (intersection counts only
+    // the s surviving tokens, the denominator all k) — exactly what
+    // the uncollapsed pipeline emits for a duplicate pair; a group
+    // whose every token was pruned shares no surviving token and
+    // produces no pair at all
+    val selfRep = pruned.groupBy(col(groupCol), col("digest"))
+      .agg(count(lit(1)).as("s"), min(col("sz")).as("szs"))
+      .join(reps.select(col(groupCol), col("digest"), col("weight")),
+        Seq(groupCol, "digest"))
+      .where(col("weight") >= 2)
+      .withColumn("jaccard", col("s").cast("double") /
+        (lit(2) * col("szs") - col("s")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col(groupCol), col("digest"), col("jaccard"))
+    // expand digest-level pairs to member pairs (second corpus pass
+    // computes md5 only — column pruning drops the text)
+    val members = df.select(col(groupCol), md5(col(textCol)).as("digest"), col(idCol))
+    val ma = members.select(col(groupCol), col("digest").as("da"), col(idCol).as("ia"))
+    val mb = members.select(col(groupCol), col("digest").as("db"), col(idCol).as("ib"))
+    val crossOut = crossRep.join(ma, Seq(groupCol, "da")).join(mb, Seq(groupCol, "db"))
+      .select(col(groupCol), least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("jaccard"))
+    val selfOut = selfRep
+      .join(ma.withColumnRenamed("da", "digest"), Seq(groupCol, "digest"))
+      .join(mb.withColumnRenamed("db", "digest"), Seq(groupCol, "digest"))
+      .where(col("ia") < col("ib"))
+      .select(col(groupCol), col("ia").as("a"), col("ib").as("b"), col("jaccard"))
+    crossOut.unionByName(selfOut)
   }
 }

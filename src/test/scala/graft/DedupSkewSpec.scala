@@ -150,6 +150,44 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L)), "exact-threshold pair must survive the prefilter")
   }
 
+  test("jaccardPairs: digest collapse matches brute force on a duplicated corpus") {
+    // verbatim-duplicate groups: self cliques at jaccard 1.0, cross
+    // pairs once per digest pair expanded to every member pair
+    val texts = Seq(
+      1L -> "red green blue", 2L -> "red green blue", 3L -> "red green blue",
+      4L -> "red green blue", 5L -> "red green blue",
+      6L -> "red green yellow", 7L -> "red green yellow",
+      8L -> "cyan magenta black")
+    val docs = texts.map { case (id, t) => (id, t, "web") }
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+        minJaccard = 0.3, maxDf = 10000)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val sets = texts.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb2) <- sets.toSeq if a < b
+      jac = (sa & sb2).size.toDouble / (sa ++ sb2).size
+      if jac >= 0.3
+    } yield (a, b, jac)).toSet
+    assert(got === want) // 10 self pairs in 1-5, 1 in 6-7, 10 cross at 0.5
+    assert(got.count(_._3 == 1.0) === 11)
+
+    // under df-pruning a duplicate pair reports s/(2k−s), not 1.0:
+    // red/green (df 7 > 6) prune away, blue/yellow survive → self
+    // jaccard 1/(6−1) = 0.2 < 0.3 and NO shared surviving cross token,
+    // so the threshold drops every pair — same as the uncollapsed path
+    val pruned = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+      minJaccard = 0.3, maxDf = 6)
+    assert(pruned.count() === 0L)
+    // at a threshold below 0.2 the surviving-token cliques come back
+    val loose = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+        minJaccard = 0.15, maxDf = 6)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Double]("jaccard")))
+    assert(loose.length === 11 && loose.forall(_._3 === 0.2), loose.toSeq.toString)
+  }
+
   test("jaccardPairs: prune is a no-op when no token exceeds maxDf") {
     val docs = Seq(
       (1L, "red green blue", "web"),
