@@ -27,6 +27,8 @@ object ExplainDump {
       "MinHash: ONE codegen'd pass per document (native minhash_sig expression) — no explode, no shuffle; the signature stage is a pure map over the corpus.",
     "q23_simhash" ->
       "SimHash: native single-pass expression per doc feeding a tiny 16-bit-histogram aggregation — the only shuffle carries ≤65536 groups.",
+    "q24_jaccard_pairs" ->
+      "Exact Jaccard with the verbatim mass collapsed out: combiner-friendly pre-aggregation on (source, md5(text)) carries min(text) — the group's shared text — so tokenize/df-window/self-join price by DISTINCT texts; document frequency is weighted by member counts (the maxDf prune drops exactly what the uncollapsed pipeline would), one exact jaccard per digest pair expands back to member pairs, and same-digest duplicate pairs get the s/(2k−s) value pruning implies. Size-ratio prefilter (division form — cannot drop an exactly-at-threshold pair) cuts candidates at the self-join; ReuseExchange runs the tokenize side once.",
     "q25_cosine_topk" ->
       "Brute-force ANN baseline: query side broadcast (BroadcastNestedLoopJoin) — corpus never shuffles; native dot_d keeps the pair loop primitive; window only over the small scored output.",
     "q30_winnow_fingerprint" ->
