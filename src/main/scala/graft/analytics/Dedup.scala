@@ -225,63 +225,74 @@ object Dedup {
     * verbatim-duplicate clusters, which [[exactDedup]] already catches.
     * The cap's window count partitions on the same (group, bucket) key
     * as the join, so it rides the join's own exchange — no extra
-    * shuffle. */
+    * shuffle.
+    *
+    * Internally digest-collapsed ([[digestReps]]): signature / banding
+    * / self-join run over one representative per (group, md5(text)),
+    * with the bucket cap applied to member-weight sums (= the per-doc
+    * count the uncollapsed formulation sees), then digest-level pairs
+    * expand back to member pairs and weight ≥ 2 groups surviving the
+    * cap emit their verbatim cliques — the doc-level pair set is
+    * bit-identical (members share their representative's signature,
+    * so the doc graph is exactly the rep graph with each rep blown up
+    * into a clique). The self-join keeps the SAME plan on both sides,
+    * renamed after the join, so ReuseExchange evaluates the
+    * collapse + window side once (PlanSpec-pinned). */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String, maxBucket: Int = 1024): DataFrame = {
-    // one band-tagged row per (doc, band) — band identity rides in the
-    // join key, so ONE self-join covers both bands (instead of a join
-    // per band unioned after, which would evaluate the signature
-    // expression once per join side per band)
-    val bands = graft.plans.InputWidth.widen(df)
-      .select(col(groupCol), col(idCol),
-        graft.functions.TextHashExpressions
-          .minhashSig(col(textCol), 1, 4, distinct = true).as("sig"))
-      .where(col("sig").isNotNull)
-      .select(col(groupCol), col(idCol),
-        explode(array(
-          concat_ws("_", lit("A"), col("sig").getItem(0), col("sig").getItem(1)),
-          concat_ws("_", lit("B"), col("sig").getItem(2), col("sig").getItem(3)))).as("bk"))
-      .withColumn("bkn",
-        count(lit(1)).over(Window.partitionBy(col(groupCol), col("bk"))))
-      .where(col("bkn") <= maxBucket).drop("bkn")
-    // self-join with the SAME plan on both sides, columns renamed
-    // AFTER the join. Catalyst canonicalizes aliases away, so even a
-    // pre-join rename keeps the exchanges identical and ReuseExchange
-    // evaluates the expensive side (scan + minhash + explode + window)
-    // once — measured A/B at sf10: both forms produce the same plan.
-    // This form + the PlanSpec ReusedExchange pin guard the reuse
-    // against future per-side edits (e.g. a filter on one side only),
-    // which WOULD silently double the corpus pass.
-    bands.as("l").join(bands.as("r"), Seq(groupCol, "bk"))
-      .where(col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(groupCol), col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b"))
+    val bands = repBands(digestReps(df, idCol, textCol, groupCol), groupCol, maxBucket)
+    val crossRep = bands.as("l").join(bands.as("r"), Seq(groupCol, "bk"))
+      .where(col("l.rep") < col("r.rep"))
+      .select(col(groupCol), col("l.digest").as("da"), col("r.digest").as("db"))
       .distinct()
+    // expansion: the second corpus pass computes md5 only (column
+    // pruning drops the text); cross and self sets are disjoint by
+    // construction, so the union needs no dedup
+    val members = df.select(col(groupCol), md5(col(textCol)).as("digest"), col(idCol))
+    val ma = members.select(col(groupCol), col("digest").as("da"), col(idCol).as("ia"))
+    val mb = members.select(col(groupCol), col("digest").as("db"), col(idCol).as("ib"))
+    val crossOut = crossRep.join(ma, Seq(groupCol, "da")).join(mb, Seq(groupCol, "db"))
+      .select(col(groupCol), least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"))
+    val selfOut = bands.select(col(groupCol), col("digest"), col("weight")).distinct()
+      .where(col("weight") >= 2)
+      .select(col(groupCol), col("digest"))
+      .join(ma.withColumnRenamed("da", "digest"), Seq(groupCol, "digest"))
+      .join(mb.withColumnRenamed("db", "digest"), Seq(groupCol, "digest"))
+      .where(col("ia") < col("ib"))
+      .select(col(groupCol), col("ia").as("a"), col("ib").as("b"))
+    crossOut.unionByName(selfOut)
   }
 
   /** Verbatim-duplicate collapse — the digest pre-pass of the near-dup
     * pipeline: one row per (group, md5(text)) with the group's smallest
     * id as representative, its member count as `weight`, and the two
-    * LSH band keys (identical across members by construction, so `min`
-    * just picks the shared value). The aggregation is combiner-friendly
-    * (partial HashAggregate collapses duplicates map-side before the
-    * shuffle), and the shuffle carries only (group, digest, id, 2 band
-    * strings) — the text itself never moves. Docs whose MinHash
-    * signature is NULL (no words) are dropped here, exactly as
-    * [[lshCandidatePairs]] drops them before banding. */
+    * LSH band keys. The collapse happens BEFORE the MinHash: min(text)
+    * inside the combiner-friendly aggregation IS the group's shared
+    * text (all members identical by digest), so the signature
+    * expression — the expensive per-row work — runs once per DISTINCT
+    * text, and the partial aggregation bounds the shuffled text mass
+    * by distinct-texts-per-partition. Not widened for the same reason
+    * [[exactDedup]] isn't: the map side is only md5 + string-min, and
+    * the groupBy right after re-parallelizes the signature stage.
+    * Groups whose MinHash signature is NULL (no words) are dropped —
+    * members share nullness, so filtering post-collapse equals the
+    * per-doc filter. */
   private[graft] def digestReps(df: DataFrame, idCol: String, textCol: String,
                                 groupCol: String): DataFrame = {
     val sig = graft.functions.TextHashExpressions
-      .minhashSig(col(textCol), 1, 4, distinct = true)
-    graft.plans.InputWidth.widen(df)
-      .select(col(groupCol), md5(col(textCol)).as("digest"),
-        col(idCol).as("m_id"), sig.as("sig"))
-      .where(col("sig").isNotNull)
-      .select(col(groupCol), col("digest"), col("m_id"),
-        concat_ws("_", lit("A"), col("sig").getItem(0), col("sig").getItem(1)).as("bkA"),
-        concat_ws("_", lit("B"), col("sig").getItem(2), col("sig").getItem(3)).as("bkB"))
+      .minhashSig(col("rtext"), 1, 4, distinct = true)
+    df.select(col(groupCol), md5(col(textCol)).as("digest"),
+        col(idCol).as("m_id"), col(textCol).as("m_text"))
       .groupBy(col(groupCol), col("digest"))
       .agg(min(col("m_id")).as("rep"), count(lit(1)).as("weight"),
-        min(col("bkA")).as("bkA"), min(col("bkB")).as("bkB"))
+        min(col("m_text")).as("rtext"))
+      .select(col(groupCol), col("digest"), col("rep"), col("weight"),
+        sig.as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col(groupCol), col("digest"), col("rep"), col("weight"),
+        concat_ws("_", lit("A"), col("sig").getItem(0), col("sig").getItem(1)).as("bkA"),
+        concat_ws("_", lit("B"), col("sig").getItem(2), col("sig").getItem(3)).as("bkB"))
   }
 
   /** Band-tagged bucket rows over digest representatives, capped on the
@@ -294,7 +305,7 @@ object Dedup {
     * self-join, so it rides the join's exchange. */
   private[graft] def repBands(reps: DataFrame, groupCol: String,
                               maxBucket: Int): DataFrame =
-    reps.select(col(groupCol), col("rep"), col("weight"),
+    reps.select(col(groupCol), col("digest"), col("rep"), col("weight"),
         explode(array(col("bkA"), col("bkB"))).as("bk"))
       .withColumn("bkn",
         sum(col("weight")).over(Window.partitionBy(col(groupCol), col("bk"))))
