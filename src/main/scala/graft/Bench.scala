@@ -79,8 +79,24 @@ object Bench {
     // masquerade as) the full-run artifact.
     val onlyKey = only.map(o =>
       s""","only":${o.map("\"" + _ + "\"").mkString("[", ",", "]")}""").getOrElse("")
+    // provenance: every bench line names the build it measured, so a
+    // stale artifact (or a table mixing two builds) is self-evident.
+    val commit =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "--short", "HEAD").start()
+        val s = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+        p.waitFor()
+        if (s.nonEmpty) s else "unknown"
+      } catch { case _: Exception => "unknown" }
+    val dirty =
+      try {
+        val p = new ProcessBuilder("git", "status", "--porcelain").start()
+        val s = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+        p.waitFor()
+        if (s.nonEmpty) "-dirty" else ""
+      } catch { case _: Exception => "" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps$onlyKey,"queries":${js(results)},"sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"commit":"$commit$dirty"$onlyKey,"queries":${js(results)},"sf":"$sfDir"$extra}"""
     println(line)
     // also land the line in a file: the driver's captured-stdout tail
     // has truncated the JSON twice running — the artifact must survive.

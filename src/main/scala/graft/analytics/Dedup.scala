@@ -267,29 +267,42 @@ object Dedup {
   /** Verbatim-duplicate collapse — the digest pre-pass of the near-dup
     * pipeline: one row per (group, md5(text)) with the group's smallest
     * id as representative, its member count as `weight`, and the two
-    * LSH band keys. The collapse happens BEFORE the MinHash: min(text)
-    * inside the combiner-friendly aggregation IS the group's shared
-    * text (all members identical by digest), so the signature
-    * expression — the expensive per-row work — runs once per DISTINCT
-    * text, and the partial aggregation bounds the shuffled text mass
-    * by distinct-texts-per-partition. Not widened for the same reason
-    * [[exactDedup]] isn't: the map side is only md5 + string-min, and
-    * the groupBy right after re-parallelizes the signature stage.
-    * Groups whose MinHash signature is NULL (no words) are dropped —
-    * members share nullness, so filtering post-collapse equals the
-    * per-doc filter. */
+    * LSH band keys. The collapse aggregates FIXED-WIDTH columns only
+    * (min id + count) so Catalyst plans a partial/final HashAggregate —
+    * a string in the agg buffer (e.g. min(text)) is not
+    * UnsafeRow-mutable and would demote the whole pre-pass to
+    * Sort + SortAggregate, a full per-partition sort of the corpus
+    * carrying the document text (measured: 2× q22 at small scale).
+    * The representative's text is fetched by a second corpus pass
+    * joined back on (group, digest, id == rep) — AQE broadcasts the
+    * digest table when small, making the join-back a map-only stage —
+    * and the MinHash signature (the expensive per-row work) is
+    * computed AFTER that join, so it still runs once per DISTINCT
+    * text. The join-back scan is widened ([[graft.plans.InputWidth]]):
+    * under a broadcast join the signature stage runs at scan
+    * parallelism, and a compact table would otherwise pin it to one
+    * row group. Wordless texts are dropped by a CHEAP scan-level
+    * pre-filter, trim(text) != '' — exactly the unigram signature's
+    * null condition (members share it, so pre-filtering equals the
+    * per-doc sig-is-null filter) — NOT by filtering on the signature
+    * itself: `where(sig.isNotNull)` would be predicate-pushed through
+    * the join-back into the corpus scan and re-evaluate the signature
+    * on every row, the precise cost the collapse exists to avoid. */
   private[graft] def digestReps(df: DataFrame, idCol: String, textCol: String,
                                 groupCol: String): DataFrame = {
+    val worded = df.where(trim(col(textCol)) =!= "")
+    val agg = worded
+      .select(col(groupCol), md5(col(textCol)).as("digest"), col(idCol).as("m_id"))
+      .groupBy(col(groupCol), col("digest"))
+      .agg(min(col("m_id")).as("rep"), count(lit(1)).as("weight"))
     val sig = graft.functions.TextHashExpressions
       .minhashSig(col("rtext"), 1, 4, distinct = true)
-    df.select(col(groupCol), md5(col(textCol)).as("digest"),
-        col(idCol).as("m_id"), col(textCol).as("m_text"))
-      .groupBy(col(groupCol), col("digest"))
-      .agg(min(col("m_id")).as("rep"), count(lit(1)).as("weight"),
-        min(col("m_text")).as("rtext"))
+    graft.plans.InputWidth.widen(worded)
+      .select(col(groupCol), md5(col(textCol)).as("digest"),
+        col(idCol).as("rep"), col(textCol).as("rtext"))
+      .join(agg, Seq(groupCol, "digest", "rep"))
       .select(col(groupCol), col("digest"), col("rep"), col("weight"),
         sig.as("sig"))
-      .where(col("sig").isNotNull)
       .select(col(groupCol), col("digest"), col("rep"), col("weight"),
         concat_ws("_", lit("A"), col("sig").getItem(0), col("sig").getItem(1)).as("bkA"),
         concat_ws("_", lit("B"), col("sig").getItem(2), col("sig").getItem(3)).as("bkB"))
@@ -398,8 +411,8 @@ object Dedup {
     * duplicates collapse to one representative, results expand back to
     * member pairs — bit-identical output, see inline notes), then
     * shared-word self-join → intersection counts; per-digest set sizes
-    * attached BEFORE the join (broadcast), enabling a size-ratio
-    * prefilter at the join itself.
+    * attached BEFORE the join (AQE-broadcastable), enabling a
+    * size-ratio prefilter at the join itself.
     *
     * Skew defenses, in evaluation order:
     *  - a token appearing in `d` docs fans the self-join out to d²/2
@@ -427,27 +440,37 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, minJaccard: Double,
                    maxDf: Int = 1024): DataFrame = {
-    // digest collapse (same move as [[nearDupComponents]]): verbatim
-    // duplicates share their token set, so tokenize / df-window /
-    // self-join / intersection-count all run over one representative
-    // per (group, md5(text)) and the results expand back to member
-    // pairs afterward. min(text) inside the combiner-friendly
-    // aggregation IS the shared text (all members identical), so the
-    // shuffle carries ~distinct texts per partition, not the corpus.
+    // digest collapse (same move as [[nearDupComponents]], same
+    // hash-aggregable shape as [[digestReps]]): verbatim duplicates
+    // share their token set, so tokenize / df-window / self-join /
+    // intersection-count all run over one representative per
+    // (group, md5(text)) and the results expand back to member pairs
+    // afterward. The aggregate carries fixed-width columns only
+    // (HashAggregate, no corpus sort); the representative's text
+    // arrives via the join-back on (group, digest, id == rep), and
+    // tokenization — the expensive per-row work — runs after it, once
+    // per DISTINCT text, at widened scan parallelism.
+    val agg = df
+      .select(col(groupCol), md5(col(textCol)).as("digest"), col(idCol).as("m_id"))
+      .groupBy(col(groupCol), col("digest"))
+      .agg(min(col("m_id")).as("rep"), count(lit(1)).as("weight"))
     val reps = graft.plans.InputWidth.widen(df)
       .select(col(groupCol), md5(col(textCol)).as("digest"),
-        col(idCol).as("m_id"), col(textCol).as("m_text"))
-      .groupBy(col(groupCol), col("digest"))
-      .agg(count(lit(1)).as("weight"), min(col("m_text")).as("rtext"))
+        col(idCol).as("rep"), col(textCol).as("rtext"))
+      .join(agg, Seq(groupCol, "digest", "rep"))
+      .select(col(groupCol), col("digest"), col("weight"), col("rtext"))
     val tok = reps.select(col(groupCol), col("digest"), col("weight"),
       explode(array_distinct(words(col("rtext")))).as("w"))
     val sizes = tok.groupBy(col(groupCol), col("digest")).agg(count(lit(1)).as("sz"))
     // weighted document frequency: sum of member counts = the df the
-    // uncollapsed pipeline would see, so the SAME tokens are pruned
+    // uncollapsed pipeline would see, so the SAME tokens are pruned.
+    // No broadcast hint on `sizes`: one row per distinct (group, text)
+    // approaches corpus cardinality on a mostly-unique corpus, so the
+    // join strategy is AQE's call (broadcast when it measures small).
     val pruned = tok
       .withColumn("df", sum(col("weight")).over(Window.partitionBy(col(groupCol), col("w"))))
       .where(col("df") <= maxDf).drop("df")
-      .join(broadcast(sizes), Seq(groupCol, "digest"))
+      .join(sizes, Seq(groupCol, "digest"))
     // cross-digest pairs: one exact jaccard per digest pair — shared
     // by every member pair across the two groups. Rename AFTER the
     // self-join so both children stay canonically identical and
