@@ -128,9 +128,56 @@ object Dedup {
     * lands ([[Iterate.checkpoint]]).
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-                          maxIterations: Int = 20): DataFrame = {
+                          maxIterations: Int = 20,
+                          localSolveMaxEdges: Long = 2000000L): DataFrame = {
     val und = symmetrized(pairs, aCol, bCol)
     und.cache()
+    // Small-graph fast path: the pair graph of a dedup pipeline is
+    // edges-per-CLUSTER sparse — after LSH banding + digest collapse it
+    // is routinely thousands of edges even when the corpus is 10⁸ docs
+    // — and each distributed round costs a fixed multi-stage job. When
+    // the (symmetrized, distinct) edge list fits on the driver, solve
+    // the EXACT same fixed point locally with union-find + min-label
+    // (identical output by definition: both compute "every node labeled
+    // with its component's min id") and skip the loop entirely. The
+    // count() that decides this materializes the cache the first round
+    // would have paid for anyway. Gated on integral node ids so the
+    // min is taken under the same ordering Spark's `min` uses; any
+    // other type (or a big graph) takes the distributed loop.
+    val integral = und.schema("x").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    if (integral && und.count() <= localSolveMaxEdges) {
+      val nodeType = und.schema("x").dataType
+      val edges = und.select(col("x").cast("long"), col("y").cast("long")).collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          val g = parent.get(parent.get(x))
+          parent.put(x, g)
+          x = g
+        }
+        x
+      }
+      edges.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet().forEach { n => out += ((n, find(n))) }
+      und.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("node", "comp")
+        .select(col("node").cast(nodeType).as("node"),
+          col("comp").cast(nodeType).as("comp"))
+    }
     val nodes = und.select(col("x").as("node")).distinct()
     var labels = nodes.withColumn("comp", col("node"))
     var prevHandle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
@@ -214,6 +261,34 @@ object Dedup {
     ccRound(und, labels)
   }
 
+  /** Exact verbatim-duplication probe: true when every worded
+    * (group, text) is unique, i.e. the digest collapse has nothing to
+    * collapse. ONE column-pruned scan (md5 + count-distinct with
+    * map-side partials) whose single-row result picks the pipeline
+    * CLASS for the pair generators below — the collapse's join-back /
+    * expansion machinery is pure overhead on a unique corpus, and a
+    * 2×2-banded LSH over a ×100-replicated corpus without the collapse
+    * pays ×10⁴ in pair mass, so the right plan is data-dependent in a
+    * way AQE cannot re-plan (it prunes branches, it cannot restructure
+    * the operator). Sampling is NOT a substitute: a 1% sample of a
+    * ×100-replicated corpus looks mostly unique (expected one copy per
+    * text), which would mis-route exactly the corpus that needs the
+    * collapse — hence exact counts. Null groups (never produced by the
+    * crawl tables) conservatively read as duplication: the collapsed
+    * path is correct for any input, just slower when unique. */
+  private def noVerbatimDups(df: DataFrame, textCol: String,
+                             groupCol: String): Boolean = {
+    // xxhash64, not md5: an order of magnitude cheaper per byte, and a
+    // collision can only UNDERCOUNT distincts, i.e. mis-route to the
+    // collapsed path — which is correct on any input, just slower on a
+    // unique corpus. The fast path can never be taken wrongly.
+    val r = df.where(trim(col(textCol)) =!= "")
+      .agg(count(lit(1)),
+        count_distinct(xxhash64(col(groupCol), col(textCol))))
+      .first()
+    r.getLong(0) == r.getLong(1)
+  }
+
   /** LSH candidate pairs from unigram MinHash, banded 2×2 (band A =
     * (h1,h2), band B = (h3,h4)); docs sharing either band within the
     * same `groupCol` become candidates. Returns distinct (a, b) pairs,
@@ -227,19 +302,57 @@ object Dedup {
     * as the join, so it rides the join's own exchange — no extra
     * shuffle.
     *
-    * Internally digest-collapsed ([[digestReps]]): signature / banding
-    * / self-join run over one representative per (group, md5(text)),
-    * with the bucket cap applied to member-weight sums (= the per-doc
-    * count the uncollapsed formulation sees), then digest-level pairs
-    * expand back to member pairs and weight ≥ 2 groups surviving the
-    * cap emit their verbatim cliques — the doc-level pair set is
-    * bit-identical (members share their representative's signature,
-    * so the doc graph is exactly the rep graph with each rep blown up
-    * into a clique). The self-join keeps the SAME plan on both sides,
-    * renamed after the join, so ReuseExchange evaluates the
-    * collapse + window side once (PlanSpec-pinned). */
+    * Adaptive ([[noVerbatimDups]]): on a corpus with no verbatim
+    * duplicates the direct doc-level pipeline runs ([[lshPairsDirect]]
+    * — collapse and expansion are identities there, so skipping them
+    * is bit-identical and saves two corpus passes plus two joins);
+    * with duplicates present the digest-collapsed pipeline runs
+    * ([[lshPairsCollapsed]]) and prices pair mass by DISTINCT texts. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        groupCol: String, maxBucket: Int = 1024): DataFrame = {
+                        groupCol: String, maxBucket: Int = 1024): DataFrame =
+    if (noVerbatimDups(df, textCol, groupCol))
+      lshPairsDirect(df, idCol, textCol, groupCol, maxBucket)
+    else lshPairsCollapsed(df, idCol, textCol, groupCol, maxBucket)
+
+  /** Doc-level LSH pair generation for corpora WITHOUT verbatim
+    * duplicates: per-doc signature (map-only over the widened scan),
+    * band explode, bucket cap by row count (= weight sum when all
+    * weights are 1), self-join. Both join sides share one plan, so
+    * ReuseExchange evaluates the signature + window side once. */
+  private[graft] def lshPairsDirect(df: DataFrame, idCol: String, textCol: String,
+                                    groupCol: String, maxBucket: Int): DataFrame = {
+    val sig = graft.functions.TextHashExpressions
+      .minhashSig(col(textCol), 1, 4, distinct = true)
+    val keyed = graft.plans.InputWidth.widen(df.where(trim(col(textCol)) =!= ""))
+      .select(col(groupCol), col(idCol).as("i"), sig.as("sig"))
+      .select(col(groupCol), col("i"),
+        concat_ws("_", lit("A"), col("sig").getItem(0), col("sig").getItem(1)).as("bkA"),
+        concat_ws("_", lit("B"), col("sig").getItem(2), col("sig").getItem(3)).as("bkB"))
+    val bands = keyed
+      .select(col(groupCol), col("i"), explode(array(col("bkA"), col("bkB"))).as("bk"))
+      .withColumn("bkn",
+        count(lit(1)).over(Window.partitionBy(col(groupCol), col("bk"))))
+      .where(col("bkn") <= maxBucket).drop("bkn")
+    bands.as("l").join(bands.as("r"), Seq(groupCol, "bk"))
+      .where(col("l.i") < col("r.i"))
+      .select(col(groupCol), col("l.i").as("a"), col("r.i").as("b"))
+      .distinct()
+  }
+
+  /** Digest-collapsed LSH pair generation (see [[lshCandidatePairs]]):
+    * signature / banding / self-join run over one representative per
+    * (group, md5(text)) ([[digestReps]]), with the bucket cap applied
+    * to member-weight sums (= the per-doc count the uncollapsed
+    * formulation sees), then digest-level pairs expand back to member
+    * pairs and weight ≥ 2 groups surviving the cap emit their verbatim
+    * cliques — the doc-level pair set is bit-identical (members share
+    * their representative's signature, so the doc graph is exactly the
+    * rep graph with each rep blown up into a clique). The self-join
+    * keeps the SAME plan on both sides, renamed after the join, so
+    * ReuseExchange evaluates the collapse + window side once
+    * (PlanSpec-pinned). */
+  private[graft] def lshPairsCollapsed(df: DataFrame, idCol: String, textCol: String,
+                                       groupCol: String, maxBucket: Int): DataFrame = {
     val bands = repBands(digestReps(df, idCol, textCol, groupCol), groupCol, maxBucket)
     val crossRep = bands.as("l").join(bands.as("r"), Seq(groupCol, "bk"))
       .where(col("l.rep") < col("r.rep"))
@@ -278,10 +391,10 @@ object Dedup {
     * digest table when small, making the join-back a map-only stage —
     * and the MinHash signature (the expensive per-row work) is
     * computed AFTER that join, so it still runs once per DISTINCT
-    * text. The join-back scan is widened ([[graft.plans.InputWidth]]):
-    * under a broadcast join the signature stage runs at scan
-    * parallelism, and a compact table would otherwise pin it to one
-    * row group. Wordless texts are dropped by a CHEAP scan-level
+    * text (when the scan is starved — single row group — the JOINED
+    * rep-sized frame is repartitioned so the signature runs at full
+    * width; see inline note). Wordless texts are dropped by a CHEAP
+    * scan-level
     * pre-filter, trim(text) != '' — exactly the unigram signature's
     * null condition (members share it, so pre-filtering equals the
     * per-doc sig-is-null filter) — NOT by filtering on the signature
@@ -297,10 +410,22 @@ object Dedup {
       .agg(min(col("m_id")).as("rep"), count(lit(1)).as("weight"))
     val sig = graft.functions.TextHashExpressions
       .minhashSig(col("rtext"), 1, 4, distinct = true)
-    graft.plans.InputWidth.widen(worded)
+    // the join-back STREAMS the corpus (id, text) — never widen that
+    // side: a round-robin repartition there shuffles the full corpus
+    // text (measured +2.5 s on q22 at 100× scale). When the scan is
+    // starved (single row group), repartition the JOINED frame
+    // instead: one row per distinct text, so the shuffle is the rep
+    // set, and the signature still runs at full width above it.
+    val joined = worded
       .select(col(groupCol), md5(col(textCol)).as("digest"),
         col(idCol).as("rep"), col(textCol).as("rtext"))
       .join(agg, Seq(groupCol, "digest", "rep"))
+    val sigIn =
+      if (graft.plans.InputWidth.isNarrow(df)) {
+        val w = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        joined.repartition(w)
+      } else joined
+    sigIn
       .select(col(groupCol), col("digest"), col("rep"), col("weight"),
         sig.as("sig"))
       .select(col(groupCol), col("digest"), col("rep"), col("weight"),
@@ -335,11 +460,14 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-dup components over the WHOLE corpus with the verbatim
-    * duplicates collapsed out of the expensive middle: digest pre-pass
-    * ([[digestReps]]) → LSH banding + self-join over REPRESENTATIVES
-    * only → [[connectedComponents]] on the rep graph → labels expanded
-    * back to every member through the digest→component map.
+  /** Near-dup components over the WHOLE corpus. Adaptive like
+    * [[lshCandidatePairs]]: a unique corpus ([[noVerbatimDups]])
+    * clusters doc-level pairs directly; otherwise the verbatim
+    * duplicates are collapsed out of the expensive middle: digest
+    * pre-pass ([[digestReps]]) → LSH banding + self-join over
+    * REPRESENTATIVES only → [[connectedComponents]] on the rep graph →
+    * labels expanded back to every member through the digest→component
+    * map.
     *
     * Produces bit-identical output to running lshCandidatePairs +
     * connectedComponents over the uncollapsed corpus (the exact
@@ -365,7 +493,19 @@ object Dedup {
     * when the component map is small. */
   def nearDupComponents(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String, maxBucket: Int = 1024,
-                        maxIterations: Int = 20): DataFrame = {
+                        maxIterations: Int = 20): DataFrame =
+    if (noVerbatimDups(df, textCol, groupCol)) {
+      // no verbatim duplicates: the rep graph IS the doc graph and the
+      // expansion join is an identity — cluster doc-level pairs
+      // directly and skip the collapse, the digest→component map, and
+      // the member re-join entirely
+      val pairs = lshPairsDirect(df, idCol, textCol, groupCol, maxBucket)
+      connectedComponents(pairs, "a", "b", maxIterations)
+    } else nearDupCollapsed(df, idCol, textCol, groupCol, maxBucket, maxIterations)
+
+  private[graft] def nearDupCollapsed(df: DataFrame, idCol: String, textCol: String,
+                                      groupCol: String, maxBucket: Int,
+                                      maxIterations: Int): DataFrame = {
     val reps = digestReps(df, idCol, textCol, groupCol)
     reps.cache()
     val bands = repBands(reps, groupCol, maxBucket)
@@ -407,7 +547,10 @@ object Dedup {
       .where(col("simhash").isNotNull)
 
   /** Exact n-gram (here unigram-set) Jaccard similarity for pairs within
-    * a group, over a pre-filtered subset. Digest pre-pass (verbatim
+    * a group, over a pre-filtered subset. Adaptive like
+    * [[lshCandidatePairs]]: a unique corpus runs the doc-level
+    * pipeline ([[jaccardDirect]]); otherwise a digest pre-pass
+    * (verbatim
     * duplicates collapse to one representative, results expand back to
     * member pairs — bit-identical output, see inline notes), then
     * shared-word self-join → intersection counts; per-digest set sizes
@@ -439,7 +582,46 @@ object Dedup {
     * two post-aggregation size joins the previous formulation needed. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    groupCol: String, minJaccard: Double,
-                   maxDf: Int = 1024): DataFrame = {
+                   maxDf: Int = 1024): DataFrame =
+    if (noVerbatimDups(df, textCol, groupCol))
+      jaccardDirect(df, idCol, textCol, groupCol, minJaccard, maxDf)
+    else jaccardCollapsed(df, idCol, textCol, groupCol, minJaccard, maxDf)
+
+  /** Doc-level exact-Jaccard pipeline for corpora WITHOUT verbatim
+    * duplicates: tokenize per doc, document-frequency prune (plain row
+    * count = the weighted df when all weights are 1), set sizes joined
+    * before the self-join for the size-ratio prefilter, intersection
+    * groupBy carrying the true sizes. Same skew defenses and the same
+    * division-form prefilter as the collapsed pipeline; no same-digest
+    * branch (there are no duplicate pairs to emit). */
+  private[graft] def jaccardDirect(df: DataFrame, idCol: String, textCol: String,
+                                   groupCol: String, minJaccard: Double,
+                                   maxDf: Int): DataFrame = {
+    val tok = graft.plans.InputWidth.widen(df)
+      .select(col(groupCol), col(idCol).as("i"),
+        explode(array_distinct(words(col(textCol)))).as("w"))
+    val sizes = tok.groupBy(col(groupCol), col("i")).agg(count(lit(1)).as("sz"))
+    val pruned = tok
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col(groupCol), col("w"))))
+      .where(col("df") <= maxDf).drop("df")
+      .join(sizes, Seq(groupCol, "i"))
+    pruned.as("l").join(pruned.as("r"), Seq(groupCol, "w"))
+      .where(col("l.i") < col("r.i") &&
+        least(col("l.sz"), col("r.sz")).cast("double") /
+          greatest(col("l.sz"), col("r.sz")).cast("double") >= minJaccard)
+      .select(col(groupCol), col("l.i").as("a"), col("r.i").as("b"),
+        col("l.sz").as("sza"), col("r.sz").as("szb"))
+      .groupBy(col(groupCol), col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select(col(groupCol), col("a"), col("b"), col("jaccard"))
+  }
+
+  private[graft] def jaccardCollapsed(df: DataFrame, idCol: String, textCol: String,
+                                      groupCol: String, minJaccard: Double,
+                                      maxDf: Int): DataFrame = {
     // digest collapse (same move as [[nearDupComponents]], same
     // hash-aggregable shape as [[digestReps]]): verbatim duplicates
     // share their token set, so tokenize / df-window / self-join /
@@ -454,11 +636,18 @@ object Dedup {
       .select(col(groupCol), md5(col(textCol)).as("digest"), col(idCol).as("m_id"))
       .groupBy(col(groupCol), col("digest"))
       .agg(min(col("m_id")).as("rep"), count(lit(1)).as("weight"))
-    val reps = graft.plans.InputWidth.widen(df)
+    // stream the corpus un-widened, repartition the rep-sized joined
+    // frame only when the scan is starved (same note as [[digestReps]])
+    val joined = df
       .select(col(groupCol), md5(col(textCol)).as("digest"),
         col(idCol).as("rep"), col(textCol).as("rtext"))
       .join(agg, Seq(groupCol, "digest", "rep"))
-      .select(col(groupCol), col("digest"), col("weight"), col("rtext"))
+    val reps =
+      (if (graft.plans.InputWidth.isNarrow(df)) {
+        val w = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        joined.repartition(w)
+      } else joined)
+        .select(col(groupCol), col("digest"), col("weight"), col("rtext"))
     val tok = reps.select(col(groupCol), col("digest"), col("weight"),
       explode(array_distinct(words(col("rtext")))).as("w"))
     val sizes = tok.groupBy(col(groupCol), col("digest")).agg(count(lit(1)).as("sz"))

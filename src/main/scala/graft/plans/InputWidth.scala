@@ -37,17 +37,26 @@ object InputWidth {
     * `inputFiles` unions all scans in the plan, so widening a joined
     * frame would mis-place the repartition. `width` defaults to the
     * session's `spark.sql.shuffle.partitions`. */
-  def widen(df: DataFrame, width: Int = -1): DataFrame = {
-    val w =
-      if (width > 0) width
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+  def widen(df: DataFrame, width: Int = -1): DataFrame =
+    if (isNarrow(df, width)) df.repartition(resolveWidth(df, width)) else df
+
+  /** True when `df`'s physical input cannot feed `width` cores (see
+    * [[widen]]'s criteria). Exposed so operators that must NOT widen a
+    * corpus-sized frame (e.g. a collapse join-back streaming full
+    * text) can instead repartition a small DERIVED frame only when the
+    * scan is actually starved. */
+  def isNarrow(df: DataFrame, width: Int = -1): Boolean = {
+    val w = resolveWidth(df, width)
     val files =
       try df.inputFiles
       catch { case _: Exception => Array.empty[String] }
-    if (files.isEmpty || files.length >= w) df
-    else if (countRowGroupsUpTo(df, files, w) >= w) df
-    else df.repartition(w)
+    !(files.isEmpty || files.length >= w) &&
+      countRowGroupsUpTo(df, files, w) < w
   }
+
+  private def resolveWidth(df: DataFrame, width: Int): Int =
+    if (width > 0) width
+    else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
 
   /** Total parquet row groups across `files`, short-circuiting at
     * `limit`; any unreadable/non-parquet file counts as `limit`

@@ -198,4 +198,38 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(pairs.length === 1)
     assert(pairs.head.getAs[Double]("jaccard") === 0.5) // {red,green} / 4
   }
+
+  test("adaptive dispatch: direct and collapsed pipelines are bit-identical on both corpus shapes") {
+    // the public entry points route by a verbatim-duplication probe;
+    // this pins the routing's soundness: BOTH implementations must
+    // produce the same pairs on a fully-unique corpus AND on one with
+    // verbatim-duplicate groups (the collapse proof says they're equal
+    // everywhere — so a mis-route can cost time, never correctness)
+    val unique = (1 to 60).map(i => (i.toLong,
+        (0 until 6 + i % 5).map(k => "w" + ((i * 3 + k * 7) % 23)).mkString(" "),
+        if (i % 2 == 0) "web" else "news"))
+      .toDF("doc_id", "text", "source")
+    val dup = unique.union((61 to 80).map(i =>
+        (i.toLong, "w1 w8 w15 w22 w6 w13", "web")).toDF("doc_id", "text", "source"))
+    for (docs <- Seq(unique, dup)) {
+      def lset(f: org.apache.spark.sql.DataFrame) =
+        f.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(lset(Dedup.lshPairsDirect(docs, "doc_id", "text", "source", 1024)) ===
+        lset(Dedup.lshPairsCollapsed(docs, "doc_id", "text", "source", 1024)))
+      def jset(f: org.apache.spark.sql.DataFrame) =
+        f.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(jset(Dedup.jaccardDirect(docs, "doc_id", "text", "source", 0.3, 1024)) ===
+        jset(Dedup.jaccardCollapsed(docs, "doc_id", "text", "source", 0.3, 1024)))
+      def cset(f: org.apache.spark.sql.DataFrame) =
+        f.collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("comp"))).toSet
+      assert(cset(Dedup.connectedComponents(
+          Dedup.lshPairsDirect(docs, "doc_id", "text", "source", 1024))) ===
+        cset(Dedup.nearDupCollapsed(docs, "doc_id", "text", "source", 1024, 20)))
+      // local union-find solve == distributed fixed-point loop
+      val pairs = Dedup.lshPairsDirect(docs, "doc_id", "text", "source", 1024)
+      assert(cset(Dedup.connectedComponents(pairs)) ===
+        cset(Dedup.connectedComponents(pairs, localSolveMaxEdges = 0L)))
+    }
+  }
 }

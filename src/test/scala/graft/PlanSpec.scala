@@ -101,10 +101,23 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val pairs = spark.range(0, 50).select(
       (col("id") % 11).as("a"), (col("id") % 13 + 20).as("b"))
-    val labels = graft.analytics.Dedup.connectedComponents(pairs)
+    // force the distributed loop (the 100 TB path): the local-solve
+    // fast path would otherwise absorb this toy graph
+    val labels = graft.analytics.Dedup.connectedComponents(pairs,
+      localSolveMaxEdges = 0L)
     val plan = labels.queryExecution.optimizedPlan.toString
     assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
       s"converged labels must be a checkpoint scan:\n$plan")
+  }
+
+  test("q50 small graphs take the driver-local union-find solve") {
+    import org.apache.spark.sql.functions._
+    val pairs = spark.range(0, 50).select(
+      (col("id") % 11).as("a"), (col("id") % 13 + 20).as("b"))
+    val labels = graft.analytics.Dedup.connectedComponents(pairs)
+    val plan = labels.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LocalRelation"),
+      s"small pair graphs must solve locally (no per-round jobs):\n$plan")
   }
 
   test("q50 pair generation: digest pre-aggregation below the self-join") {

@@ -136,8 +136,10 @@ class TextOpsSpec extends AnyFunSuite {
     assert(comp.size == 6)
     assert(comp.values.toSet == Set(1L))
     // the cap really caps: 2 rounds on the same chain leave the tail
-    // under-merged (documented diameter bound)
-    val capped = graft.analytics.Dedup.connectedComponents(chain, maxIterations = 2)
+    // under-merged (documented diameter bound). Force the distributed
+    // loop — the local union-find solve is exact regardless of the cap.
+    val capped = graft.analytics.Dedup.connectedComponents(chain,
+        maxIterations = 2, localSolveMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(capped(6L) != 1L)
   }
