@@ -55,7 +55,11 @@ object Bench {
         qs.map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          // free result-backing checkpoints (CC labels, digest maps) so
+          // repeated queries don't accumulate block-manager residents
+          graft.analytics.CheckpointRegistry.releaseAll()
+          name -> t
         }.toMap
       }
       runs.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })

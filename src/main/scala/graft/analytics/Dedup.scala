@@ -202,6 +202,9 @@ object Dedup {
           "WITHOUT converging: components with diameter above the cap are " +
           "under-merged (and will not match an exact transitive closure)")
     und.unpersist()
+    // the final round's checkpoint backs the RETURNED labels — freeable
+    // only after the caller consumes them ([[CheckpointRegistry]])
+    prevHandle.foreach(CheckpointRegistry.retain)
     labels
   }
 
@@ -526,9 +529,11 @@ object Dedup {
     // materialize the (small) digest→component map through a checkpoint
     // so `reps` can be freed before the caller's final action; the
     // checkpoint backs the returned frame, like the CC labels' own
-    // final-round checkpoint
-    val (dc, _) = Iterate.checkpoint(digestComp)
+    // final-round checkpoint — retained so the caller can free both
+    // once the result is consumed ([[CheckpointRegistry]])
+    val (dc, dcHandle) = Iterate.checkpoint(digestComp)
     dc.count()
+    CheckpointRegistry.retain(dcHandle)
     reps.unpersist()
     df.select(col(groupCol), md5(col(textCol)).as("digest"), col(idCol))
       .join(dc, Seq(groupCol, "digest"))

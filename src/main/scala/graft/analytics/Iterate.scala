@@ -47,3 +47,35 @@ private[analytics] object Iterate {
 object IterateAccess {
   def checkpoint(df: org.apache.spark.sql.DataFrame) = Iterate.checkpoint(df)
 }
+
+/** Registry for checkpoint RDDs that BACK RETURNED frames — the
+  * final-round label checkpoint of an iterative loop, the
+  * digest→component map — which cannot be freed inside the operator
+  * (the caller hasn't consumed the result yet) and would otherwise pin
+  * block-manager memory for the session, accumulating across repeated
+  * invocations.
+  *
+  * Callers (benchmark loops, long-lived services) call [[releaseAll]]
+  * AFTER fully consuming an operator's result. A localCheckpoint's
+  * lineage is truncated, so a released frame must NOT be re-used —
+  * re-computation would hit the freed blocks. Thread-safe; releasing
+  * is idempotent. */
+object CheckpointRegistry {
+  private val live =
+    new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+
+  private[analytics] def retain(h: RDD[_]): Unit = live.add(h)
+
+  /** Unpersist every retained checkpoint. Returns how many were freed. */
+  def releaseAll(): Int = {
+    var n = 0
+    var h = live.poll()
+    while (h != null) {
+      try h.unpersist(blocking = false)
+      catch { case _: Exception => () }
+      n += 1
+      h = live.poll()
+    }
+    n
+  }
+}

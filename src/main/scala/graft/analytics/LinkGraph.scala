@@ -84,8 +84,12 @@ object LinkGraph {
       prevHandle = Some(handle)
       ranks = next
     }
+    // the final round's checkpoint backs the RETURNED ranks — freeable
+    // only after the caller consumes them ([[CheckpointRegistry]])
+    prevHandle.foreach(CheckpointRegistry.retain)
     if (iterations <= 0) { // degenerate call: still return materialized
-      val (df, h) = Iterate.checkpoint(ranks); h.count(); df
+      val (df, h) = Iterate.checkpoint(ranks); h.count()
+      CheckpointRegistry.retain(h); df
     } else ranks
     } finally { e.unpersist(); vertices.unpersist(); outdeg.unpersist() }
   }

@@ -92,6 +92,16 @@ object ImageHeaders {
     * non-image payloads. */
   def imageMeta(bytes: Column): Column =
     ColumnBridge.column(ImageMetaExpr(ColumnBridge.expression(bytes)))
+
+  /** JVM-facing variant of [[parseRow]] for the parse stage's binary
+    * branch: (mime, width, height), or None when not a recognizable
+    * image. Same byte walk — the expression and the parse stage can
+    * never disagree about a payload. */
+  def parseMeta(b: Array[Byte]): Option[(String, Int, Int)] = {
+    val r = parseRow(b)
+    if (r == null) None
+    else Some((r.getUTF8String(0).toString, r.getInt(1), r.getInt(2)))
+  }
 }
 
 /** Native expression wrapper: stays inside whole-stage codegen (the
@@ -99,6 +109,15 @@ object ImageHeaders {
   * [[graft.functions.LangIdExpr]]). */
 case class ImageMetaExpr(child: Expression) extends UnaryExpression {
   private val ops = "graft.multimodal.ImageHeaders$.MODULE$"
+  // analysis-time type check: image_meta over a non-binary column is a
+  // clean AnalysisException, not a runtime ClassCastException
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_meta requires BINARY input, got ${child.dataType.catalogString}")
   override def dataType: DataType = StructType(Seq(
     StructField("mime", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),

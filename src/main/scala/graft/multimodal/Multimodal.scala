@@ -81,7 +81,9 @@ object Multimodal {
       (col("doc_id") % 3).cast("int") + 1)
     val w = (lit(16) + pmod(col("doc_id") * 7, lit(1000))).cast("int")
     val h = (lit(16) + pmod(col("doc_id") * 13, lit(800))).cast("int")
-    val fmt = pmod(floor(col("doc_id") / 3).cast("long"), lit(4))
+    // `div` = true integer division: floor(double-div) diverges from
+    // the oracle's `doc_id // 3` above 2^52 (double mantissa)
+    val fmt = pmod(expr("CAST(doc_id AS BIGINT) div 3"), lit(4))
     val pngHex = concat(
       lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
       be32hex(w), be32hex(h), lit("0802000000" + "00000000"))

@@ -467,4 +467,38 @@ object BinaryDocs {
     val doc = record(0x000f, 0x03e8, slides.flatten.toArray) // Document
     makeCfbf(Seq("PowerPoint Document" -> doc))
   }
+
+  // ---- images --------------------------------------------------------
+  // Minimal image payloads: a valid header carrying real dimensions,
+  // no pixel data (the parse stage measures headers only —
+  // `graft.multimodal.ImageHeaders`). Byte-compatible with the
+  // column-algebra builders in `Multimodal.mediaFromDocuments`.
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.grouped(2).map(java.lang.Integer.parseInt(_, 16).toByte).toArray
+  private def be16h(v: Int): String = f"$v%04X"
+  private def be32h(v: Int): String = f"$v%08X"
+  private def le16h(v: Int): String = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+  private def le32h(v: Int): String =
+    le16h(v & 0xffff) + le16h((v >>> 16) & 0xffff)
+
+  /** PNG signature + IHDR (8-bit truecolor, CRC zeroed). */
+  def makePng(w: Int, h: Int): Array[Byte] =
+    hexBytes("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      be32h(w) + be32h(h) + "0802000000" + "00000000")
+
+  /** GIF89a logical screen descriptor. */
+  def makeGif(w: Int, h: Int): Array[Byte] =
+    hexBytes("474946383961" + le16h(w) + le16h(h) + "F70000")
+
+  /** BMP file header + BITMAPINFOHEADER (24-bit). */
+  def makeBmp(w: Int, h: Int): Array[Byte] =
+    hexBytes("424D" + "00000000" + "00000000" + "36000000" + "28000000" +
+      le32h(w) + le32h(h) + "0100" + "1800" + "0" * 48)
+
+  /** JPEG SOI + JFIF APP0 + SOF0 frame header (3 components). */
+  def makeJpeg(w: Int, h: Int): Array[Byte] =
+    hexBytes("FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+      "0001" + "0001" + "0000" + "FFC0" + "0011" + "08" +
+      be16h(h) + be16h(w) + "03" + "011100" + "021101" + "031101")
 }

@@ -56,11 +56,36 @@ object BinaryParser {
     val m = mime.toLowerCase
     if (m.contains("html") || m.contains("xhtml")) false
     else isPdf(content) || isRtf(content) || isZip(content) ||
-      Ole2.isOle2(content) ||
+      Ole2.isOle2(content) || isImage(content) ||
       m.contains("pdf") || m.contains("rtf") || m.startsWith("text/") ||
+      m.startsWith("image/") ||
       m.contains("officedocument") || m.contains("opendocument") ||
       m.contains("msword") || m.contains("ms-excel") || m.contains("ms-powerpoint")
   }
+
+  /** PNG/GIF/BMP/JPEG magic + plausible header (O(1) sniff). */
+  def isImage(content: Array[Byte]): Boolean =
+    graft.multimodal.ImageHeaders.parseMeta(content).isDefined
+
+  /** Image payloads extract no text; the parse yields the typed
+    * metadata a training-pipeline filter consumes — `image.mime` /
+    * `image.width` / `image.height` from the real header bytes
+    * ([[graft.multimodal.ImageHeaders]]) — the same facts the
+    * reference's Tika path emits for any mimetype it detects
+    * (`external/tika/.../ParserBolt.java:74`). Codecs beyond the four
+    * public header layouts (e.g. webp) fall through to the
+    * declared-mime mismatch error like every other unparseable
+    * binary. */
+  def parseImage(content: Array[Byte]): Either[String, BinaryParse] =
+    graft.multimodal.ImageHeaders.parseMeta(content) match {
+      case Some((mime, w, h)) =>
+        Right(BinaryParse("", None, Nil, Map(
+          "format" -> Seq("image"),
+          "image.mime" -> Seq(mime),
+          "image.width" -> Seq(w.toString),
+          "image.height" -> Seq(h.toString))))
+      case None => Left("unrecognized image payload")
+    }
 
   /** Dispatch on magic bytes first (the server's Content-Type lies
     * often enough that Tika sniffs too), then the declared mime. */
@@ -72,9 +97,11 @@ object BinaryParser {
     else if (isRtf(content)) parseRtf(content)
     else if (isZip(content)) parseZipContainer(content)
     else if (Ole2.isOle2(content)) Ole2.parse(content)
+    else if (isImage(content)) parseImage(content)
     else if (m.contains("pdf") || m.contains("rtf") || m.contains("officedocument") ||
              m.contains("opendocument") || m.contains("msword") ||
-             m.contains("ms-excel") || m.contains("ms-powerpoint"))
+             m.contains("ms-excel") || m.contains("ms-powerpoint") ||
+             m.startsWith("image/"))
       Left("content did not match declared type " + m)
     else if (m.startsWith("text/") || looksTextual(content))
       Right(BinaryParse(Charsets.decode(content, declaredCharset).trim, None, Nil,

@@ -169,6 +169,39 @@ object CoverageQueries {
         })
         .toDF("doc_id", "fmt", "title", "extracted", "pages", "n_links")
         .orderBy("doc_id")
+    }),
+
+    // Image payloads through the binary parse DISPATCH (the Tika
+    // branch's type detection, `external/tika/.../ParserBolt.java:74`):
+    // build a PNG/GIF/BMP/JPEG header carrying dimensions derived from
+    // the doc id, hand it to `BinaryParser.parse` under a deliberately
+    // vague declared mime (magic bytes must win), and read the
+    // `image.*` metadata back. The oracle recomputes mime + dims from
+    // the id arithmetic — the build→route→measure path must be exact.
+    // Map-only per doc, like q43.
+    "q52_image_parse" -> ((s, dir) => {
+      import s.implicits._
+      graft.plans.InputWidth.widen(t(s, dir, "documents"))
+        .select(col("doc_id").cast("long"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          import graft.parse.{BinaryDocs, BinaryParser}
+          val w = 16 + (id * 7 % 1000).toInt
+          val h = 16 + (id * 13 % 800).toInt
+          val bytes = (id % 4) match {
+            case 0 => BinaryDocs.makePng(w, h)
+            case 1 => BinaryDocs.makeGif(w, h)
+            case 2 => BinaryDocs.makeBmp(w, h)
+            case _ => BinaryDocs.makeJpeg(w, h)
+          }
+          val bp = BinaryParser.parse(bytes, "application/octet-stream")
+            .fold(e => sys.error(e), identity)
+          def md(k: String) = bp.metadata(k).head
+          (id, md("image.mime"), md("image.width").toLong,
+            md("image.height").toLong)
+        })
+        .toDF("doc_id", "mime", "width", "height")
+        .orderBy("doc_id")
     })
   )
 
@@ -258,6 +291,14 @@ object CoverageQueries {
         |  text AS extracted,
         |  CASE WHEN doc_id % 8 IN (0, 2) THEN 1 ELSE 0 END AS pages,
         |  CASE WHEN doc_id % 8 IN (0, 1, 2) THEN 1 ELSE 0 END AS n_links
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q52_image_parse" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+        |    WHEN 2 THEN 'image/bmp' ELSE 'image/jpeg' END AS mime,
+        |  16 + (doc_id * 7) % 1000 AS width,
+        |  16 + (doc_id * 13) % 800 AS height
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -281,4 +281,59 @@ class BinaryParseSpec extends AnyFunSuite {
       Ole2.parse(m) // no throw
     }
   }
+
+  test("image dispatch: magic bytes route all four formats, dims from the header") {
+    val cases = Seq(
+      ("image/png", BinaryDocs.makePng(640, 480), 640, 480),
+      ("image/gif", BinaryDocs.makeGif(320, 200), 320, 200),
+      ("image/bmp", BinaryDocs.makeBmp(800, 600), 800, 600),
+      ("image/jpeg", BinaryDocs.makeJpeg(1024, 768), 1024, 768))
+    for ((mime, bytes, w, h) <- cases) {
+      assert(BinaryParser.isImage(bytes), mime)
+      // declared mime deliberately vague: the sniff must win
+      val bp = BinaryParser.parse(bytes, "application/octet-stream")
+        .fold(e => fail(s"$mime: $e"), identity)
+      assert(bp.metadata("format") == Seq("image"), mime)
+      assert(bp.metadata("image.mime") == Seq(mime))
+      assert(bp.metadata("image.width") == Seq(w.toString), mime)
+      assert(bp.metadata("image.height") == Seq(h.toString), mime)
+      assert(bp.text.isEmpty && bp.outlinks.isEmpty, mime)
+    }
+    // a declared image that isn't one errors like any mismatched binary
+    assert(BinaryParser.parse("not pixels".getBytes("UTF-8"), "image/webp").isLeft)
+  }
+
+  test("image payloads through the FULL parse stage carry parse.image.* metadata") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val fetched = Seq(
+      ("http://site.example/a.png", "site.example", graft.model.Status.Fetched,
+        200, BinaryDocs.makePng(640, 480), "image/png",
+        null.asInstanceOf[String], 1L, Map.empty[String, Seq[String]]),
+      ("http://site.example/b.jpg", "site.example", graft.model.Status.Fetched,
+        200, BinaryDocs.makeJpeg(1024, 768), "application/octet-stream",
+        null.asInstanceOf[String], 1L, Map.empty[String, Seq[String]]))
+      .toDF("url", "key", "status", "http_code", "content", "content_type",
+        "redirect_to", "fetch_ms", "metadata")
+    val out = graft.parse.ParseStage.parse(fetched,
+      new graft.filters.UrlFilterChain(Seq())).collect()
+    val docs = out.filter(_.getAs[String]("kind") == "doc")
+      .map(r => r.getAs[String]("url") ->
+        r.getMap[String, scala.collection.Seq[String]](
+          r.fieldIndex("metadata")).toMap)
+      .toMap
+    val png = docs("http://site.example/a.png")
+    assert(png("parse.image.mime").toSeq == Seq("image/png"))
+    assert(png("parse.image.width").toSeq == Seq("640"))
+    assert(png("parse.image.height").toSeq == Seq("480"))
+    // vague declared mime: the magic-byte sniff still routes to image
+    val jpg = docs("http://site.example/b.jpg")
+    assert(jpg("parse.image.mime").toSeq == Seq("image/jpeg"))
+    assert(jpg("parse.image.width").toSeq == Seq("1024"))
+    assert(jpg("parse.image.height").toSeq == Seq("768"))
+  }
 }

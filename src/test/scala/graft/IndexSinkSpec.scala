@@ -23,7 +23,14 @@ class IndexSinkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def freshDb(name: String): String = s"jdbc:derby:memory:$name;create=true"
+  // Unique DB name per suite INSTANCE: in-memory Derby databases are
+  // process-global in the forked test JVM, so a fixed name collides
+  // with state left by other suites / earlier runs depending on suite
+  // ORDER — the one flake the full suite ever showed. A UUID suffix
+  // makes every run's databases fresh by construction.
+  private val runId = java.util.UUID.randomUUID().toString.take(8)
+  private def freshDb(name: String): String =
+    s"jdbc:derby:memory:${name}_$runId;create=true"
 
   private def queryAll(jdbc: String, table: String): Map[String, (String, String)] = {
     val conn = DriverManager.getConnection(jdbc)
