@@ -28,7 +28,7 @@ object ExplainDump {
     "q23_simhash" ->
       "SimHash: native single-pass expression per doc feeding a tiny 16-bit-histogram aggregation — the only shuffle carries ≤65536 groups.",
     "q24_jaccard_pairs" ->
-      "Exact Jaccard with the verbatim mass collapsed out: the digest pre-aggregation on (source, md5(text)) carries FIXED-WIDTH columns only (min id + count) — partial+final HashAggregate, no corpus Sort — and the representative's text arrives via a join-back on (source, digest, id = rep) (AQE-broadcast when the digest table is small), so tokenize/df-window/self-join price by DISTINCT texts; document frequency is weighted by member counts (the maxDf prune drops exactly what the uncollapsed pipeline would), one exact jaccard per digest pair expands back to member pairs, and same-digest duplicate pairs get the s/(2k−s) value pruning implies. Size-ratio prefilter (division form — cannot drop an exactly-at-threshold pair) cuts candidates at the self-join; ReuseExchange runs the tokenize side once.",
+      "Exact Jaccard, ADAPTIVE on a verbatim-duplication probe (one xxhash64 count-distinct scan): a unique corpus runs the doc-level pipeline directly; a duplicated one collapses the verbatim mass first — the digest pre-aggregation on (source, md5(text)) carries FIXED-WIDTH columns only (min id + count), partial+final HashAggregate, no corpus Sort, and the representative's text arrives via a join-back on (source, digest, id = rep) (AQE-broadcast when the digest table is small), so tokenize/df-window/self-join price by DISTINCT texts; document frequency is weighted by member counts (the maxDf prune drops exactly what the uncollapsed pipeline would), one exact jaccard per digest pair expands back to member pairs, and same-digest duplicate pairs get the s/(2k−s) value pruning implies. Size-ratio prefilter (division form — cannot drop an exactly-at-threshold pair) cuts candidates at the self-join; ReuseExchange runs the tokenize side once. Both pipelines are spec-pinned bit-identical, so routing is a cost choice, never a correctness one.",
     "q25_cosine_topk" ->
       "Brute-force ANN baseline: query side broadcast (BroadcastNestedLoopJoin) — corpus never shuffles; native dot_d keeps the pair loop primitive; window only over the small scored output.",
     "q30_winnow_fingerprint" ->
@@ -52,7 +52,7 @@ object ExplainDump {
     "q49_pagerank" ->
       "Fixed-point PageRank, 3 materialized rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->
-      "Pair clustering to convergence over DIGEST REPRESENTATIVES: verbatim duplicates collapse in a fixed-width-only pre-aggregation on (source, md5(text)) BEFORE any pair generation (see the `pair generation` plan below — partial+final HashAggregate on the digest, no corpus Sort; the representative's text and its MinHash arrive via a join-back on (source, digest, id = rep), AQE-broadcast when the digest table is small), so pair/CC mass prices by distinct texts, not corpus rows. Each CC round is the `round body` plan — self ∪ edge-join ∪ pointer-jump (Shiloach–Vishkin label-of-label) into ONE min-aggregation, checkpointed per round (UnsafeRow path) with the previous label carried through the agg so the convergence count is the same single action; the undirected rep-pair list is cached pre-partitioned/pre-sorted on the join key (zero per-round edge-side exchange), pointer jumping makes rounds O(log diameter). Labels then expand back to every member through the (small, checkpointed) digest→component map. The final plan is the cluster aggregation over that expansion join.")
+      "Pair clustering to convergence, ADAPTIVE twice over: (1) a verbatim-duplication probe picks doc-level pair generation on a unique corpus, or the DIGEST-REPRESENTATIVE collapse on a duplicated one — fixed-width-only pre-aggregation on (source, md5(text)) BEFORE any pair generation (see the `pair generation` plan below — partial+final HashAggregate on the digest, no corpus Sort; the representative's text and its MinHash arrive via a join-back on (source, digest, id = rep), AQE-broadcast when the digest table is small), so pair/CC mass prices by distinct texts, not corpus rows; (2) when the symmetrized edge list is driver-small (it is cluster-sparse even on huge corpora), the SAME min-label fixed point is solved locally by union-find — zero per-round jobs — with the distributed loop reserved for graphs that don't fit. Each CC round is the `round body` plan — self ∪ edge-join ∪ pointer-jump (Shiloach–Vishkin label-of-label) into ONE min-aggregation, checkpointed per round (UnsafeRow path) with the previous label carried through the agg so the convergence count is the same single action; the undirected rep-pair list is cached pre-partitioned/pre-sorted on the join key (zero per-round edge-side exchange), pointer jumping makes rounds O(log diameter). Labels then expand back to every member through the (small, checkpointed) digest→component map. The final plan is the cluster aggregation over that expansion join.")
 
   /** Pre-checkpoint round bodies for the iterative operators — the
     * plan each loop round actually materializes (the final-plan dump
