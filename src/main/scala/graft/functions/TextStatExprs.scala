@@ -449,6 +449,66 @@ case class TextStatsExpr(child: Expression, stopWords: Seq[String])
   override def prettyName: String = "text_stats"
 }
 
+/** One exact pass over a document's word 2-grams for Gopher-style
+  * repetition signals. A HashMap keyed by the gram string keeps counts
+  * exact (no sketch, no collision risk), and the whole computation is
+  * map-only — the column-algebra alternative (explode + two groupBys)
+  * would shuffle every 2-gram occurrence of a 100 TB corpus twice just
+  * to come back to one row per doc. */
+object RepStatsOps {
+
+  /** → [n2 total 2-gram occurrences, n2_distinct, top_c max count].
+    * Tokens are maximal runs of non-space (same split-on-' ' semantics
+    * as [[graft.analytics.Dedup.words]], so oracles stay portable). */
+  def repStats(text: UTF8String): InternalRow = {
+    if (text == null) return null
+    val s = text.toString
+    val counts = new java.util.HashMap[String, Long]()
+    var total = 0L
+    var prev: String = null
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && s.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && s.charAt(i) != ' ') i += 1
+      if (i > start) {
+        val tok = s.substring(start, i)
+        if (prev != null) {
+          val g = prev + " " + tok
+          counts.merge(g, 1L, (a, b) => a + b)
+          total += 1
+        }
+        prev = tok
+      }
+    }
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+    new GenericInternalRow(Array[Any](total, counts.size.toLong, top))
+  }
+}
+
+/** `rep_stats(text)` → struct(n2, n2_distinct, top_c) — exact word
+  * 2-gram repetition counts (Gopher-style quality signals). */
+case class RepStatsExpr(child: Expression) extends UnaryExpression {
+  private val ops = "graft.functions.RepStatsOps$.MODULE$"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n2", LongType, nullable = false),
+    StructField("n2_distinct", LongType, nullable = false),
+    StructField("top_c", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    RepStatsOps.repStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ops.repStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepStatsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "rep_stats"
+}
+
 /** `lang_id(text)` → struct(lang STRING, conf DOUBLE). */
 case class LangIdExpr(child: Expression) extends UnaryExpression {
   private val ops = "graft.functions.LangIdOps$.MODULE$"
@@ -472,4 +532,6 @@ object TextStatExpressions {
     ColumnBridge.column(TextStatsExpr(ColumnBridge.expression(text), stopWords))
   def langId(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
+  def repStats(text: Column): Column =
+    ColumnBridge.column(RepStatsExpr(ColumnBridge.expression(text)))
 }

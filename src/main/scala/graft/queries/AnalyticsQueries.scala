@@ -182,6 +182,40 @@ object AnalyticsQueries {
 
     // The corpus-build composition: exact-dedup keep ∩ quality gate ∩
     // deterministic stratified sample → per-language draw stats. One
+    // Benchmark decontamination: corpus docs sharing 4-word shingles
+    // with the "benchmark" slice (doc_id % 13 = 0 stands in for an
+    // external eval set). Bench gram table is AQE-broadcast; corpus
+    // side is map-only until the per-doc hit aggregation.
+    "q53_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.analytics.Decontaminate.ngramHits(
+          docs.where(col("doc_id") % 13 =!= 0),
+          docs.where(col("doc_id") % 13 === 0),
+          "doc_id", "text", 4)
+        .orderBy(desc("contamination"), col("doc_id")).limit(100)
+    }),
+
+    // Gopher-style intra-doc repetition signals from the exact word
+    // 2-gram counts (native one-pass expression — map-only; the
+    // column-algebra version would shuffle every 2-gram twice).
+    "q54_repetition" -> ((s, dir) => {
+      val r = graft.functions.TextStatExpressions.repStats(col("text"))
+      // n2 > 0 ⟺ ≥2 tokens ⟺ the trimmed text still contains a space;
+      // filtering on THAT keeps the pushed-down scan predicate a cheap
+      // string scan instead of a second rep_stats evaluation per row.
+      t(s, dir, "documents")
+        .where(contains(trim(col("text")), lit(" ")))
+        .select(col("doc_id"), r.getField("n2").as("n2"),
+          r.getField("n2_distinct").as("n2_distinct"),
+          r.getField("top_c").as("top_c"))
+        .withColumn("dup_frac",
+          (col("n2") - col("n2_distinct")).cast("double") /
+            col("n2").cast("double"))
+        .withColumn("top_frac",
+          col("top_c").cast("double") / col("n2").cast("double"))
+        .orderBy("doc_id")
+    }),
+
     // pipeline a training-data user actually runs; every stage is an
     // already-verified operator, composed (the joins are tiny keep-
     // lists against the corpus — broadcast under AQE).
@@ -285,6 +319,38 @@ object AnalyticsQueries {
     "q22_lsh_pairs" ->
       s"""WITH $lshPairsCte
          |SELECT source, count(*) AS n_pairs FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "q53_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+         |         THEN list_distinct(list_transform(generate_series(1, len(ws)-3),
+         |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         |         ELSE CAST([] AS VARCHAR[]) END AS shs FROM w),
+         |grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+         |bench AS (SELECT g, min(doc_id) AS bench_id FROM grams WHERE doc_id % 13 = 0 GROUP BY g),
+         |corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 13 <> 0),
+         |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+         |hits AS (SELECT c.doc_id, count(*) AS n_hits, min(b.bench_id) AS first_match
+         |         FROM corpus c JOIN bench b USING (g) GROUP BY c.doc_id)
+         |SELECT h.doc_id, n_hits, n.n_shingles,
+         |       CAST(n_hits AS DOUBLE) / CAST(n.n_shingles AS DOUBLE) AS contamination,
+         |       first_match
+         |FROM hits h JOIN nsh n USING (doc_id)
+         |ORDER BY contamination DESC, h.doc_id LIMIT 100""".stripMargin,
+
+    "q54_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |        THEN list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])
+         |        ELSE CAST([] AS VARCHAR[]) END) AS g FROM w),
+         |per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+         |        count(*) AS n2_distinct, CAST(max(c) AS BIGINT) AS top_c
+         |      FROM per GROUP BY doc_id)
+         |SELECT doc_id, n2, n2_distinct, top_c,
+         |  CAST(n2 - n2_distinct AS DOUBLE) / CAST(n2 AS DOUBLE) AS dup_frac,
+         |  CAST(top_c AS DOUBLE) / CAST(n2 AS DOUBLE) AS top_frac
+         |FROM a WHERE n2 > 0 ORDER BY doc_id""".stripMargin,
 
     "q51_corpus_draw" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

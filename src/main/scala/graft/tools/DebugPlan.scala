@@ -34,6 +34,10 @@ object DebugPlan {
         val reps = graft.analytics.Dedup.digestReps(docs, "doc_id", "text", "source")
         time("digestReps run1")(reps.count()); time("digestReps run2")(reps.count())
         println(reps.queryExecution.executedPlan.toString)
+      case q if graft.SparkEntry.queries.contains(q) =>
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        time(s"$q run1")(df.count()); time(s"$q run2")(df.count())
+        println(df.queryExecution.executedPlan.toString)
       case _ => println(s"unknown: $what")
     }
     spark.stop()

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Decontaminate
+import graft.functions.{RepStatsOps, TextStatExpressions}
+
+/** Benchmark decontamination (n-gram overlap vs an eval set) and the
+  * exact one-pass 2-gram repetition stats. */
+class DecontaminateSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("ngramHits: hit counts, shingle totals, first_match = min bench id") {
+    import spark.implicits._
+    val bench = Seq(
+      (0L, "a b c d e"),
+      (5L, "b c d e f")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d x"), // "a b c d" hits bench 0; "b c d x" misses
+      (2L, "x y z w"),   // one gram, no hit → absent
+      (3L, "a b c"),     // < 4 words → no shingles → absent
+      (4L, "b c d e q")  // "b c d e" owned by both benches → first_match 0
+    ).toDF("doc_id", "text")
+
+    val out = Decontaminate.ngramHits(corpus, bench, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 2, 0.5, 0L),
+      (4L, 1L, 2, 0.5, 0L)))
+  }
+
+  test("repStats: exact 2-gram totals, distinct counts, top count") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def rep(s: String) = {
+      val r = RepStatsOps.repStats(UTF8String.fromString(s))
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(rep("x y x y x") == ((4L, 2L, 2L))) // "x y"×2, "y x"×2
+    assert(rep("a b") == ((1L, 1L, 1L)))
+    assert(rep("a") == ((0L, 0L, 0L)))
+    assert(rep("") == ((0L, 0L, 0L)))
+    assert(rep("a  b") == ((1L, 1L, 1L))) // empty tokens dropped
+    assert(RepStatsOps.repStats(null) == null)
+  }
+
+  test("repStats column matches the direct computation under codegen") {
+    import spark.implicits._
+    val df = Seq((1L, "x y x y x"), (2L, "p q r")).toDF("doc_id", "text")
+    val r = TextStatExpressions.repStats(col("text"))
+    val out = df.select(col("doc_id"), r.getField("n2"),
+        r.getField("n2_distinct"), r.getField("top_c"))
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(out.toSeq == Seq((1L, 4L, 2L, 2L), (2L, 2L, 2L, 1L)))
+  }
+}
