@@ -38,9 +38,20 @@ object LinkGraph {
   /** Fixed-point PageRank with dangling-mass redistribution. Returns
     * (node, rank) with rank in `scale` units (divide by scale for the
     * conventional value). Precondition (enforced): |V|*scale*100 must
-    * fit in a BIGINT — pick `scale` to match the graph size. */
+    * fit in a BIGINT — pick `scale` to match the graph size.
+    *
+    * Adaptive dispatch (the shape [[Dedup.connectedComponents]] uses):
+    * a HOST-level link graph is often tiny even when the corpus is not
+    * — 10⁸ pages collapse to 10⁵ hosts — and each distributed round is
+    * a fixed multi-stage job. When the distinct edge list fits on the
+    * driver, run the EXACT same BIGINT recurrence locally (floor
+    * divisions and integer sums are order-independent, so the two
+    * paths are bit-identical by construction — spec-pinned); unlike
+    * CC's min-label solve this needs no ordering on node ids, so any
+    * key type takes the fast path. Big graphs run the loop below. */
   def pagerank(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-               iterations: Int = 3, scale: Long = 1000000000000L): DataFrame = {
+               iterations: Int = 3, scale: Long = 1000000000000L,
+               localSolveMaxEdges: Long = 2000000L): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct() // simple graph: parallel edges count once
       // pre-partition + pre-sort on the per-round join key (src): the
@@ -51,6 +62,12 @@ object LinkGraph {
       .repartition(col("src"))
       .sortWithinPartitions("src")
     e.cache()
+    // the deciding count materializes the cache the first round (or
+    // the collect) would have paid for anyway
+    if (e.count() <= localSolveMaxEdges) {
+      try return pagerankLocal(e, iterations, scale)
+      finally e.unpersist()
+    }
     // loop invariants are cached: vertices and out-degrees are re-read
     // every round, and an uncached copy would re-aggregate the edges
     // per iteration. try/finally below: the overflow require() fires
@@ -92,6 +109,53 @@ object LinkGraph {
       CheckpointRegistry.retain(h); df
     } else ranks
     } finally { e.unpersist(); vertices.unpersist(); outdeg.unpersist() }
+  }
+
+  /** Driver-local solve of the same recurrence: one HashMap pass per
+    * round over the collected (distinct) edge list. Every operation is
+    * the distributed plan's under Java long semantics — `/` on the
+    * strictly-non-negative ranks IS SQL `div`, and integer sums are
+    * order-independent — so outputs are bit-identical to the loop. */
+  private def pagerankLocal(e: DataFrame, iterations: Int,
+                            scale: Long): DataFrame = {
+    val rows = e.collect()
+    val outdeg = new java.util.HashMap[Any, Long]()
+    val verts = new java.util.LinkedHashSet[Any]()
+    rows.foreach { r =>
+      outdeg.merge(r.get(0), 1L, (a, b) => a + b)
+      verts.add(r.get(0)); verts.add(r.get(1))
+    }
+    val nV = verts.size.toLong
+    require(scale > 0 && nV <= Long.MaxValue / 100L / scale,
+      s"pagerank fixed-point overflow: |V|=$nV * scale=$scale * 85 exceeds " +
+        "Long range; lower `scale` so that |V|*scale*100 < 2^63")
+    val base = (scale * 15L) / 100L
+    var ranks = new java.util.HashMap[Any, Long]()
+    verts.forEach(v => ranks.put(v, scale))
+    for (_ <- 1 to iterations) {
+      val contrib = new java.util.HashMap[Any, Long]()
+      rows.foreach { r =>
+        val s = r.get(0)
+        contrib.merge(r.get(1), ranks.get(s) / outdeg.get(s), (a, b) => a + b)
+      }
+      var dangling = 0L
+      verts.forEach(v => if (!outdeg.containsKey(v)) dangling += ranks.get(v))
+      val share = dangling / nV
+      val next = new java.util.HashMap[Any, Long]()
+      verts.forEach(v =>
+        next.put(v, base + (85L * (contrib.getOrDefault(v, 0L) + share)) / 100L))
+      ranks = next
+    }
+    val spark = e.sparkSession
+    val nodeField = e.schema("src")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      nodeField.copy(name = "node",
+        nullable = nodeField.nullable || e.schema("dst").nullable),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](verts.size)
+    verts.forEach(v => out += org.apache.spark.sql.Row(v, ranks.get(v)))
+    spark.createDataFrame(spark.sparkContext.makeRDD(out.toSeq, 1), schema)
   }
 
   /** One PageRank round, pre-checkpoint — the plan each iteration

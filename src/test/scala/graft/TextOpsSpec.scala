@@ -83,6 +83,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got13 == got)
   }
 
+  test("pagerank local fast path is bit-identical to the distributed loop") {
+    import spark.implicits._
+    // mixed shape: a cycle, a source-only node, and dangling leaves so
+    // every term of the recurrence (contrib, floor, dangling share) is
+    // exercised on both paths
+    val edges = Seq(
+      "a" -> "b", "b" -> "a", "a" -> "c", "c" -> "a", "b" -> "c",
+      "d" -> "a", "h" -> "x", "h" -> "y").toDF("src", "dst")
+    val local = graft.analytics.LinkGraph
+      .pagerank(edges, iterations = 4, scale = 1000000L)
+      .as[(String, Long)].collect().toMap
+    val dist = graft.analytics.LinkGraph
+      .pagerank(edges, iterations = 4, scale = 1000000L, localSolveMaxEdges = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(local == dist)
+  }
+
   test("pagerank redistributes dangling mass: total rank conserved on a leaf-heavy graph") {
     import spark.implicits._
     // star: hub h links to 3 leaves with NO outlinks — 3/4 of the mass
