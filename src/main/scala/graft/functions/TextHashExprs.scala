@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass MinHash signature computation as a native Catalyst
@@ -223,6 +223,60 @@ case class WinnowFpExpr(child: Expression, shingleK: Int, window: Int)
 
 /** `minhash_sig(text)` with foldable k/numHashes/distinct baked in at
   * construction — they come from the operator call site, not the data. */
+object ShingleOps {
+
+  /** Distinct k-word shingles in first-occurrence order — one pass,
+    * same output as `array_distinct(Dedup.shingles(Dedup.words(t), k))`
+    * (and DuckDB's `list_distinct(list_transform(...))`). The column-
+    * algebra form re-evaluates the tokenize subtree inside the
+    * transform lambda PER ELEMENT (O(words²) interpreted work per doc
+    * — measured 21 s for the sf0.1 decontamination pass vs sub-second
+    * native); this is the codegen'd replacement for shingling hot
+    * paths. Empty array when the doc has fewer than k words. */
+  def distinctShingles(text: UTF8String, k: Int): ArrayData = {
+    if (text == null) return null
+    val raw = text.toString.split(' ')
+    var nw = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) { raw(nw) = raw(i); nw += 1 }; i += 1 }
+    if (nw < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var s = 0
+    while (s <= nw - k) {
+      sb.setLength(0)
+      var o = 0
+      while (o < k) { if (o > 0) sb.append(' '); sb.append(raw(s + o)); o += 1 }
+      seen.add(sb.toString)
+      s += 1
+    }
+    val out = new Array[Any](seen.size)
+    var idx = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `distinct_shingles(text, k)` → array<string> of distinct k-word
+  * shingles (single-space tokenization, oracle-portable). */
+case class DistinctShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  private val ops = "graft.functions.ShingleOps$.MODULE$"
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.distinctShingles(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ops.distinctShingles($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctShinglesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "distinct_shingles"
+}
+
 case class MinhashChunksExpr(child: Expression, k: Int, numHashes: Int,
                              distinct: Boolean) extends UnaryExpression {
   require(numHashes >= 1 && numHashes <= 4, "one md5 yields 4 chunks")
@@ -258,6 +312,8 @@ object TextHashExpressions {
     ColumnBridge.column(MinhashChunksExpr(ColumnBridge.expression(text), k, numHashes, distinct))
   def simhash16(text: Column): Column =
     ColumnBridge.column(SimHash16Expr(ColumnBridge.expression(text)))
+  def distinctShingles(text: Column, k: Int): Column =
+    ColumnBridge.column(DistinctShinglesExpr(ColumnBridge.expression(text), k))
   def winnowFp(text: Column, shingleK: Int, window: Int): Column =
     ColumnBridge.column(WinnowFpExpr(ColumnBridge.expression(text), shingleK, window))
 }
