@@ -49,8 +49,12 @@ object ExplainDump {
       "Deterministic stratified sample: the id-hash bucket predicate is a codegen'd scan filter — map-only, no RNG state, column pruning intact; the unsampled 99.9% is never materialized.",
     "q46_top_terms" ->
       "TF-IDF-shaped top-k: ONE scan+explode (df via count-over-term window on aggregated rows, not a self-join that re-scans); partial WindowGroupLimit prunes to k per doc BELOW the final exchange.",
+    "q53_decontaminate" ->
+      "Benchmark decontamination: the eval-set gram table (distinct 4-word shingles via the native single-pass distinct_shingles expression) is PINNED broadcast — eval sets are megabytes by contract, and unhinted size estimation was observed building the exploded CORPUS side instead — so the corpus stays map-only (scan → shingle → explode → BroadcastHashJoin) until one per-doc HashAggregate that shuffles HIT rows only; non-overlapping corpus rows die in the join.",
+    "q54_repetition" ->
+      "Intra-doc repetition signals: one native rep_stats pass per doc (exact word-2-gram total/distinct/top counts in a HashMap — no sketch) — map-only except the presentation sort; the scan predicate is a cheap trimmed-contains-space check equivalent to n2 > 0, so no second expression evaluation is pushed into the scan. The column-algebra alternative would shuffle every 2-gram occurrence twice.",
     "q49_pagerank" ->
-      "Fixed-point PageRank, 3 materialized rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
+      "Fixed-point PageRank, ADAPTIVE like q50's CC: a host-level link graph is tiny even when the corpus is not (10⁸ pages → 10⁵ hosts), so when the distinct edge list fits on the driver the SAME BIGINT recurrence runs locally (floor divisions + integer sums are order-independent → bit-identical by construction, spec-pinned; works for any node type since no ordering is needed) and the final plan is a LocalTableScan. Big graphs run 3 materialized distributed rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->
       "Pair clustering to convergence, ADAPTIVE twice over: (1) a verbatim-duplication probe picks doc-level pair generation on a unique corpus, or the DIGEST-REPRESENTATIVE collapse on a duplicated one — fixed-width-only pre-aggregation on (source, md5(text)) BEFORE any pair generation (see the `pair generation` plan below — partial+final HashAggregate on the digest, no corpus Sort; the representative's text and its MinHash arrive via a join-back on (source, digest, id = rep), AQE-broadcast when the digest table is small), so pair/CC mass prices by distinct texts, not corpus rows; (2) when the symmetrized edge list is driver-small (it is cluster-sparse even on huge corpora), the SAME min-label fixed point is solved locally by union-find — zero per-round jobs — with the distributed loop reserved for graphs that don't fit. Each CC round is the `round body` plan — self ∪ edge-join ∪ pointer-jump (Shiloach–Vishkin label-of-label) into ONE min-aggregation, checkpointed per round (UnsafeRow path) with the previous label carried through the agg so the convergence count is the same single action; the undirected rep-pair list is cached pre-partitioned/pre-sorted on the join key (zero per-round edge-side exchange), pointer jumping makes rounds O(log diameter). Labels then expand back to every member through the (small, checkpointed) digest→component map. The final plan is the cluster aggregation over that expansion join.")
 
