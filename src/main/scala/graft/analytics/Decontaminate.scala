@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   * (observed at sf0.1: BuildLeft on the corpus grams) — harmless on a
   * laptop, an OOM at 100 TB. The hint pins the build side to the one
   * input that does not grow with the corpus.
+  *
+  * Adaptive on the [[Dedup.noVerbatimDups]] probe, like the dedup
+  * family: a replicated crawl corpus shingles every copy of a text for
+  * the same answer, so when verbatim duplicates exist the corpus
+  * collapses to one representative per content digest BEFORE
+  * shingling (fixed-width-only HashAggregate; representative text via
+  * a join-back on digest + id = rep), overlap is computed once per
+  * DISTINCT text, and the per-digest result expands back to every
+  * member through a broadcast join — identical output by construction
+  * (identical texts have identical overlap), spec-pinned. On a unique
+  * corpus the collapse is pure overhead and the direct path runs.
+  *
   * Shingling is the native one-pass
   * [[graft.functions.DistinctShinglesExpr]] with [[Dedup.words]]'
   * single-space split semantics, so the DuckDB oracle reproduces every
@@ -33,22 +45,77 @@ object Decontaminate {
     * Docs shorter than k words have no shingles and never appear. */
   def ngramHits(corpus: DataFrame, bench: DataFrame, idCol: String,
                 textCol: String, k: Int): DataFrame = {
-    // native single-pass shingling: the column-algebra form re-runs
-    // the tokenize subtree per transform element (O(words²)/doc
-    // interpreted — 21 s at sf0.1 vs sub-second with the expression)
-    def grams(df: DataFrame): DataFrame =
-      df.select(col(idCol).cast("long").as("doc_id"),
-        graft.functions.TextHashExpressions
-          .distinctShingles(col(textCol), k).as("gs"))
-    val benchGrams = grams(bench)
-      .select(explode(col("gs")).as("g"), col("doc_id"))
+    val bg = benchGrams(bench, idCol, textCol, k)
+    if (Dedup.noVerbatimDups(corpus, textCol, textCol))
+      directHits(corpus, bg, idCol, textCol, k)
+    else collapsedHits(corpus, bg, idCol, textCol, k)
+  }
+
+  /** (g, bench_id = min owning benchmark id) per distinct eval-set
+    * gram. Small by contract — callers broadcast it. */
+  private def benchGrams(bench: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame =
+    bench.select(
+        explode_outer(graft.functions.TextHashExpressions
+          .distinctShingles(col(textCol), k)).as("g"),
+        col(idCol).cast("long").as("doc_id"))
       .groupBy("g").agg(min("doc_id").as("bench_id"))
-    val corpusGrams = grams(corpus)
-      .select(col("doc_id"), size(col("gs")).as("n_shingles"),
-        explode(col("gs")).as("g"))
-    corpusGrams.join(broadcast(benchGrams), "g")
+
+  /** (doc_id, n_shingles, g) per distinct gram of each doc of `df`,
+    * with `idExpr` naming the id column to carry.
+    *
+    * explode_OUTER on purpose: a plain explode triggers Catalyst's
+    * InferFiltersFromGenerate, which pushes `size(shingles)>0 AND
+    * isnotnull(shingles)` into the scan — TWO extra full shingle
+    * evaluations per doc (measured 3× the pipeline's map cost at
+    * sf10). outer emits one null-gram row for shingle-less docs
+    * instead, and the inner join on `g` drops it — same output, one
+    * expression evaluation per doc. */
+  private def docGrams(df: DataFrame, idName: String): DataFrame =
+    df.select(col(idName),
+      size(col("gs")).as("n_shingles"), explode_outer(col("gs")).as("g"))
+
+  private def withGs(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.withColumn("gs", graft.functions.TextHashExpressions
+      .distinctShingles(col(textCol), k))
+
+  /** Doc-level pipeline: one shingle pass per corpus ROW. */
+  private[graft] def directHits(corpus: DataFrame, bg: DataFrame,
+                                    idCol: String, textCol: String,
+                                    k: Int): DataFrame = {
+    val grams = docGrams(
+      withGs(corpus.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol)), textCol, k), "doc_id")
+    grams.join(broadcast(bg), "g")
       .groupBy("doc_id", "n_shingles")
       .agg(count(lit(1)).as("n_hits"), min("bench_id").as("first_match"))
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        (col("n_hits").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"),
+        col("first_match"))
+  }
+
+  /** Digest-collapsed pipeline: one shingle pass per DISTINCT text,
+    * result expanded back to every member. The collapse aggregate
+    * carries fixed-width columns only (min id) — partial/final
+    * HashAggregate, no corpus Sort — and the representative's text
+    * arrives via the join-back on (digest, id = rep). */
+  private[graft] def collapsedHits(corpus: DataFrame, bg: DataFrame,
+                                       idCol: String, textCol: String,
+                                       k: Int): DataFrame = {
+    val members = corpus.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol)).as("digest"))
+    val repIds = members.groupBy("digest").agg(min("doc_id").as("rep"))
+    val repRows = corpus
+      .select(col(idCol).cast("long").as("m_id"), col(textCol))
+      .join(repIds.withColumnRenamed("digest", "r_digest"),
+        col("m_id") === col("rep"))
+      .select(col("r_digest").as("digest"), col(textCol))
+    val hitsByDigest = docGrams(withGs(repRows, textCol, k), "digest")
+      .join(broadcast(bg), "g")
+      .groupBy("digest", "n_shingles")
+      .agg(count(lit(1)).as("n_hits"), min("bench_id").as("first_match"))
+    members.join(hitsByDigest, "digest")
       .select(col("doc_id"), col("n_hits"), col("n_shingles"),
         (col("n_hits").cast("double") / col("n_shingles").cast("double"))
           .as("contamination"),

@@ -279,8 +279,8 @@ object Dedup {
     * collapse — hence exact counts. Null groups (never produced by the
     * crawl tables) conservatively read as duplication: the collapsed
     * path is correct for any input, just slower when unique. */
-  private def noVerbatimDups(df: DataFrame, textCol: String,
-                             groupCol: String): Boolean = {
+  private[analytics] def noVerbatimDups(df: DataFrame, textCol: String,
+                                        groupCol: String): Boolean = {
     // xxhash64, not md5: an order of magnitude cheaper per byte, and a
     // collision can only UNDERCOUNT distincts, i.e. mis-route to the
     // collapsed path — which is correct on any input, just slower on a

@@ -38,6 +38,46 @@ class DecontaminateSpec extends AnyFunSuite {
       (4L, 1L, 2, 0.5, 0L)))
   }
 
+  test("collapsed path is identical to the direct path on duplicated AND unique corpora") {
+    import spark.implicits._
+    import graft.analytics.Decontaminate
+    val bench = Seq((0L, "a b c d e"), (5L, "b c d e f")).toDF("doc_id", "text")
+    // duplicated corpus: ids 1/11/21 share a text, 4/14 share another
+    val dup = Seq(
+      (1L, "a b c d x"), (11L, "a b c d x"), (21L, "a b c d x"),
+      (4L, "b c d e q"), (14L, "b c d e q"),
+      (2L, "x y z w p")).toDF("doc_id", "text")
+    val uniq = Seq(
+      (1L, "a b c d x"), (4L, "b c d e q"), (2L, "x y z w p")
+    ).toDF("doc_id", "text")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    for (corpus <- Seq(dup, uniq)) {
+      val direct = run(graft.analytics.Decontaminate
+        .directHits(corpus, benchGramsOf(bench), "doc_id", "text", 4))
+      val collapsed = run(graft.analytics.Decontaminate
+        .collapsedHits(corpus, benchGramsOf(bench), "doc_id", "text", 4))
+      assert(direct == collapsed)
+    }
+    // the public entry on the duplicated corpus (probe routes to the
+    // collapsed path) matches the direct computation
+    val pub = run(Decontaminate.ngramHits(dup, bench, "doc_id", "text", 4))
+    val ref = run(Decontaminate.directHits(dup, benchGramsOf(bench), "doc_id", "text", 4))
+    assert(pub == ref)
+    // every member of a duplicated text carries the representative's counts
+    assert(pub.count(r => r.head.asInstanceOf[Long] % 10 == 1) == 3)
+  }
+
+  // mirror of Decontaminate.benchGrams for the package-visible paths
+  private def benchGramsOf(bench: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    bench.select(
+        explode_outer(graft.functions.TextHashExpressions
+          .distinctShingles(col("text"), 4)).as("g"),
+        col("doc_id").cast("long").as("doc_id"))
+      .groupBy("g").agg(min("doc_id").as("bench_id"))
+  }
+
   test("repStats: exact 2-gram totals, distinct counts, top count") {
     import org.apache.spark.unsafe.types.UTF8String
     def rep(s: String) = {
