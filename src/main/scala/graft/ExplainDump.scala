@@ -50,7 +50,7 @@ object ExplainDump {
     "q46_top_terms" ->
       "TF-IDF-shaped top-k: ONE scan+explode (df via count-over-term window on aggregated rows, not a self-join that re-scans); partial WindowGroupLimit prunes to k per doc BELOW the final exchange.",
     "q53_decontaminate" ->
-      "Benchmark decontamination: the eval-set gram table (distinct 4-word shingles via the native single-pass distinct_shingles expression) is PINNED broadcast — eval sets are megabytes by contract, and unhinted size estimation was observed building the exploded CORPUS side instead — so the corpus stays map-only (scan → shingle → explode → BroadcastHashJoin) until one per-doc HashAggregate that shuffles HIT rows only; non-overlapping corpus rows die in the join.",
+      "Benchmark decontamination, ADAPTIVE on the dedup family's duplication probe: the eval-set gram table (distinct 4-word shingles via the native single-pass distinct_shingles expression) is PINNED broadcast — eval sets are megabytes by contract, and unhinted size estimation was observed building the exploded CORPUS side instead — and on a unique corpus the doc-level pipeline stays map-only (scan → shingle → explode_outer → BroadcastHashJoin; explode_OUTER dodges InferFiltersFromGenerate, which otherwise pushes two extra full shingle evaluations per doc into the scan) until one per-doc HashAggregate that shuffles HIT rows only. On a replicated corpus, texts first collapse to one representative per content digest (fixed-width-only HashAggregate + join-back on id = rep), overlap prices by DISTINCT texts, and per-digest results expand back to members via a broadcast join — spec-pinned bit-identical to the doc-level path.",
     "q54_repetition" ->
       "Intra-doc repetition signals: one native rep_stats pass per doc (exact word-2-gram total/distinct/top counts in a HashMap — no sketch) — map-only except the presentation sort; the scan predicate is a cheap trimmed-contains-space check equivalent to n2 > 0, so no second expression evaluation is pushed into the scan. The column-algebra alternative would shuffle every 2-gram occurrence twice.",
     "q49_pagerank" ->
