@@ -129,6 +129,17 @@ object LinkGraph {
     require(scale > 0 && nV <= Long.MaxValue / 100L / scale,
       s"pagerank fixed-point overflow: |V|=$nV * scale=$scale * 85 exceeds " +
         "Long range; lower `scale` so that |V|*scale*100 < 2^63")
+    // empty graph: no vertices, no rows — and the dangling share below
+    // would divide by |V| = 0 (the distributed path is vacuously safe:
+    // it evaluates per vertex row, of which there are none)
+    if (nV == 0L) {
+      val s0 = e.sparkSession
+      return s0.createDataFrame(s0.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          e.schema("src").copy(name = "node"),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     val base = (scale * 15L) / 100L
     var ranks = new java.util.HashMap[Any, Long]()
     verts.forEach(v => ranks.put(v, scale))

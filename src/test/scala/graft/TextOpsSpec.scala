@@ -83,6 +83,13 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got13 == got)
   }
 
+  test("pagerank on an empty edge list returns an empty frame (no div-by-zero share)") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.analytics.LinkGraph.pagerank(empty, iterations = 3,
+      scale = 1000000L).collect().isEmpty)
+  }
+
   test("pagerank local fast path is bit-identical to the distributed loop") {
     import spark.implicits._
     // mixed shape: a cycle, a source-only node, and dangling leaves so
