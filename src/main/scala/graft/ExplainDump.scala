@@ -51,6 +51,8 @@ object ExplainDump {
       "TF-IDF-shaped top-k: ONE scan+explode (df via count-over-term window on aggregated rows, not a self-join that re-scans); partial WindowGroupLimit prunes to k per doc BELOW the final exchange.",
     "q53_decontaminate" ->
       "Benchmark decontamination, ADAPTIVE on the dedup family's duplication probe: the eval-set gram table (distinct 4-word shingles via the native single-pass distinct_shingles expression) is PINNED broadcast — eval sets are megabytes by contract, and unhinted size estimation was observed building the exploded CORPUS side instead — and on a unique corpus the doc-level pipeline stays map-only (scan → shingle → explode_outer → BroadcastHashJoin; explode_OUTER dodges InferFiltersFromGenerate, which otherwise pushes two extra full shingle evaluations per doc into the scan) until one per-doc HashAggregate that shuffles HIT rows only. On a replicated corpus, texts first collapse to one representative per content digest (fixed-width-only HashAggregate + join-back on id = rep), overlap prices by DISTINCT texts, and per-digest results expand back to members via a broadcast join — spec-pinned bit-identical to the doc-level path.",
+    "q55_dup_spans" ->
+      "Corpus-internal duplicated-span fraction, ADAPTIVE on the duplication probe: ONE full-size exchange total — the raw gram table shuffled by gram into the df join — with the df aggregate and the per-doc aggregate both compacted by partial map-side HashAggregates before their exchanges (a boilerplate gram in millions of docs ships as P partial rows, not millions; each doc ships as one row per touched partition). NO broadcast hint: the df table is corpus-sized by construction (unlike q53's eval-set grams), so the join strategy is AQE's call — broadcast at the toy SF shown below, sort-merge at scale, where AQE's skew-join can SPLIT a mega-gram's partition; the equivalent count-over-window formulation was rejected because a window pins all of a boilerplate gram's rows into one sorted partition with no skew remedy. explode_OUTER + inner equi-join drops shingle-less docs with no InferFiltersFromGenerate re-evaluation. On a replicated corpus the digest collapse prices shingling and the gram shuffle by DISTINCT texts; df is recovered exactly as the member-weight sum (identical texts ⇒ identical distinct-gram sets), spec-pinned bit-identical to the doc-level path.",
     "q54_repetition" ->
       "Intra-doc repetition signals: one native rep_stats pass per doc (exact word-2-gram total/distinct/top counts in a HashMap — no sketch) — map-only except the presentation sort; the scan predicate is a cheap trimmed-contains-space check equivalent to n2 > 0, so no second expression evaluation is pushed into the scan. The column-algebra alternative would shuffle every 2-gram occurrence twice.",
     "q49_pagerank" ->

@@ -95,6 +95,93 @@ object Decontaminate {
         col("first_match"))
   }
 
+  /** Corpus-internal duplicated-span statistics (the span-level signal
+    * published as the motivation for dedup-before-training): for every
+    * corpus document, the fraction of its DISTINCT k-word shingles that
+    * occur in at least `minDf` corpus documents, where document
+    * frequency counts member docs — verbatim copies included, each copy
+    * is a real training-set occurrence. Output: (doc_id, n_shingles,
+    * n_dup, dup_fraction); docs shorter than k words have no shingles
+    * and never appear.
+    *
+    * Scale shape (100 TB): exactly ONE full-size exchange — the raw
+    * gram table (O(corpus tokens) rows) shuffled by gram into the df
+    * join. The other two exchanges are compacted by partial map-side
+    * aggregation before they ship: the df aggregate sends at most one
+    * row per (gram × input partition) — a boilerplate gram in millions
+    * of docs crosses the wire as P partials, not millions of rows —
+    * and the per-doc aggregate after the join sends at most one row
+    * per (doc × partition). NO broadcast hint anywhere: unlike the
+    * eval-set table in [[ngramHits]], the df table is corpus-sized by
+    * construction, so the join is AQE's call — broadcast at toy scale,
+    * sort-merge at real scale, where a join (unlike the equivalent
+    * count-over-window formulation, which cannot split a partition)
+    * lets AQE's skew-join split the mega-gram partitions. Why a join
+    * and not a window: same single full-size exchange either way, but
+    * the window pins every row of a boilerplate gram into one sorted
+    * partition with no skew remedy. Null-gram rows from shingle-less
+    * docs need no filter (no InferFiltersFromGenerate re-evaluation):
+    * the inner equi-join on the gram drops them. Adaptive like the
+    * rest of the family ([[Dedup.noVerbatimDups]]): on a replicated
+    * corpus the digest collapse prices shingling and the gram shuffle
+    * by DISTINCT texts and recovers df exactly as the member-weight
+    * sum (identical texts have identical distinct-gram sets); on a
+    * unique corpus the direct path skips the collapse's two extra
+    * corpus passes. */
+  def dupSpanStats(corpus: DataFrame, idCol: String, textCol: String,
+                   k: Int, minDf: Long = 2L): DataFrame =
+    if (Dedup.noVerbatimDups(corpus, textCol, textCol))
+      dupSpansDirect(corpus, idCol, textCol, k, minDf)
+    else dupSpansCollapsed(corpus, idCol, textCol, k, minDf)
+
+  /** Doc-level duplicated-span pipeline: one shingle pass per corpus
+    * row, one gram exchange reused by the df aggregate and the join. */
+  private[graft] def dupSpansDirect(corpus: DataFrame, idCol: String,
+                                    textCol: String, k: Int,
+                                    minDf: Long): DataFrame = {
+    val grams = docGrams(
+      withGs(corpus.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol)), textCol, k), "doc_id")
+    val dfTab = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(dfTab, "g")
+      .groupBy("doc_id", "n_shingles")
+      .agg(sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_shingles").cast("double"))
+          .as("dup_fraction"))
+  }
+
+  /** Digest-collapsed duplicated-span pipeline: shingling and the gram
+    * shuffle run once per DISTINCT text; df is the member-weight sum,
+    * bit-identical to the doc-level count because identical texts have
+    * identical distinct-gram sets. Fixed-width-only collapse aggregate
+    * (min id + count → HashAggregate); representative text via the
+    * join-back on digest + id = rep. */
+  private[graft] def dupSpansCollapsed(corpus: DataFrame, idCol: String,
+                                       textCol: String, k: Int,
+                                       minDf: Long): DataFrame = {
+    val members = corpus.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol)).as("digest"))
+    val reps = members.groupBy("digest")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("weight"))
+    val repRows = corpus
+      .select(col(idCol).cast("long").as("m_id"), col(textCol))
+      .join(reps.withColumnRenamed("digest", "r_digest"),
+        col("m_id") === col("rep"))
+      .select(col("r_digest").as("digest"), col("weight"), col(textCol))
+    val grams = withGs(repRows, textCol, k)
+      .select(col("digest"), col("weight"),
+        size(col("gs")).as("n_shingles"), explode_outer(col("gs")).as("g"))
+    val dfTab = grams.groupBy("g").agg(sum("weight").as("df"))
+    val byDigest = grams.join(dfTab, "g")
+      .groupBy("digest", "n_shingles")
+      .agg(sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup"))
+    members.join(byDigest, "digest")
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_shingles").cast("double"))
+          .as("dup_fraction"))
+  }
+
   /** Digest-collapsed pipeline: one shingle pass per DISTINCT text,
     * result expanded back to every member. The collapse aggregate
     * carries fixed-width columns only (min id) — partial/final

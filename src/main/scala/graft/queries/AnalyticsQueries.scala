@@ -216,6 +216,18 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus-internal duplicated-span fraction: share of each doc's
+    // distinct 4-word shingles occurring in >= 2 corpus docs (the
+    // span-level dedup signal). One full-size exchange (raw grams into
+    // the df join, AQE skew-splittable); the df and per-doc aggregates
+    // ship map-side partials only. The df table is corpus-sized — no
+    // broadcast hint; the join strategy is AQE's call.
+    "q55_dup_spans" -> ((s, dir) => {
+      graft.analytics.Decontaminate.dupSpanStats(
+          t(s, dir, "documents"), "doc_id", "text", 4, 2L)
+        .orderBy(desc("dup_fraction"), col("doc_id")).limit(200)
+    }),
+
     // pipeline a training-data user actually runs; every stage is an
     // already-verified operator, composed (the joins are tiny keep-
     // lists against the corpus — broadcast under AQE).
@@ -351,6 +363,22 @@ object AnalyticsQueries {
          |  CAST(n2 - n2_distinct AS DOUBLE) / CAST(n2 AS DOUBLE) AS dup_frac,
          |  CAST(top_c AS DOUBLE) / CAST(n2 AS DOUBLE) AS top_frac
          |FROM a WHERE n2 > 0 ORDER BY doc_id""".stripMargin,
+
+    "q55_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+         |         THEN list_distinct(list_transform(generate_series(1, len(ws)-3),
+         |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         |         ELSE CAST([] AS VARCHAR[]) END AS shs FROM w),
+         |grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+         |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM grams GROUP BY doc_id),
+         |dfq AS (SELECT g, count(*) AS df FROM grams GROUP BY g),
+         |agg AS (SELECT doc_id, CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |        FROM grams JOIN dfq USING (g) GROUP BY doc_id)
+         |SELECT a.doc_id, n.n_shingles, n_dup,
+         |       CAST(n_dup AS DOUBLE) / CAST(n.n_shingles AS DOUBLE) AS dup_fraction
+         |FROM agg a JOIN nsh n USING (doc_id)
+         |ORDER BY dup_fraction DESC, a.doc_id LIMIT 200""".stripMargin,
 
     "q51_corpus_draw" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

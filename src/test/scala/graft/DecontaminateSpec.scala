@@ -68,6 +68,52 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(pub.count(r => r.head.asInstanceOf[Long] % 10 == 1) == 3)
   }
 
+  test("dupSpanStats: df counts member docs, shingle-less docs absent") {
+    import spark.implicits._
+    import graft.analytics.Decontaminate
+    // k=2 grams: doc1 {a b, b c}, doc2 {b c, c d}, doc3 {a b}, doc4 none
+    // (1 word); docs 5/6 are verbatim copies — their one gram has
+    // df = 2 purely from the copies, and the corpus now holds verbatim
+    // dups so the public entry routes through the collapsed path.
+    val corpus = Seq(
+      (1L, "a b c"), (2L, "b c d"), (3L, "a b"), (4L, "z"),
+      (5L, "p q"), (6L, "p q")).toDF("doc_id", "text")
+    val out = Decontaminate.dupSpanStats(corpus, "doc_id", "text", 2, 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2, 2L, 1.0), // "a b" in docs 1,3; "b c" in 1,2
+      (2L, 2, 1L, 0.5), // only "b c" repeats
+      (3L, 1, 1L, 1.0),
+      (5L, 1, 1L, 1.0), (6L, 1, 1L, 1.0)))
+  }
+
+  test("dupSpans collapsed path is identical to the direct path") {
+    import spark.implicits._
+    import graft.analytics.Decontaminate
+    val dup = Seq(
+      (1L, "a b c d x"), (11L, "a b c d x"), (21L, "a b c d x"),
+      (4L, "b c d e q"), (14L, "b c d e q"),
+      (2L, "x y z w p")).toDF("doc_id", "text")
+    val uniq = Seq(
+      (1L, "a b c d x"), (4L, "b c d e q"), (2L, "x y z w p")
+    ).toDF("doc_id", "text")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    for (corpus <- Seq(dup, uniq); k <- Seq(2, 4)) {
+      val direct = run(Decontaminate
+        .dupSpansDirect(corpus, "doc_id", "text", k, 2L))
+      val collapsed = run(Decontaminate
+        .dupSpansCollapsed(corpus, "doc_id", "text", k, 2L))
+      assert(direct == collapsed, s"k=$k")
+    }
+    // verbatim copies alone make every shingled doc fully duplicated
+    val pub = run(Decontaminate.dupSpanStats(dup, "doc_id", "text", 4, 2L))
+    assert(pub.filter(_.head.asInstanceOf[Long] != 2L)
+      .forall(_.last.asInstanceOf[Double] == 1.0))
+    assert(pub.find(_.head == 2L).get.last.asInstanceOf[Double] == 0.0)
+  }
+
   // mirror of Decontaminate.benchGrams for the package-visible paths
   private def benchGramsOf(bench: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.functions._
