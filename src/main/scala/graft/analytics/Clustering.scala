@@ -1,0 +1,123 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecExpressions
+
+/** K-means clustering over an embedding column — the corpus-composition
+  * / SemDeDup partitioning primitive: cluster the corpus, then run
+  * within-cluster near-dup removal ([[Similarity.embedNearDups]]) or
+  * per-cluster sampling ([[Sampling]]) with the cluster id as the
+  * stratum. Reference scope: the reference has no clustering operator
+  * (its indexers delegate ranking to the search backend); this is one
+  * of the training-data-pipeline extensions the engine carries beyond
+  * it.
+  *
+  * Shape (the classic distributed Lloyd's iteration):
+  *   - assignment is MAP-ONLY: the k×dim centroid matrix rides into the
+  *     task as a plan-time constant ([[graft.functions.KmeansAssignExpr]]
+  *     — a codegen reference object, NOT a join side), so the corpus is
+  *     never shuffled;
+  *   - the centroid update is one partial-aggregated groupBy producing
+  *     k rows of (count, 64 component sums) — the only exchange per
+  *     round, k×65 longs per map partition;
+  *   - the k-row result is collected to the driver (bounded by k, like
+  *     the seed batches in CrawlTopology) and rebroadcast as the next
+  *     round's constant.
+  * At 1000 executors the per-round cost is one corpus scan + a k-row
+  * shuffle — the same shape MLlib's KMeans uses, minus its sampling
+  * init.
+  *
+  * All geometry is EXACT integer math over `floor(x * 2^20)`-quantized
+  * components ([[graft.functions.KmeansOps]]): distributed float sums
+  * are reduction-order-dependent, and one last-bit difference in a
+  * centroid can flip an argmin and cascade — quantized, every engine
+  * and every partitioning computes bit-identical clusters, which is
+  * what lets a SQL oracle verify the full two-round fixed point
+  * hash-exactly.
+  */
+object Clustering {
+
+  /** Quantization scale: 2^20. Power-of-two, so `x * Scale` is exact in
+    * double; embedding components are O(1), so quantized values fit in
+    * 21 bits and 64-dim squared distances in ~50 — far from overflow. */
+  val Scale: Double = 1048576.0
+
+  /** Inertia is reported as `sum(floor(dist / 2^24))`: raw squared
+    * distances reach ~2^42 at real component magnitudes, so a corpus of
+    * 2^21+ rows could overflow a long sum; the 2^24 downshift keeps the
+    * sum exact-in-long past 10^12 rows. (dist < 2^53, so the double
+    * division is exact and floor is deterministic on both engines.) */
+  val DistShift: Double = 16777216.0
+
+  /** Per-row cluster assignment after `iters` Lloyd rounds from a
+    * deterministic init (the k lowest-id vectors): (id, cluster, dist).
+    * The SemDeDup entry point — join this back to the corpus to scope
+    * near-dup search within clusters. */
+  def assignments(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 8, iters: Int = 2): DataFrame = {
+    val q = emb.select(col(idCol).as("id"),
+      VecExpressions.quantizeLongs(col(vecCol), Scale).as("qv"))
+    val cents = lloyd(q, k, iters)
+    q.select(col("id"),
+        VecExpressions.kmeansAssign(col("qv"), cents).as("a"))
+      .select(col("id"), col("a.cluster").as("cluster"), col("a.dist").as("dist"))
+  }
+
+  /** Cluster summary after `iters` rounds: (cluster, n, inertia_s) —
+    * the oracle-checked view of the whole fixed point (sizes verify the
+    * assignment+update rounds exactly; the downshifted inertia verifies
+    * the distance geometry). */
+  def summary(emb: DataFrame, idCol: String, vecCol: String,
+              k: Int = 8, iters: Int = 2): DataFrame = {
+    val q = emb.select(col(idCol).as("id"),
+      VecExpressions.quantizeLongs(col(vecCol), Scale).as("qv"))
+    val cents = lloyd(q, k, iters)
+    q.select(VecExpressions.kmeansAssign(col("qv"), cents).as("a"))
+      .select(col("a.cluster").as("cluster"), col("a.dist").as("dist"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("dist") / lit(DistShift)).cast("long")).as("inertia_s"))
+      .orderBy("cluster")
+  }
+
+  /** Run `iters - 1` centroid updates from the deterministic init and
+    * return the centroids the FINAL assignment pass should use. Each
+    * round is one map-only assignment fused into one k-row aggregate;
+    * the k-row collect is bounded by k (documented driver-side set,
+    * same contract as the frontier seed batches). */
+  private def lloyd(q: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+    // deterministic init: the k vectors with the smallest ids
+    // (TakeOrderedAndProject — no full sort materialization)
+    var cents: Array[Array[Long]] = q.orderBy("id").limit(k)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    for (_ <- 1 until iters) {
+      val assigned = q.select(col("qv"),
+          VecExpressions.kmeansAssign(col("qv"), cents).as("a"))
+        .select(col("qv"), col("a.cluster").as("cluster"))
+      val aggs = (1 to dim).map(i => sum(element_at(col("qv"), i)).as(s"s$i"))
+      val rows = assigned.groupBy("cluster")
+        .agg(count(lit(1)).as("n"), aggs: _*)
+        .collect() // bounded: ≤ k rows
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      rows.foreach { r =>
+        val j = r.getInt(0)
+        val n = r.getLong(1)
+        val c = new Array[Long](dim)
+        var i = 0
+        while (i < dim) {
+          // floor of the exact mean: |sum| < 2^53 so the double
+          // division is correctly rounded with margin (1/n ≫ ulp)
+          c(i) = math.floor(r.getLong(2 + i).toDouble / n.toDouble).toLong
+          i += 1
+        }
+        next(j) = c
+      }
+      cents = next
+    }
+    cents
+  }
+}

@@ -11,7 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
+  LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native vector expressions for the similarity-search operators.
@@ -133,6 +136,95 @@ object VecOps2 {
   }
 }
 
+/** Exact-integer geometry for the k-means operator
+  * ([[graft.analytics.Clustering]]). Distributed float summation is
+  * order-dependent, so a centroid averaged in IEEE doubles would differ
+  * between runs (and engines) at the last bit — and one flipped bit can
+  * flip an argmin, cascading into different clusters. The fix is the
+  * same one the relational side uses for q15's tie-break: move the
+  * whole fixed point into exact integer arithmetic. Components are
+  * quantized once to `floor(x * 2^20)` (a power-of-two scale is exact
+  * in double for |x| ≲ 2^32, and float→double is always exact), after
+  * which distances, centroid sums, and floor-divided means are plain
+  * long math — bit-identical on any engine, any partitioning, any
+  * reduction order. Magnitudes: |q| ≤ 2^21 for |x| ≤ 2, squared diffs
+  * ≤ 2^44, 64-dim distances ≤ 2^50 — no overflow headroom concerns. */
+object KmeansOps {
+  def quantize(a: ArrayData, scale: Double): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble * scale).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Nearest centroid by squared L2 distance over quantized vectors;
+    * ties take the lowest centroid index (strict `<` keeps the first
+    * minimum). Returns (cluster, dist) — dist feeds the inertia sum. */
+  def assign(a: ArrayData, cents: Array[Array[Long]]): InternalRow = {
+    val q = a.toLongArray()
+    var best = 0
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(q.length, c.length)
+      var d = 0L
+      var i = 0
+      while (i < n) { val t = q(i) - c(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](best, bestD))
+  }
+}
+
+/** `quantize_longs(v)` — ARRAY<FLOAT> → ARRAY<BIGINT> by
+  * `floor(x * scale)`, the one lossy step of the exact-integer k-means
+  * (everything after it is exact long math). */
+case class QuantizeLongsExpr(child: Expression, scale: Double)
+    extends UnaryExpression {
+  private val ops = "graft.functions.KmeansOps$.MODULE$"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    KmeansOps.quantize(a.asInstanceOf[ArrayData], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ops.quantize($a, $scale);")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeLongsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "quantize_longs"
+}
+
+/** `kmeans_assign(qv)` → struct(cluster, dist) against a plan-time
+  * centroid matrix (driver-computed between rounds, k×dim longs —
+  * shipped as a codegen reference object, the per-row loop is
+  * primitive long math inside whole-stage codegen). */
+case class KmeansAssignExpr(child: Expression, cents: Array[Array[Long]])
+    extends UnaryExpression {
+  private val ops = "graft.functions.KmeansOps$.MODULE$"
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+
+  override def nullSafeEval(a: Any): Any =
+    KmeansOps.assign(a.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kmeansCents", cents, "long[][]")
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ops.assign($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KmeansAssignExpr =
+    copy(child = newChild)
+  override def prettyName: String = "kmeans_assign"
+}
+
 /** `dot_d(a, b)` over ARRAY<DOUBLE> — the pair-stage hot loop. */
 case class DotDExpr(left: Expression, right: Expression) extends BinaryExpression {
   private val ops = "graft.functions.VecOps$.MODULE$"
@@ -215,4 +307,8 @@ object VecExpressions {
     ColumnBridge.column(LshBucketExpr(ColumnBridge.expression(v), dim, numPlanes))
   def multiProbeBuckets(v: Column, dim: Int, numPlanes: Int, nprobe: Int): Column =
     ColumnBridge.column(MultiProbeBucketsExpr(ColumnBridge.expression(v), dim, numPlanes, nprobe))
+  def quantizeLongs(v: Column, scale: Double): Column =
+    ColumnBridge.column(QuantizeLongsExpr(ColumnBridge.expression(v), scale))
+  def kmeansAssign(qv: Column, cents: Array[Array[Long]]): Column =
+    ColumnBridge.column(KmeansAssignExpr(ColumnBridge.expression(qv), cents))
 }

@@ -228,6 +228,15 @@ object AnalyticsQueries {
         .orderBy(desc("dup_fraction"), col("doc_id")).limit(200)
     }),
 
+    // K-means over the embedding corpus (SemDeDup partitioning /
+    // corpus composition): 2 Lloyd rounds from a deterministic init,
+    // exact-integer geometry end to end so the full fixed point is
+    // hash-checkable. Assignment is map-only (centroids ride as a
+    // plan-time constant); the only exchange is the k-row update agg.
+    "q56_kmeans" -> ((s, dir) =>
+      graft.analytics.Clustering.summary(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
+
     // pipeline a training-data user actually runs; every stage is an
     // already-verified operator, composed (the joins are tiny keep-
     // lists against the corpus — broadcast under AQE).
@@ -379,6 +388,45 @@ object AnalyticsQueries {
          |       CAST(n_dup AS DOUBLE) / CAST(n.n_shingles AS DOUBLE) AS dup_fraction
          |FROM agg a JOIN nsh n USING (doc_id)
          |ORDER BY dup_fraction DESC, a.doc_id LIMIT 200""".stripMargin,
+
+    // Full SQL mirror of the two-round exact-integer Lloyd iteration:
+    // quantize, init = 8 lowest-id vectors, assign (argmin squared
+    // distance, ties to the lowest centroid index), floor-mean update
+    // (empty clusters keep their centroid), reassign, summarize. Every
+    // step is integer arithmetic or an exact double op (power-of-two
+    // scale, floor of a correctly-rounded quotient with 1/n ≫ ulp
+    // margin), so the hash compare verifies the whole fixed point.
+    "q56_kmeans" ->
+      """WITH qv AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, qv AS cv
+        |       FROM (SELECT id, qv FROM qv ORDER BY id LIMIT 8)),
+        |a1 AS (SELECT v.id, v.qv, c.j,
+        |         list_reduce(list_transform(generate_series(1, 64),
+        |           i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])), (a,b) -> a + b) AS dist
+        |       FROM qv v CROSS JOIN c0 c),
+        |m1 AS (SELECT id, qv, j AS cluster
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a1)
+        |       WHERE rk = 1),
+        |u1 AS (SELECT cluster, i, sum(qv[i]) AS s, count(*) AS n
+        |       FROM m1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+        |       GROUP BY cluster, i),
+        |c1p AS (SELECT cluster AS j,
+        |          list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY i) AS cv
+        |        FROM u1 GROUP BY cluster),
+        |c1 AS (SELECT c0.j, COALESCE(c1p.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1p ON c1p.j = c0.j),
+        |a2 AS (SELECT v.id, c.j,
+        |         list_reduce(list_transform(generate_series(1, 64),
+        |           i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])), (a,b) -> a + b) AS dist
+        |       FROM qv v CROSS JOIN c1 c),
+        |m2 AS (SELECT id, j AS cluster, dist
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a2)
+        |       WHERE rk = 1)
+        |SELECT cluster, count(*) AS n,
+        |       sum(CAST(floor(CAST(dist AS DOUBLE) / 16777216.0) AS BIGINT)) AS inertia_s
+        |FROM m2 GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "q51_corpus_draw" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
