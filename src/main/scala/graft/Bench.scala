@@ -4,9 +4,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Scale-aware shuffle sizing: start reduce stages WIDE and let AQE
+    // coalesce down from MEASURED map-output sizes. A fixed partition
+    // count tuned at sf0.1 is 30× undersized at sf30 (sort/window
+    // partitions exceed executor memory and spill); initial-wide +
+    // coalesce keeps partitions near the advisory size at ANY scale,
+    // which is the cluster-correct setting. Measured (interleaved A/B,
+    // min-of-2 runs of the full suite): 256 vs 32 initial = sf0.1
+    // 31.4 vs 32.6 s, sf0.01 20.3 vs 21.0 s, and at sf30 the heavy
+    // subset halves memory-acquire retries (66→35) — neutral-or-better
+    // at every scale. Env-overridable for A/B.
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
+      (cpus.toInt * 8).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
