@@ -55,6 +55,8 @@ object ExplainDump {
       "Corpus-internal duplicated-span fraction, ADAPTIVE on the duplication probe: ONE full-size exchange total — the raw gram table shuffled by gram into the df join — with the df aggregate and the per-doc aggregate both compacted by partial map-side HashAggregates before their exchanges (a boilerplate gram in millions of docs ships as P partial rows, not millions; each doc ships as one row per touched partition). NO broadcast hint: the df table is corpus-sized by construction (unlike q53's eval-set grams), so the join strategy is AQE's call — broadcast at the toy SF shown below, sort-merge at scale, where AQE's skew-join can SPLIT a mega-gram's partition; the equivalent count-over-window formulation was rejected because a window pins all of a boilerplate gram's rows into one sorted partition with no skew remedy. explode_OUTER + inner equi-join drops shingle-less docs with no InferFiltersFromGenerate re-evaluation. On a replicated corpus the digest collapse prices shingling and the gram shuffle by DISTINCT texts; df is recovered exactly as the member-weight sum (identical texts ⇒ identical distinct-gram sets), spec-pinned bit-identical to the doc-level path.",
     "q54_repetition" ->
       "Intra-doc repetition signals: one native rep_stats pass per doc (exact word-2-gram total/distinct/top counts in a HashMap — no sketch) — map-only except the presentation sort; the scan predicate is a cheap trimmed-contains-space check equivalent to n2 > 0, so no second expression evaluation is pushed into the scan. The column-algebra alternative would shuffle every 2-gram occurrence twice.",
+    "q56_kmeans" ->
+      "Exact-integer k-means (Lloyd): assignment is MAP-ONLY — the k×dim centroid matrix is a plan-time codegen reference object (kmeans_assign), NOT a join side, so the corpus is never shuffled; each round's only exchange is the k-row centroid-update aggregate (partial map-side sums of k×65 longs per partition), and the k-row collect between rounds is bounded by k (documented driver-side set, same contract as the frontier seed batches). All geometry is exact long math over floor(x·2^20)-quantized components: distributed float summation is reduction-order-dependent and one flipped last bit can flip an argmin, so quantization is what makes the fixed point bit-identical on any partitioning — and hash-checkable by the SQL oracle end to end. The final plan below is the summary aggregate over the map-only assignment.",
     "q49_pagerank" ->
       "Fixed-point PageRank, ADAPTIVE like q50's CC: a host-level link graph is tiny even when the corpus is not (10⁸ pages → 10⁵ hosts), so when the distinct edge list fits on the driver the SAME BIGINT recurrence runs locally (floor divisions + integer sums are order-independent → bit-identical by construction, spec-pinned; works for any node type since no ordering is needed) and the final plan is a LocalTableScan. Big graphs run 3 materialized distributed rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->
