@@ -74,7 +74,10 @@ object ExplainDump {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.analytics.Dedup.ccRoundPlan(
         graft.analytics.Dedup.repPairs(docs, "doc_id", "text", "source"))
-    }))
+    }),
+    "q56_kmeans" -> ((s, dir) =>
+      graft.analytics.Clustering.updateRoundPlan(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")))
 
   /** Additional pre-pass plans dumped alongside a query's final plan. */
   private val prePlans: Map[String, (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Map(

@@ -82,6 +82,25 @@ object Clustering {
       .orderBy("cluster")
   }
 
+  /** The plan one Lloyd round materializes (for the PLANS.md dump):
+    * map-only assignment against the init centroids feeding the k-row
+    * centroid-update aggregate — the round's ONLY exchange. Built from
+    * the same column expressions `lloyd` runs, so the dump cannot
+    * drift from the loop. */
+  def updateRoundPlan(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 8): DataFrame = {
+    val q = emb.select(col(idCol).as("id"),
+      VecExpressions.quantizeLongs(col(vecCol), Scale).as("qv"))
+    val cents = q.orderBy("id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val assigned = q.select(col("qv"),
+        VecExpressions.kmeansAssign(col("qv"), cents).as("a"))
+      .select(col("qv"), col("a.cluster").as("cluster"))
+    val aggs = (1 to dim).map(i => sum(element_at(col("qv"), i)).as(s"s$i"))
+    assigned.groupBy("cluster").agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
   /** Run `iters - 1` centroid updates from the deterministic init and
     * return the centroids the FINAL assignment pass should use. Each
     * round is one map-only assignment fused into one k-row aggregate;
