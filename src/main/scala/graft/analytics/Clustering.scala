@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VecExpressions
@@ -79,6 +80,72 @@ object Clustering {
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
         sum(floor(col("dist") / lit(DistShift)).cast("long")).as("inertia_s"))
+      .orderBy("cluster")
+  }
+
+  /** The post-`iters` centroid matrix — for operators composing the
+    * clustering with downstream per-cluster work ([[semDedup]]). */
+  def centroids(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int = 8, iters: Int = 2): Array[Array[Long]] = {
+    val q = emb.select(col(idCol).as("id"),
+      VecExpressions.quantizeLongs(col(vecCol), Scale).as("qv"))
+    lloyd(q, k, iters)
+  }
+
+  /** SemDeDup: semantic near-duplicate discovery SCOPED to k-means
+    * clusters — cluster the corpus, then search for high-cosine pairs
+    * only WITHIN a cluster (and, at scale, within an LSH bucket inside
+    * the cluster: the cluster id simply AUGMENTS the bucket join key,
+    * so this costs the same single self-join as the global bucketed
+    * near-dup [[Similarity.nearDupPairs]] — no extra exchange). One
+    * map-only pass derives BOTH pairing keys per row — the cluster
+    * (k×dim centroid matrix as a plan-time codegen constant) and the
+    * hyperplane bucket — plus the unit vector, so the corpus is never
+    * shuffled before the pair join. Zero-norm vectors keep their
+    * cluster (quantized geometry is total) but are excluded from
+    * pairing, mirroring [[Similarity.normalized]].
+    *
+    * Returns one row per cluster: member count, qualifying pair count
+    * (cosine ≥ `tau`), and the SemDeDup drop count (distinct vectors
+    * appearing as the LARGER id of a qualifying pair — the "keep the
+    * first representative" rule). Integer-only output: floats exist
+    * only inside the per-pair cosine compare, which both engines
+    * evaluate with the identical left-to-right fold. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int = 8, iters: Int = 2, dim: Int = 64,
+               numPlanes: Int = 10, tau: Double = 0.15,
+               maxBucket: Int = 1024): DataFrame = {
+    val cents = centroids(emb, idCol, vecCol, k, iters)
+    val enriched = graft.plans.InputWidth.widen(emb.select(
+      col(idCol).as("id"),
+      VecExpressions.kmeansAssign(
+        VecExpressions.quantizeLongs(col(vecCol), Scale), cents)
+        .getField("cluster").as("cluster"),
+      graft.functions.VecExpressions
+        .l2Normalize(col(vecCol).cast("array<double>")).as("nv")))
+    val members = enriched.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+    // per-(cluster, bucket) population cap, as in nearDupPairs: a
+    // degenerate bucket cannot quadratically blow up the pair join
+    val n = enriched.where(col("nv").isNotNull)
+      .withColumn("bucket", Similarity.lshBucket(col("nv"), dim, numPlanes))
+      .withColumn("bkn", count(lit(1)).over(
+        Window.partitionBy(col("cluster"), col("bucket"))))
+      .where(col("bkn") <= maxBucket).drop("bkn")
+    // rename AFTER the self-join so both children stay canonically
+    // identical and ReuseExchange runs the enrich+cap side once
+    val pairs = n.as("l").join(n.as("r"), Seq("cluster", "bucket"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("cluster"), col("l.id").as("a"), col("r.id").as("b"),
+        Similarity.dotD(col("l.nv"), col("r.nv")).as("c"))
+      .where(col("c") >= tau)
+    val agg = pairs.groupBy("cluster")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("b")).as("n_dropped"))
+    members.join(agg, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
       .orderBy("cluster")
   }
 

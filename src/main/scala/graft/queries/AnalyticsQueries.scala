@@ -237,6 +237,13 @@ object AnalyticsQueries {
       graft.analytics.Clustering.summary(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
 
+    // SemDeDup: near-dup pairs scoped to k-means clusters — the
+    // cluster id augments the LSH-bucket join key (same single
+    // self-join as q32), both keys derived in one map-only pass.
+    "q57_semdedup" -> ((s, dir) =>
+      graft.analytics.Clustering.semDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding")),
+
     // pipeline a training-data user actually runs; every stage is an
     // already-verified operator, composed (the joins are tiny keep-
     // lists against the corpus — broadcast under AQE).
@@ -427,6 +434,68 @@ object AnalyticsQueries {
         |SELECT cluster, count(*) AS n,
         |       sum(CAST(floor(CAST(dist AS DOUBLE) / 16777216.0) AS BIGINT)) AS inertia_s
         |FROM m2 GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // The q56 Lloyd chain (to final assignments m2) composed with the
+    // q32 normalize/bucket chain: pairs require same cluster AND same
+    // bucket, cosine ≥ 0.15; per cluster report members / qualifying
+    // pairs / SemDeDup drops (distinct larger-id pair members).
+    "q57_semdedup" -> {
+      val planeBit = (j: Int) =>
+        s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+           |  i -> nv[i] *
+           |       (CASE WHEN (strpos('0123456789abcdef', substring(md5(concat('$j:', CAST(i AS VARCHAR))), 1, 1)) - 1) % 2 = 0
+           |             THEN 1.0 ELSE -1.0 END)), (a,b) -> a + b) > 0
+           |THEN ${1 << j} ELSE 0 END""".stripMargin
+      s"""WITH qv AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, qv AS cv
+         |       FROM (SELECT id, qv FROM qv ORDER BY id LIMIT 8)),
+         |a1 AS (SELECT v.id, v.qv, c.j,
+         |         list_reduce(list_transform(generate_series(1, 64),
+         |           i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])), (a,b) -> a + b) AS dist
+         |       FROM qv v CROSS JOIN c0 c),
+         |m1 AS (SELECT id, qv, j AS cluster
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a1)
+         |       WHERE rk = 1),
+         |u1 AS (SELECT cluster, i, sum(qv[i]) AS s, count(*) AS n
+         |       FROM m1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+         |       GROUP BY cluster, i),
+         |c1p AS (SELECT cluster AS j,
+         |          list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY i) AS cv
+         |        FROM u1 GROUP BY cluster),
+         |c1 AS (SELECT c0.j, COALESCE(c1p.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1p ON c1p.j = c0.j),
+         |a2 AS (SELECT v.id, c.j,
+         |         list_reduce(list_transform(generate_series(1, 64),
+         |           i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])), (a,b) -> a + b) AS dist
+         |       FROM qv v CROSS JOIN c1 c),
+         |m2 AS (SELECT id, j AS cluster
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a2)
+         |       WHERE rk = 1),
+         |nrm AS (SELECT vec_id AS id,
+         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nr,
+         |    embedding AS v FROM embeddings),
+         |nv AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE) / nr) AS nv FROM nrm
+         |       WHERE nr > 0 AND isfinite(nr)),
+         |bk0 AS (SELECT nv.id, nv.nv, m2.cluster, ${(0 until 10).map(planeBit).mkString(" + ")} AS bucket
+         |        FROM nv JOIN m2 USING (id)),
+         |bk AS (SELECT id, nv, cluster, bucket FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY cluster, bucket) AS bkn FROM bk0)
+         |  WHERE bkn <= 1024),
+         |p AS (SELECT l.cluster, l.id AS a, r.id AS b,
+         |        list_reduce(list_transform(generate_series(1, 64), i -> l.nv[i] * r.nv[i]), (x,y) -> x + y) AS c
+         |      FROM bk l JOIN bk r ON l.cluster = r.cluster AND l.bucket = r.bucket AND l.id < r.id),
+         |hits AS (SELECT cluster, a, b FROM p WHERE c >= 0.15),
+         |mem AS (SELECT cluster, count(*) AS n_members FROM m2 GROUP BY cluster),
+         |agg AS (SELECT cluster, count(*) AS n_pairs, count(DISTINCT b) AS n_dropped
+         |        FROM hits GROUP BY cluster)
+         |SELECT mem.cluster, mem.n_members,
+         |       COALESCE(agg.n_pairs, 0) AS n_pairs,
+         |       COALESCE(agg.n_dropped, 0) AS n_dropped
+         |FROM mem LEFT JOIN agg ON agg.cluster = mem.cluster
+         |ORDER BY mem.cluster""".stripMargin
+    },
 
     "q51_corpus_draw" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -80,6 +80,39 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == e.count())
   }
 
+  test("semDedup reconciles with a local recomputation of scoped pairs") {
+    import graft.analytics.Similarity
+    val e = embeddings
+    // independent inputs: assignments from the clustering operator,
+    // unit vectors + buckets from the similarity helpers — the pair
+    // join / cap / aggregation logic under test is redone locally
+    val cl = Clustering.assignments(e, "vec_id", "embedding", 8, 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nb = Similarity.normalized(e, "vec_id", "embedding", "id", "nv")
+      .withColumn("bucket", Similarity.lshBucket(col("nv"), 64, 10))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    val tau = 0.15
+    val byGroup = nb.groupBy { case (id, _, b) => (cl(id), b) }
+    val hits: Seq[(Int, Long, Long)] = byGroup.values.toSeq.flatMap { rows =>
+      val rs = rows.toSeq
+      for {
+        x <- rs; y <- rs if x._1 < y._1
+        if x._2.zip(y._2).map(t => t._1 * t._2).sum >= tau
+      } yield (cl(x._1), x._1, y._1)
+    }
+    val expect = cl.values.toSeq.distinct.sorted.map { c =>
+      val h = hits.filter(_._1 == c)
+      c -> ((cl.values.count(_ == c).toLong,
+        h.size.toLong, h.map(_._3).distinct.size.toLong))
+    }.toMap
+    val got = Clustering.semDedup(e, "vec_id", "embedding")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expect)
+  }
+
   test("every row sits in the cluster whose final centroid is nearest") {
     // re-derive the final centroids from the assignment output: for
     // each row, no OTHER cluster may be strictly closer (ties resolve
