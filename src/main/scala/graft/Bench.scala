@@ -67,20 +67,39 @@ object Bench {
       val runs = (1 to reps).map { _ =>
         qs.map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
-          val t = (System.nanoTime() - t0) / 1e9
+          // a failed query is recorded as failed (NaN), never as a timing:
+          // an exception's duration (~0.05 s) silently deflating the total
+          // is exactly the artifact lying when it matters most.
+          val ok =
+            try { fn(spark, dir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"bench: $name FAILED: ${e.getMessage}")
+              false
+            }
+          val t = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
           // free result-backing checkpoints (CC labels, digest maps) so
           // repeated queries don't accumulate block-manager residents
           graft.analytics.CheckpointRegistry.releaseAll()
           name -> t
         }.toMap
       }
-      runs.reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+      // min over reps, ignoring failed reps; NaN only if ALL reps failed
+      runs.reduce((a, b) => a.map { case (k, v) =>
+        k -> (if (v.isNaN) b(k) else if (b(k).isNaN) v else math.min(v, b(k)))
+      })
     }
+    // failed queries (NaN) are excluded from the queries map and the
+    // total, and named in an "errors" list so a fast-fail can never be
+    // mistaken for a real timing.
     def js(m: Map[String, Double]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.filterNot(_._2.isNaN)
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def errs(ms: Map[String, Double]*): String = {
+      val names = ms.flatMap(_.collect { case (k, v) if v.isNaN => k }).distinct.sorted
+      if (names.isEmpty) "" else s""","errors":${names.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    }
     val results = runSuite(sfDir)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filterNot(_.isNaN).sum
     // a second, smaller-SF pass when available: round-over-round deltas
     // at two scales separate plan regressions (move together) from
     // host-load noise (don't). Same JSON line, extra keys.
@@ -89,7 +108,7 @@ object Bench {
       if (java.nio.file.Files.isDirectory(sf001Dir) && sf001Dir.toString != sfDir)
         Some(runSuite(sf001Dir.toString)) else None
     val extra = small.map(m =>
-      s""","total_sf001":${m.values.sum},"queries_sf001":${js(m)}""").getOrElse("")
+      s""","total_sf001":${m.values.filterNot(_.isNaN).sum},"queries_sf001":${js(m)}""").getOrElse("")
     // a subset run must be distinguishable from the full suite: the
     // "only" key records the filter, and the file lands as
     // bench_subset.json so a 2-query A/B can never clobber (or
@@ -113,7 +132,7 @@ object Bench {
         if (s.nonEmpty) "-dirty" else ""
       } catch { case _: Exception => "" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"commit":"$commit$dirty"$onlyKey,"queries":${js(results)},"sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"commit":"$commit$dirty"$onlyKey${errs(results :: small.toList: _*)},"queries":${js(results)},"sf":"$sfDir"$extra}"""
     println(line)
     // also land the line in a file: the driver's captured-stdout tail
     // has truncated the JSON twice running — the artifact must survive.

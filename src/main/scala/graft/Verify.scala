@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -34,6 +35,7 @@ object Verify {
         out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally
@@ -56,5 +58,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // A crashed query must be a LOUD gate failure, not a silently absent
+    // row in the driver's correctness file (round 8 lost 21 queries that
+    // way). Oracle dump + stop still ran above, so partial results land.
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -17,14 +17,22 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads via
-    * the nanosAsLong legacy conf; values are whole microseconds, so the
-    * conversion back to TimestampType is exact (oracle side uses
-    * `CAST(ts AS TIMESTAMP)` — same truncation). */
+  /** `events.ts` has shipped under two physical parquet encodings:
+    * TIMESTAMP(NANOS) (readable only via the nanosAsLong legacy conf, as a
+    * long of nanoseconds) and annotated TIMESTAMP_MICROS (read natively as
+    * a timestamp). Branch on the *read* schema rather than assuming one
+    * encoding; both paths land on TIMESTAMP_NTZ microseconds, matching the
+    * oracle's `CAST(ts AS TIMESTAMP)`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos-as-long: values are whole microseconds, so div 1000 is exact
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        raw.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+    }
   }
 
   /** Derived frontier rows from `events` (Spark side). Mirror of
