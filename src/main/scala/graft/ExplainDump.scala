@@ -57,6 +57,10 @@ object ExplainDump {
       "Intra-doc repetition signals: one native rep_stats pass per doc (exact word-2-gram total/distinct/top counts in a HashMap — no sketch) — map-only except the presentation sort; the scan predicate is a cheap trimmed-contains-space check equivalent to n2 > 0, so no second expression evaluation is pushed into the scan. The column-algebra alternative would shuffle every 2-gram occurrence twice.",
     "q56_kmeans" ->
       "Exact-integer k-means (Lloyd): assignment is MAP-ONLY — the k×dim centroid matrix is a plan-time codegen reference object (kmeans_assign), NOT a join side, so the corpus is never shuffled; each round's only exchange is the k-row centroid-update aggregate (partial map-side sums of k×65 longs per partition), and the k-row collect between rounds is bounded by k (documented driver-side set, same contract as the frontier seed batches). All geometry is exact long math over floor(x·2^20)-quantized components: distributed float summation is reduction-order-dependent and one flipped last bit can flip an argmin, so quantization is what makes the fixed point bit-identical on any partitioning — and hash-checkable by the SQL oracle end to end. The final plan below is the summary aggregate over the map-only assignment.",
+    "q58_kmeans_assign" ->
+      "Id-level k-means assignments — the surface users JOIN with (q56 verifies the same fixed point's aggregate view): one map-only pass (centroid matrix as a plan-time codegen constant), zero data-dependent exchanges; the trailing sort is oracle-determinism only. At 100 TB the assignment column costs one corpus scan.",
+    "q59_semdedup_draw" ->
+      "SemDeDup consumed as a KEEP LIST (the exactDedup composability contract): drop ids (distinct larger-id members of qualifying pairs) are a small fraction of the corpus, so the anti-join broadcasts under AQE and the corpus is never shuffled by the keep step; the only full-size exchanges are the ones the SemDeDup pair search already pays (cluster+bucket self-join).",
     "q49_pagerank" ->
       "Fixed-point PageRank, ADAPTIVE like q50's CC: a host-level link graph is tiny even when the corpus is not (10⁸ pages → 10⁵ hosts), so when the distinct edge list fits on the driver the SAME BIGINT recurrence runs locally (floor divisions + integer sums are order-independent → bit-identical by construction, spec-pinned; works for any node type since no ordering is needed) and the final plan is a LocalTableScan. Big graphs run 3 materialized distributed rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->

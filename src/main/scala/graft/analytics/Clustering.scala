@@ -115,30 +115,10 @@ object Clustering {
                k: Int = 8, iters: Int = 2, dim: Int = 64,
                numPlanes: Int = 10, tau: Double = 0.15,
                maxBucket: Int = 1024): DataFrame = {
-    val cents = centroids(emb, idCol, vecCol, k, iters)
-    val enriched = graft.plans.InputWidth.widen(emb.select(
-      col(idCol).as("id"),
-      VecExpressions.kmeansAssign(
-        VecExpressions.quantizeLongs(col(vecCol), Scale), cents)
-        .getField("cluster").as("cluster"),
-      graft.functions.VecExpressions
-        .l2Normalize(col(vecCol).cast("array<double>")).as("nv")))
+    val (enriched, pairs) =
+      semDedupPairs(emb, idCol, vecCol, k, iters, dim, numPlanes, tau, maxBucket)
     val members = enriched.groupBy("cluster")
       .agg(count(lit(1)).as("n_members"))
-    // per-(cluster, bucket) population cap, as in nearDupPairs: a
-    // degenerate bucket cannot quadratically blow up the pair join
-    val n = enriched.where(col("nv").isNotNull)
-      .withColumn("bucket", Similarity.lshBucket(col("nv"), dim, numPlanes))
-      .withColumn("bkn", count(lit(1)).over(
-        Window.partitionBy(col("cluster"), col("bucket"))))
-      .where(col("bkn") <= maxBucket).drop("bkn")
-    // rename AFTER the self-join so both children stay canonically
-    // identical and ReuseExchange runs the enrich+cap side once
-    val pairs = n.as("l").join(n.as("r"), Seq("cluster", "bucket"))
-      .where(col("l.id") < col("r.id"))
-      .select(col("cluster"), col("l.id").as("a"), col("r.id").as("b"),
-        Similarity.dotD(col("l.nv"), col("r.nv")).as("c"))
-      .where(col("c") >= tau)
     val agg = pairs.groupBy("cluster")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("b")).as("n_dropped"))
@@ -147,6 +127,55 @@ object Clustering {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
       .orderBy("cluster")
+  }
+
+  /** SemDeDup's PRIMARY output for pipeline composition: the id-level
+    * keep list — every corpus id minus those dropped by the "keep the
+    * first representative" rule (ids appearing as the LARGER member of a
+    * qualifying pair). Consume it exactly like [[Dedup.exactDedup]]'s
+    * keep list: anti-join side is distinct drop ids (a small fraction of
+    * the corpus — broadcastable under AQE), so the corpus itself is
+    * never shuffled by the keep join. */
+  def semDedupKeep(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, iters: Int = 2, dim: Int = 64,
+                   numPlanes: Int = 10, tau: Double = 0.15,
+                   maxBucket: Int = 1024): DataFrame = {
+    val (enriched, pairs) =
+      semDedupPairs(emb, idCol, vecCol, k, iters, dim, numPlanes, tau, maxBucket)
+    val dropped = pairs.select(col("b").as("drop_id")).distinct()
+    enriched.select(col("id").as("keep_id"), col("cluster"))
+      .join(dropped, col("keep_id") === col("drop_id"), "left_anti")
+  }
+
+  /** Shared SemDeDup core: the cluster+bucket-enriched corpus and its
+    * qualifying within-(cluster, bucket) cosine pairs. One map-only pass
+    * derives BOTH pairing keys per row; the per-(cluster, bucket)
+    * population cap (as in nearDupPairs) keeps a degenerate bucket from
+    * quadratically blowing up the pair join; renaming AFTER the
+    * self-join keeps both children canonically identical so
+    * ReuseExchange runs the enrich+cap side once. */
+  private def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            k: Int, iters: Int, dim: Int, numPlanes: Int,
+                            tau: Double, maxBucket: Int): (DataFrame, DataFrame) = {
+    val cents = centroids(emb, idCol, vecCol, k, iters)
+    val enriched = graft.plans.InputWidth.widen(emb.select(
+      col(idCol).as("id"),
+      VecExpressions.kmeansAssign(
+        VecExpressions.quantizeLongs(col(vecCol), Scale), cents)
+        .getField("cluster").as("cluster"),
+      graft.functions.VecExpressions
+        .l2Normalize(col(vecCol).cast("array<double>")).as("nv")))
+    val n = enriched.where(col("nv").isNotNull)
+      .withColumn("bucket", Similarity.lshBucket(col("nv"), dim, numPlanes))
+      .withColumn("bkn", count(lit(1)).over(
+        Window.partitionBy(col("cluster"), col("bucket"))))
+      .where(col("bkn") <= maxBucket).drop("bkn")
+    val pairs = n.as("l").join(n.as("r"), Seq("cluster", "bucket"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("cluster"), col("l.id").as("a"), col("r.id").as("b"),
+        Similarity.dotD(col("l.nv"), col("r.nv")).as("c"))
+      .where(col("c") >= tau)
+    (enriched, pairs)
   }
 
   /** The plan one Lloyd round materializes (for the PLANS.md dump):

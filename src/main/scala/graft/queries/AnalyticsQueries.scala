@@ -25,6 +25,65 @@ object AnalyticsQueries {
   private def chunk(e: String, k: Int): String =
     s"CAST(concat('0x', substring(md5($e), ${1 + 8 * k}, 8)) AS BIGINT)"
 
+  /** The two-round exact-integer Lloyd chain over `embeddings`, ending
+    * at `m2(id, cluster, dist)` — shared by the q56/q57/q58/q59 oracles
+    * (mirror of [[graft.analytics.Clustering]], k=8, iters=2, 2^20
+    * quantization). */
+  private lazy val lloydCte: String =
+    """qv AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, qv AS cv
+      |       FROM (SELECT id, qv FROM qv ORDER BY id LIMIT 8)),
+      |a1 AS (SELECT v.id, v.qv, c.j,
+      |         list_reduce(list_transform(generate_series(1, 64),
+      |           i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])), (a,b) -> a + b) AS dist
+      |       FROM qv v CROSS JOIN c0 c),
+      |m1 AS (SELECT id, qv, j AS cluster
+      |       FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a1)
+      |       WHERE rk = 1),
+      |u1 AS (SELECT cluster, i, sum(qv[i]) AS s, count(*) AS n
+      |       FROM m1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
+      |       GROUP BY cluster, i),
+      |c1p AS (SELECT cluster AS j,
+      |          list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY i) AS cv
+      |        FROM u1 GROUP BY cluster),
+      |c1 AS (SELECT c0.j, COALESCE(c1p.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1p ON c1p.j = c0.j),
+      |a2 AS (SELECT v.id, c.j,
+      |         list_reduce(list_transform(generate_series(1, 64),
+      |           i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])), (a,b) -> a + b) AS dist
+      |       FROM qv v CROSS JOIN c1 c),
+      |m2 AS (SELECT id, j AS cluster, dist
+      |       FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a2)
+      |       WHERE rk = 1)""".stripMargin
+
+  /** SemDeDup pair discovery over `m2` (from [[lloydCte]]): the q32
+    * normalize/bucket chain with the cluster id augmenting the bucket
+    * key, per-(cluster, bucket) cap 1024, cosine ≥ 0.15 → `hits`. */
+  private lazy val semDedupHitsCte: String = {
+    val planeBit = (j: Int) =>
+      s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+         |  i -> nv[i] *
+         |       (CASE WHEN (strpos('0123456789abcdef', substring(md5(concat('$j:', CAST(i AS VARCHAR))), 1, 1)) - 1) % 2 = 0
+         |             THEN 1.0 ELSE -1.0 END)), (a,b) -> a + b) > 0
+         |THEN ${1 << j} ELSE 0 END""".stripMargin
+    s"""nrm AS (SELECT vec_id AS id,
+       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nr,
+       |    embedding AS v FROM embeddings),
+       |nv AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE) / nr) AS nv FROM nrm
+       |       WHERE nr > 0 AND isfinite(nr)),
+       |bk0 AS (SELECT nv.id, nv.nv, m2.cluster, ${(0 until 10).map(planeBit).mkString(" + ")} AS bucket
+       |        FROM nv JOIN m2 USING (id)),
+       |bk AS (SELECT id, nv, cluster, bucket FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY cluster, bucket) AS bkn FROM bk0)
+       |  WHERE bkn <= 1024),
+       |p AS (SELECT l.cluster, l.id AS a, r.id AS b,
+       |        list_reduce(list_transform(generate_series(1, 64), i -> l.nv[i] * r.nv[i]), (x,y) -> x + y) AS c
+       |      FROM bk l JOIN bk r ON l.cluster = r.cluster AND l.bucket = r.bucket AND l.id < r.id),
+       |hits AS (SELECT cluster, a, b FROM p WHERE c >= 0.15)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on content digest.
@@ -244,6 +303,28 @@ object AnalyticsQueries {
       graft.analytics.Clustering.semDedup(
         t(s, dir, "embeddings"), "vec_id", "embedding")),
 
+    // Id-level k-means assignments — the operator surface users join
+    // with (q56 verifies the aggregate view of the same fixed point).
+    // Map-only assignment; the orderBy is presentation-only.
+    "q58_kmeans_assign" -> ((s, dir) =>
+      graft.analytics.Clustering.assignments(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+        .orderBy("id")),
+
+    // SemDeDup consumed the way q51 consumes exactDedup: the id-level
+    // keep list anti-joins the drop set (small, broadcast under AQE),
+    // then composes with the document corpus for a per-lang draw
+    // summary — the reference-style composability north star.
+    "q59_semdedup_draw" -> ((s, dir) => {
+      val keep = graft.analytics.Clustering.semDedupKeep(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+      t(s, dir, "documents")
+        .join(keep, col("doc_id") === col("keep_id"))
+        .groupBy("lang", "cluster")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang", "cluster")
+    }),
+
     // pipeline a training-data user actually runs; every stage is an
     // already-verified operator, composed (the joins are tiny keep-
     // lists against the corpus — broadcast under AQE).
@@ -396,97 +477,34 @@ object AnalyticsQueries {
          |FROM agg a JOIN nsh n USING (doc_id)
          |ORDER BY dup_fraction DESC, a.doc_id LIMIT 200""".stripMargin,
 
-    // Full SQL mirror of the two-round exact-integer Lloyd iteration:
-    // quantize, init = 8 lowest-id vectors, assign (argmin squared
-    // distance, ties to the lowest centroid index), floor-mean update
-    // (empty clusters keep their centroid), reassign, summarize. Every
-    // step is integer arithmetic or an exact double op (power-of-two
-    // scale, floor of a correctly-rounded quotient with 1/n ≫ ulp
-    // margin), so the hash compare verifies the whole fixed point.
+    // Full SQL mirror of the two-round exact-integer Lloyd iteration
+    // (shared chain: lloydCte): quantize, init = 8 lowest-id vectors,
+    // assign (argmin squared distance, ties to the lowest centroid
+    // index), floor-mean update (empty clusters keep their centroid),
+    // reassign, summarize. Every step is integer arithmetic or an exact
+    // double op (power-of-two scale, floor of a correctly-rounded
+    // quotient with 1/n ≫ ulp margin), so the hash compare verifies the
+    // whole fixed point.
     "q56_kmeans" ->
-      """WITH qv AS (
-        |  SELECT vec_id AS id,
-        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, qv AS cv
-        |       FROM (SELECT id, qv FROM qv ORDER BY id LIMIT 8)),
-        |a1 AS (SELECT v.id, v.qv, c.j,
-        |         list_reduce(list_transform(generate_series(1, 64),
-        |           i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])), (a,b) -> a + b) AS dist
-        |       FROM qv v CROSS JOIN c0 c),
-        |m1 AS (SELECT id, qv, j AS cluster
-        |       FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a1)
-        |       WHERE rk = 1),
-        |u1 AS (SELECT cluster, i, sum(qv[i]) AS s, count(*) AS n
-        |       FROM m1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
-        |       GROUP BY cluster, i),
-        |c1p AS (SELECT cluster AS j,
-        |          list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY i) AS cv
-        |        FROM u1 GROUP BY cluster),
-        |c1 AS (SELECT c0.j, COALESCE(c1p.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1p ON c1p.j = c0.j),
-        |a2 AS (SELECT v.id, c.j,
-        |         list_reduce(list_transform(generate_series(1, 64),
-        |           i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])), (a,b) -> a + b) AS dist
-        |       FROM qv v CROSS JOIN c1 c),
-        |m2 AS (SELECT id, j AS cluster, dist
-        |       FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a2)
-        |       WHERE rk = 1)
-        |SELECT cluster, count(*) AS n,
-        |       sum(CAST(floor(CAST(dist AS DOUBLE) / 16777216.0) AS BIGINT)) AS inertia_s
-        |FROM m2 GROUP BY cluster ORDER BY cluster""".stripMargin,
+      s"""WITH $lloydCte
+         |SELECT cluster, count(*) AS n,
+         |       sum(CAST(floor(CAST(dist AS DOUBLE) / 16777216.0) AS BIGINT)) AS inertia_s
+         |FROM m2 GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // The final Lloyd assignments themselves — the id-level surface
+    // users join with.
+    "q58_kmeans_assign" ->
+      s"""WITH $lloydCte
+         |SELECT id, cluster, dist FROM m2 ORDER BY id""".stripMargin,
 
     // The q56 Lloyd chain (to final assignments m2) composed with the
-    // q32 normalize/bucket chain: pairs require same cluster AND same
-    // bucket, cosine ≥ 0.15; per cluster report members / qualifying
-    // pairs / SemDeDup drops (distinct larger-id pair members).
-    "q57_semdedup" -> {
-      val planeBit = (j: Int) =>
-        s"""CASE WHEN list_reduce(list_transform(generate_series(1, 64),
-           |  i -> nv[i] *
-           |       (CASE WHEN (strpos('0123456789abcdef', substring(md5(concat('$j:', CAST(i AS VARCHAR))), 1, 1)) - 1) % 2 = 0
-           |             THEN 1.0 ELSE -1.0 END)), (a,b) -> a + b) > 0
-           |THEN ${1 << j} ELSE 0 END""".stripMargin
-      s"""WITH qv AS (
-         |  SELECT vec_id AS id,
-         |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS j, qv AS cv
-         |       FROM (SELECT id, qv FROM qv ORDER BY id LIMIT 8)),
-         |a1 AS (SELECT v.id, v.qv, c.j,
-         |         list_reduce(list_transform(generate_series(1, 64),
-         |           i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])), (a,b) -> a + b) AS dist
-         |       FROM qv v CROSS JOIN c0 c),
-         |m1 AS (SELECT id, qv, j AS cluster
-         |       FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a1)
-         |       WHERE rk = 1),
-         |u1 AS (SELECT cluster, i, sum(qv[i]) AS s, count(*) AS n
-         |       FROM m1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) d
-         |       GROUP BY cluster, i),
-         |c1p AS (SELECT cluster AS j,
-         |          list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY i) AS cv
-         |        FROM u1 GROUP BY cluster),
-         |c1 AS (SELECT c0.j, COALESCE(c1p.cv, c0.cv) AS cv FROM c0 LEFT JOIN c1p ON c1p.j = c0.j),
-         |a2 AS (SELECT v.id, c.j,
-         |         list_reduce(list_transform(generate_series(1, 64),
-         |           i -> (v.qv[i] - c.cv[i]) * (v.qv[i] - c.cv[i])), (a,b) -> a + b) AS dist
-         |       FROM qv v CROSS JOIN c1 c),
-         |m2 AS (SELECT id, j AS cluster
-         |       FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a2)
-         |       WHERE rk = 1),
-         |nrm AS (SELECT vec_id AS id,
-         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nr,
-         |    embedding AS v FROM embeddings),
-         |nv AS (SELECT id, list_transform(v, x -> CAST(x AS DOUBLE) / nr) AS nv FROM nrm
-         |       WHERE nr > 0 AND isfinite(nr)),
-         |bk0 AS (SELECT nv.id, nv.nv, m2.cluster, ${(0 until 10).map(planeBit).mkString(" + ")} AS bucket
-         |        FROM nv JOIN m2 USING (id)),
-         |bk AS (SELECT id, nv, cluster, bucket FROM (
-         |  SELECT *, count(*) OVER (PARTITION BY cluster, bucket) AS bkn FROM bk0)
-         |  WHERE bkn <= 1024),
-         |p AS (SELECT l.cluster, l.id AS a, r.id AS b,
-         |        list_reduce(list_transform(generate_series(1, 64), i -> l.nv[i] * r.nv[i]), (x,y) -> x + y) AS c
-         |      FROM bk l JOIN bk r ON l.cluster = r.cluster AND l.bucket = r.bucket AND l.id < r.id),
-         |hits AS (SELECT cluster, a, b FROM p WHERE c >= 0.15),
+    // q32 normalize/bucket chain (shared: semDedupHitsCte): pairs
+    // require same cluster AND same bucket, cosine ≥ 0.15; per cluster
+    // report members / qualifying pairs / SemDeDup drops (distinct
+    // larger-id pair members).
+    "q57_semdedup" ->
+      s"""WITH $lloydCte,
+         |$semDedupHitsCte,
          |mem AS (SELECT cluster, count(*) AS n_members FROM m2 GROUP BY cluster),
          |agg AS (SELECT cluster, count(*) AS n_pairs, count(DISTINCT b) AS n_dropped
          |        FROM hits GROUP BY cluster)
@@ -494,8 +512,20 @@ object AnalyticsQueries {
          |       COALESCE(agg.n_pairs, 0) AS n_pairs,
          |       COALESCE(agg.n_dropped, 0) AS n_dropped
          |FROM mem LEFT JOIN agg ON agg.cluster = mem.cluster
-         |ORDER BY mem.cluster""".stripMargin
-    },
+         |ORDER BY mem.cluster""".stripMargin,
+
+    // SemDeDup keep list (all ids minus distinct larger-id pair
+    // members) composed with the document corpus.
+    "q59_semdedup_draw" ->
+      s"""WITH $lloydCte,
+         |$semDedupHitsCte,
+         |drops AS (SELECT DISTINCT b AS id FROM hits),
+         |keep AS (SELECT m2.id, m2.cluster FROM m2
+         |         LEFT JOIN drops ON drops.id = m2.id WHERE drops.id IS NULL)
+         |SELECT d.lang, k.cluster, count(*) AS n_docs,
+         |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+         |FROM documents d JOIN keep k ON d.doc_id = k.id
+         |GROUP BY d.lang, k.cluster ORDER BY d.lang, k.cluster""".stripMargin,
 
     "q51_corpus_draw" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

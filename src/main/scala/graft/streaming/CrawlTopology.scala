@@ -72,7 +72,8 @@ object CrawlTopology {
                 indexSink: Option[graft.index.IndexSink] = None,
                 indexerMapping: graft.index.IndexerMapping =
                   graft.index.IndexerMapping(),
-                sitemapDiscovery: Boolean = false): (CrawlStats, DataFrame) = {
+                sitemapDiscovery: Boolean = false,
+                dedupContent: Boolean = false): (CrawlStats, DataFrame) = {
     // selection may run at an adaptive horizon (backlog digging), but
     // merges/schedules always stamp wall-clock batchTime — scheduling
     // new discoveries at a frozen horizon would make them immediately
@@ -179,7 +180,24 @@ object CrawlTopology {
     // Errors produced by the merge's own escalation (3rd FETCH_ERROR)
     // surface on a later batch's select, not here.
     indexSink.foreach { sink =>
-      sink.indexBatch(indexerMapping(docs))
+      // optional batch-scoped digest collapse before indexing: pages
+      // serving byte-identical extracted content index ONCE per
+      // micro-batch (lexicographically-first url wins — deterministic),
+      // while every url keeps its own status row from the merge above.
+      // The reference's signature idea (AdaptiveScheduler change
+      // detection, MD5SignatureParseFilter) applied ACROSS urls. One
+      // batch-sized shuffle on the digest — the exactDedup shape; at
+      // cluster scale this is a hash exchange on sha-distributed keys,
+      // never a hotspot. Null-signature rows partition by their own url,
+      // so they are always kept.
+      val toIndex =
+        if (dedupContent) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(coalesce(col("signature"), col("url"))).orderBy("url")
+          docs.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1).drop("__rn")
+        } else docs
+      sink.indexBatch(indexerMapping(toIndex))
       sink.deleteBatch(updates.where(col("status") === Status.Error).select("url"))
     }
     val stats = CrawlStats(
@@ -204,7 +222,8 @@ object CrawlTopology {
             respectRobots: Boolean = true,
             selectionLimit: Int = 500,
             indexSink: Option[graft.index.IndexSink] = None,
-            sitemapDiscovery: Boolean = false): Seq[CrawlStats] = {
+            sitemapDiscovery: Boolean = false,
+            dedupContent: Boolean = false): Seq[CrawlStats] = {
     var stats = Vector.empty[CrawlStats]
     var i = 0
     var continue = true
@@ -216,7 +235,8 @@ object CrawlTopology {
         limit = selectionLimit,
         crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
         selectTime = Some(adaptiveDate.queryDate()),
-        indexSink = indexSink, sitemapDiscovery = sitemapDiscovery)
+        indexSink = indexSink, sitemapDiscovery = sitemapDiscovery,
+        dedupContent = dedupContent)
       adaptiveDate.observe(st.selected, selectionLimit)
       docsOut.foreach { dir =>
         if (st.docs > 0)
@@ -244,7 +264,8 @@ object CrawlTopology {
                   crawlDelayMs: Long = 1000,
                   respectRobots: Boolean = true,
                   indexSink: Option[graft.index.IndexSink] = None,
-                  sitemapDiscovery: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+                  sitemapDiscovery: Boolean = false,
+                  dedupContent: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream
       .format("rate").option("rowsPerSecond", 1).load()
       .writeStream
@@ -253,7 +274,8 @@ object CrawlTopology {
       .foreachBatch { (_: DataFrame, _: Long) =>
         val (st, docs) = crawlOnce(spark, store, protocols, chain,
           crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
-          indexSink = indexSink, sitemapDiscovery = sitemapDiscovery)
+          indexSink = indexSink, sitemapDiscovery = sitemapDiscovery,
+          dedupContent = dedupContent)
         if (st.docs > 0)
           docs.select("url", "title", "text", "signature", "noindex")
             .write.mode("append").parquet(docsOut)

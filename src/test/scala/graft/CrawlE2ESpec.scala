@@ -172,6 +172,37 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(!docs.exists(_.getAs[String]("url").endsWith("bad.pdf")))
   }
 
+  test("dedupContent: identical bytes at two URLs index once, status rows for both") {
+    val dir = Files.createTempDirectory("dupsite")
+    val html = "<html><head><title>D</title></head><body>same content on two urls</body></html>"
+    Files.write(dir.resolve("dup1.html"), html.getBytes("UTF-8"))
+    Files.write(dir.resolve("dup2.html"), html.getBytes("UTF-8"))
+    Files.write(dir.resolve("other.html"),
+      "<html><body>different content</body></html>".getBytes("UTF-8"))
+    val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    CrawlTopology.seed(spark, store, Seq(
+      s"file://$dir/dup1.html", s"file://$dir/dup2.html", s"file://$dir/other.html"), chain)
+    val indexed = scala.collection.mutable.Buffer.empty[String]
+    val sink = new graft.index.IndexSink {
+      def indexBatch(docs: org.apache.spark.sql.DataFrame): Unit =
+        indexed ++= docs.select("url").collect().map(_.getString(0))
+      def deleteBatch(urls: org.apache.spark.sql.DataFrame): Unit = ()
+    }
+    CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+      maxIterations = 2, crawlDelayMs = 0, respectRobots = false,
+      indexSink = Some(sink), dedupContent = true)
+    // every url keeps its own status row — dedup only gates the index
+    val byUrl = store.read(spark).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(byUrl(s"file://$dir/dup1.html") == Status.Fetched)
+    assert(byUrl(s"file://$dir/dup2.html") == Status.Fetched)
+    assert(byUrl(s"file://$dir/other.html") == Status.Fetched)
+    // identical content indexed once (lexicographically-first url wins);
+    // distinct content untouched
+    assert(indexed.toSet == Set(s"file://$dir/dup1.html", s"file://$dir/other.html"),
+      s"indexed: $indexed")
+  }
+
   test("politeness: same-host fetches spaced by crawl delay") {
     val dir = siteDir
     val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
