@@ -10,7 +10,9 @@ exact duplicates — the realistic shape of mirrored/boilerplate mass at
 crawl scale, and exactly what the dedup operators' bucket caps are
 designed to absorb.
 
-Usage: gen_scale.py SRC_DIR DST_DIR N
+Usage: gen_scale.py SRC_DIR DST_DIR N [table,table,...]
+(the optional 4th arg restricts generation to those tables — e.g. the
+sf100 soak only needs documents+embeddings, not a 600M-row lineitem)
 """
 import sys
 import pyarrow as pa
@@ -35,9 +37,11 @@ SHIFTS = {
 }
 
 
-def main(src, dst, n):
+def main(src, dst, n, only=None):
     os.makedirs(dst, exist_ok=True)
     for name, shifts in SHIFTS.items():
+        if only and name not in only:
+            continue
         t = pq.read_table(f"{src}/{name}.parquet")
         replicas = []
         for i in range(n):
@@ -56,4 +60,5 @@ def main(src, dst, n):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]),
+         set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None)
