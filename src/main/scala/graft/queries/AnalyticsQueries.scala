@@ -325,6 +325,14 @@ object AnalyticsQueries {
         .orderBy("lang", "cluster")
     }),
 
+    // Corpus-trained bigram LM fluency (CCNet-style quality signal):
+    // integer-quantized conditional probabilities — (SCALE*B) div U —
+    // so the whole model and every per-doc mean is engine-exact.
+    "q60_lm_fluency" -> ((s, dir) =>
+      graft.analytics.LanguageModel.fluency(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // pipeline a training-data user actually runs; every stage is an
     // already-verified operator, composed (the joins are tiny keep-
     // lists against the corpus — broadcast under AQE).
@@ -526,6 +534,23 @@ object AnalyticsQueries {
          |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
          |FROM documents d JOIN keep k ON d.doc_id = k.id
          |GROUP BY d.lang, k.cluster ORDER BY d.lang, k.cluster""".stripMargin,
+
+    // Mirror of LanguageModel.fluency: occurrence counts (not
+    // distinct), integer-division score, one double division per doc.
+    "q60_lm_fluency" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |         THEN list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])
+         |         ELSE CAST([] AS VARCHAR[]) END) AS g FROM w),
+         |uc AS (SELECT w1, count(*) AS u FROM (SELECT unnest(ws) AS w1 FROM w) GROUP BY w1),
+         |bc AS (SELECT g, count(*) AS b FROM bg GROUP BY g),
+         |sc AS (SELECT g, (1000000 * b) // u AS s
+         |       FROM bc JOIN uc ON split_part(g, ' ', 1) = w1),
+         |d AS (SELECT doc_id, count(*) AS n_bigrams, sum(s) AS score_s
+         |      FROM bg JOIN sc USING (g) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, CAST(score_s AS BIGINT) AS score_s,
+         |       CAST(score_s AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q51_corpus_draw" ->
       s"""WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
