@@ -73,7 +73,8 @@ object CrawlTopology {
                 indexerMapping: graft.index.IndexerMapping =
                   graft.index.IndexerMapping(),
                 sitemapDiscovery: Boolean = false,
-                dedupContent: Boolean = false): (CrawlStats, DataFrame) = {
+                dedupContent: Boolean = false,
+                digestLedger: Option[graft.index.DigestLedger] = None): (CrawlStats, DataFrame) = {
     // selection may run at an adaptive horizon (backlog digging), but
     // merges/schedules always stamp wall-clock batchTime — scheduling
     // new discoveries at a frozen horizon would make them immediately
@@ -190,15 +191,37 @@ object CrawlTopology {
       // cluster scale this is a hash exchange on sha-distributed keys,
       // never a hotspot. Null-signature rows partition by their own url,
       // so they are always kept.
-      val toIndex =
+      val batchDeduped =
         if (dedupContent) {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(coalesce(col("signature"), col("url"))).orderBy("url")
           docs.withColumn("__rn", row_number().over(w))
             .where(col("__rn") === 1).drop("__rn")
         } else docs
-      sink.indexBatch(indexerMapping(toIndex))
-      sink.deleteBatch(updates.where(col("status") === Status.Error).select("url"))
+      // cross-batch face: the ledger remembers every digest indexed by
+      // EARLIER batches, so identical content indexes once ever. The
+      // membership check broadcasts the bounded batch into a
+      // shard-pruned ledger sliver — the unbounded side never moves
+      // (DigestLedger scaladoc). Null signatures fall back to the url
+      // hash, i.e. are always fresh.
+      val (toIndex, cached) = digestLedger match {
+        case Some(ledger) if dedupContent =>
+          val keyed = batchDeduped.withColumn("__d",
+            coalesce(col("signature"), sha2(col("url"), 256)))
+          val known = ledger.knownAmong(spark,
+            keyed.select(col("__d").as("digest")))
+          val fresh = keyed.join(
+            broadcast(known.withColumnRenamed("digest", "__d")),
+            Seq("__d"), "left_anti")
+          fresh.cache() // consumed twice: record + index
+          ledger.record(fresh.select(col("__d").as("digest")))
+          (fresh.drop("__d"), Some(fresh))
+        case _ => (batchDeduped, None)
+      }
+      try {
+        sink.indexBatch(indexerMapping(toIndex))
+        sink.deleteBatch(updates.where(col("status") === Status.Error).select("url"))
+      } finally cached.foreach(_.unpersist())
     }
     val stats = CrawlStats(
       selected = selected,
@@ -223,7 +246,8 @@ object CrawlTopology {
             selectionLimit: Int = 500,
             indexSink: Option[graft.index.IndexSink] = None,
             sitemapDiscovery: Boolean = false,
-            dedupContent: Boolean = false): Seq[CrawlStats] = {
+            dedupContent: Boolean = false,
+            digestLedger: Option[graft.index.DigestLedger] = None): Seq[CrawlStats] = {
     var stats = Vector.empty[CrawlStats]
     var i = 0
     var continue = true
@@ -236,7 +260,7 @@ object CrawlTopology {
         crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
         selectTime = Some(adaptiveDate.queryDate()),
         indexSink = indexSink, sitemapDiscovery = sitemapDiscovery,
-        dedupContent = dedupContent)
+        dedupContent = dedupContent, digestLedger = digestLedger)
       adaptiveDate.observe(st.selected, selectionLimit)
       docsOut.foreach { dir =>
         if (st.docs > 0)

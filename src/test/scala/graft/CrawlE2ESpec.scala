@@ -203,6 +203,40 @@ class CrawlE2ESpec extends AnyFunSuite {
       s"indexed: $indexed")
   }
 
+  test("digest ledger: identical content in a LATER batch never re-indexes") {
+    val dir = Files.createTempDirectory("ledgersite")
+    val html = "<html><head><title>L</title></head><body>ledger dedup body</body></html>"
+    Files.write(dir.resolve("first.html"), html.getBytes("UTF-8"))
+    val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    val ledger = new graft.index.DigestLedger(
+      Files.createTempDirectory("ledger").toString + "/digests")
+    val indexed = scala.collection.mutable.Buffer.empty[String]
+    val sink = new graft.index.IndexSink {
+      def indexBatch(docs: org.apache.spark.sql.DataFrame): Unit =
+        indexed ++= docs.select("url").collect().map(_.getString(0))
+      def deleteBatch(urls: org.apache.spark.sql.DataFrame): Unit = ()
+    }
+    // round 1: first.html indexes and its digest lands in the ledger
+    CrawlTopology.seed(spark, store, Seq(s"file://$dir/first.html"), chain)
+    CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+      maxIterations = 2, crawlDelayMs = 0, respectRobots = false,
+      indexSink = Some(sink), dedupContent = true, digestLedger = Some(ledger))
+    assert(indexed.toSeq == Seq(s"file://$dir/first.html"))
+    // round 2: a NEW url serving byte-identical content — batch-scoped
+    // dedup can't see it (different batch); the ledger must
+    Files.write(dir.resolve("second.html"), html.getBytes("UTF-8"))
+    CrawlTopology.seed(spark, store, Seq(s"file://$dir/second.html"), chain)
+    CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+      maxIterations = 2, crawlDelayMs = 0, respectRobots = false,
+      indexSink = Some(sink), dedupContent = true, digestLedger = Some(ledger))
+    assert(indexed.toSeq == Seq(s"file://$dir/first.html"), s"re-indexed: $indexed")
+    // both urls crawled and FETCHED — only indexing was gated
+    val byUrl = store.read(spark).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(byUrl(s"file://$dir/first.html") == Status.Fetched)
+    assert(byUrl(s"file://$dir/second.html") == Status.Fetched)
+  }
+
   test("politeness: same-host fetches spaced by crawl delay") {
     val dir = siteDir
     val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
