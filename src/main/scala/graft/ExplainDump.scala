@@ -57,6 +57,8 @@ object ExplainDump {
       "Intra-doc repetition signals: one native rep_stats pass per doc (exact word-2-gram total/distinct/top counts in a HashMap — no sketch) — map-only except the presentation sort; the scan predicate is a cheap trimmed-contains-space check equivalent to n2 > 0, so no second expression evaluation is pushed into the scan. The column-algebra alternative would shuffle every 2-gram occurrence twice.",
     "q56_kmeans" ->
       "Exact-integer k-means (Lloyd): assignment is MAP-ONLY — the k×dim centroid matrix is a plan-time codegen reference object (kmeans_assign), NOT a join side, so the corpus is never shuffled; each round's only exchange is the k-row centroid-update aggregate (partial map-side sums of k×65 longs per partition), and the k-row collect between rounds is bounded by k (documented driver-side set, same contract as the frontier seed batches). All geometry is exact long math over floor(x·2^20)-quantized components: distributed float summation is reduction-order-dependent and one flipped last bit can flip an argmin, so quantization is what makes the fixed point bit-identical on any partitioning — and hash-checkable by the SQL oracle end to end. The final plan below is the summary aggregate over the map-only assignment.",
+    "q61_temperature_sample" ->
+      "Temperature downsampling: ONE group-cardinality-sized count aggregate derives the min(1, sqrt(cap/n)) rates, PINNED broadcast back onto the corpus (the q53 argument — the corpus side must never be the build side), and the keep decision is the same deterministic id-hash bucket filter as q45 — map-side, no corpus shuffle, no RNG, pruning intact. The rate chain (divide, sqrt, scale, floor) is three correctly-rounded IEEE ops + an exact floor — engine-identical bits, which is why a SQL oracle can hash-verify a SAMPLING operator.",
     "q60_lm_fluency" ->
       "Corpus-trained bigram LM fluency, ADAPTIVE on the duplication probe: ONE corpus-sized exchange (the bigram occurrence table shuffled by gram into the score join — AQE skew-splittable; a window formulation would pin every 'of the' row into one partition); unigram/bigram count aggregates ship map-side partials only, and the score table S(g) = (10^6·B) div U(prefix) is vocabulary-sized, built count-table⋈count-table. Integer division end to end — no float fold, no log — so the model and every per-doc mean are engine-exact (the Clustering quantization argument). On a replicated corpus, tokenize + gram exchange run once per DISTINCT text and counts recover as member-weight sums, bit-identical (spec-pinned).",
     "q58_kmeans_assign" ->

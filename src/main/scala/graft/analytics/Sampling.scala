@@ -49,4 +49,33 @@ object Sampling {
     }
     df.where(bucket(col(idCol)) < rate * 10000)
   }
+
+  /** Temperature (size-aware) downsampling: each group keeps rate
+    * `min(1, sqrt(cap / n_g))` — the XLM-R-style flattening rule that
+    * tempers over-represented sources while leaving small groups
+    * intact. Rates are DERIVED from the data (one count aggregate),
+    * then quantized to basis points of the same 0..9999 id-hash bucket
+    * [[stratifiedSample]] uses, so the draw stays deterministic at any
+    * parallelism. The rate chain is engine-exact: `cap/n`, `sqrt`, and
+    * `10000·x` are each single correctly-rounded IEEE ops evaluated
+    * identically everywhere, and `floor` pins the result to a long —
+    * the [[Clustering]] determinism argument, float edition.
+    *
+    * Scale shape: the count table is group-cardinality-sized (languages
+    * / sources — small by contract), so it broadcasts (pinned, the q53
+    * argument: the corpus side must never be the build side) and the
+    * keep predicate stays a map-side filter over the corpus — no
+    * corpus shuffle, pruning/pushdown intact. */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        cap: Long): DataFrame = {
+    val rates = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        least(lit(10000L),
+          floor(lit(10000.0) *
+            sqrt(lit(cap.toDouble) / col("__n").cast("double"))).cast("long"))
+          .as("__rate_bp"))
+    df.join(broadcast(rates), groupCol)
+      .where(bucket(col(idCol)) < col("__rate_bp"))
+      .drop("__rate_bp")
+  }
 }

@@ -325,6 +325,16 @@ object AnalyticsQueries {
         .orderBy("lang", "cluster")
     }),
 
+    // Temperature (size-aware) downsampling: per-group keep rate
+    // min(1, sqrt(cap/n)) derived from the data — en (218 docs at
+    // sf0.01) tempers to ~68%, the small langs keep everything.
+    "q61_temperature_sample" -> ((s, dir) =>
+      graft.analytics.Sampling.temperatureSample(
+          t(s, dir, "documents"), "lang", "doc_id", 100L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")),
+
     // Corpus-trained bigram LM fluency (CCNet-style quality signal):
     // integer-quantized conditional probabilities — (SCALE*B) div U —
     // so the whole model and every per-doc mean is engine-exact.
@@ -534,6 +544,17 @@ object AnalyticsQueries {
          |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
          |FROM documents d JOIN keep k ON d.doc_id = k.id
          |GROUP BY d.lang, k.cluster ORDER BY d.lang, k.cluster""".stripMargin,
+
+    // Mirror of Sampling.temperatureSample: the rate chain is three
+    // correctly-rounded IEEE ops + floor, identical on both engines.
+    "q61_temperature_sample" ->
+      s"""WITH r AS (SELECT lang, least(10000,
+         |    CAST(floor(10000.0 * sqrt(100.0 / CAST(count(*) AS DOUBLE))) AS BIGINT)) AS rate_bp
+         |  FROM documents GROUP BY lang)
+         |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE ${graft.analytics.Sampling.bucketSql("d.doc_id")} < r.rate_bp
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // Mirror of LanguageModel.fluency: occurrence counts (not
     // distinct), integer-division score, one double division per doc.

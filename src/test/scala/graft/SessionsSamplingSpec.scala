@@ -67,6 +67,23 @@ class SessionsSamplingSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("temperature sample: sqrt(cap/n) rates, small groups untouched, deterministic") {
+    import spark.implicits._
+    // en: 1600 docs, cap 400 -> rate sqrt(0.25) = 0.5 exactly
+    // de: 400 docs  -> rate 1.0 (capped) — kept in full
+    val docs = (0L until 2000L).map(i => (i, if (i % 5 == 4) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val s1 = Sampling.temperatureSample(docs, "lang", "doc_id", 400L)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.temperatureSample(docs.repartition(13), "lang", "doc_id", 400L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2) // no RNG, any parallelism
+    val de = s1.count(_ % 5 == 4)
+    assert(de == 400, s"small group must be untouched: $de") // rate capped at 1
+    val en = s1.size - de
+    assert(math.abs(en / 1600.0 - 0.5) < 0.1, s"en rate off: $en/1600")
+  }
+
   test("sampling bucket matches its SQL mirror") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 17L, 9999L, 123456789L).toDF("id")
