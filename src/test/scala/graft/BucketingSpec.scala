@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Bucketing
+
+/** Bucketed tables must join on the bucket key WITHOUT an Exchange on
+  * the bucketed sides — the co-located-join contract that makes the
+  * write-time shuffle amortize across every downstream join. */
+class BucketingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("warehouse").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", wh)
+      // bucketed-scan parallelism must not be coalesced away for this
+      // plan assertion; AQE stays on (default) to mirror production
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private def executedPlanString(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("join of two tables bucketed on the key plans no Exchange") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, s"text $i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val keep = (0L until 1000L by 3).map(Tuple1(_)).toDF("doc_id")
+    Bucketing.saveBucketed(docs, "docs_bucketed", "doc_id", 8)
+    Bucketing.saveBucketed(keep, "keep_bucketed", "doc_id", 8)
+
+    // hint("merge"): at toy scale AQE would broadcast the keep side and
+    // never consult the bucketing — the 100 TB shape this spec pins is
+    // two BIG sides, where sort-merge is the planner's own choice
+    val joined = Bucketing.table(spark, "docs_bucketed")
+      .join(Bucketing.table(spark, "keep_bucketed").hint("merge"), "doc_id")
+    val plan = executedPlanString(joined)
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must be exchange-free:\n$plan")
+    assert(joined.count() == 334)
+
+    // the unbucketed version of the same join DOES shuffle — the
+    // assertion above is meaningful
+    val unbucketed = docs.join(keep.hint("merge"), "doc_id")
+    assert(executedPlanString(unbucketed).contains("Exchange"))
+  }
+
+  test("aggregation on the bucket key reuses the bucketing (no Exchange)") {
+    val agg = Bucketing.table(spark, "docs_bucketed")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val plan = executedPlanString(agg)
+    assert(!plan.contains("Exchange"),
+      s"bucketed agg must be exchange-free:\n$plan")
+  }
+}
