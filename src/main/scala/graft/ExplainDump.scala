@@ -57,6 +57,8 @@ object ExplainDump {
       "Intra-doc repetition signals: one native rep_stats pass per doc (exact word-2-gram total/distinct/top counts in a HashMap — no sketch) — map-only except the presentation sort; the scan predicate is a cheap trimmed-contains-space check equivalent to n2 > 0, so no second expression evaluation is pushed into the scan. The column-algebra alternative would shuffle every 2-gram occurrence twice.",
     "q56_kmeans" ->
       "Exact-integer k-means (Lloyd): assignment is MAP-ONLY — the k×dim centroid matrix is a plan-time codegen reference object (kmeans_assign), NOT a join side, so the corpus is never shuffled; each round's only exchange is the k-row centroid-update aggregate (partial map-side sums of k×65 longs per partition), and the k-row collect between rounds is bounded by k (documented driver-side set, same contract as the frontier seed batches). All geometry is exact long math over floor(x·2^20)-quantized components: distributed float summation is reduction-order-dependent and one flipped last bit can flip an argmin, so quantization is what makes the fixed point bit-identical on any partitioning — and hash-checkable by the SQL oracle end to end. The final plan below is the summary aggregate over the map-only assignment.",
+    "q62_clean_draw" ->
+      "The cleaning chain composed — decontaminate-drop (≥50% eval overlap) ∘ exact-dedup-keep ∘ per-lang draw: the corpus is scanned once; the drop list (contaminated docs) and keep list (digest representatives) are corpus-fraction-sized and broadcast under AQE, so the composition adds NO corpus-sized exchange beyond what q53/q20 already pay. This is the operator-reuse contract: every stage is independently hash-verified, and composing them needs no new machinery.",
     "q61_temperature_sample" ->
       "Temperature downsampling: ONE group-cardinality-sized count aggregate derives the min(1, sqrt(cap/n)) rates, PINNED broadcast back onto the corpus (the q53 argument — the corpus side must never be the build side), and the keep decision is the same deterministic id-hash bucket filter as q45 — map-side, no corpus shuffle, no RNG, pruning intact. The rate chain (divide, sqrt, scale, floor) is three correctly-rounded IEEE ops + an exact floor — engine-identical bits, which is why a SQL oracle can hash-verify a SAMPLING operator.",
     "q60_lm_fluency" ->

@@ -325,6 +325,28 @@ object AnalyticsQueries {
         .orderBy("lang", "cluster")
     }),
 
+    // The full cleaning chain composed: decontaminate (drop docs with
+    // ≥50% eval-set overlap) ∘ exact dedup ∘ per-lang draw — each stage
+    // an already-verified operator; both drop/keep lists are tiny next
+    // to the corpus (broadcast under AQE), so the corpus itself is
+    // scanned once and never shuffled by the composition.
+    "q62_clean_draw" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 13 =!= 0)
+      val bench = docs.where(col("doc_id") % 13 === 0)
+      val contaminated = graft.analytics.Decontaminate
+        .ngramHits(corpus, bench, "doc_id", "text", 4)
+        .where(col("contamination") >= 0.5)
+        .select(col("doc_id").as("bad_id"))
+      val keep = Dedup.exactDedup(corpus, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      corpus.join(keep, "doc_id")
+        .join(contaminated, col("doc_id") === col("bad_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // Temperature (size-aware) downsampling: per-group keep rate
     // min(1, sqrt(cap/n)) derived from the data — en (218 docs at
     // sf0.01) tempers to ~68%, the small langs keep everything.
@@ -544,6 +566,30 @@ object AnalyticsQueries {
          |       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
          |FROM documents d JOIN keep k ON d.doc_id = k.id
          |GROUP BY d.lang, k.cluster ORDER BY d.lang, k.cluster""".stripMargin,
+
+    // The q53 chain with a ≥0.5 contamination drop, composed with the
+    // exact-dedup keep list and the per-lang draw.
+    "q62_clean_draw" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+         |         THEN list_distinct(list_transform(generate_series(1, len(ws)-3),
+         |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         |         ELSE CAST([] AS VARCHAR[]) END AS shs FROM w),
+         |grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+         |bench AS (SELECT g FROM grams WHERE doc_id % 13 = 0 GROUP BY g),
+         |corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 13 <> 0),
+         |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+         |hits AS (SELECT c.doc_id, count(*) AS n_hits
+         |         FROM corpus c JOIN bench b USING (g) GROUP BY c.doc_id),
+         |bad AS (SELECT h.doc_id FROM hits h JOIN nsh n USING (doc_id)
+         |        WHERE CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.5),
+         |cdocs AS (SELECT doc_id, lang, n_chars, text FROM documents WHERE doc_id % 13 <> 0),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM cdocs GROUP BY md5(text))
+         |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+         |FROM cdocs d JOIN keep USING (doc_id)
+         |LEFT JOIN bad ON bad.doc_id = d.doc_id
+         |WHERE bad.doc_id IS NULL
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // Mirror of Sampling.temperatureSample: the rate chain is three
     // correctly-rounded IEEE ops + floor, identical on both engines.
