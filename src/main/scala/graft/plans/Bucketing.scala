@@ -27,15 +27,22 @@ object Bucketing {
 
   /** Write `df` as a bucketed, per-bucket-sorted parquet table under
     * the session catalog (in-memory catalog + warehouse dir — no Hive
-    * needed). Overwrites any previous table of the same name. */
+    * needed). Pass `path` to pin the data location explicitly (an
+    * EXTERNAL table — bucket metadata still rides in the catalog);
+    * without it the session warehouse dir is used. Drops any previous
+    * registration first so a stale location from an earlier session
+    * can't collide (LOCATION_ALREADY_EXISTS fires even when the
+    * in-memory catalog is empty). */
   def saveBucketed(df: DataFrame, table: String, key: String,
-                   buckets: Int): Unit =
-    df.write
+                   buckets: Int, path: Option[String] = None): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = df.write
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Read a bucketed table back (bucket metadata rides along from the
     * catalog, which is what lets the planner drop the Exchange). */

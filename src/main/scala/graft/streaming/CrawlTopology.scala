@@ -289,7 +289,8 @@ object CrawlTopology {
                   respectRobots: Boolean = true,
                   indexSink: Option[graft.index.IndexSink] = None,
                   sitemapDiscovery: Boolean = false,
-                  dedupContent: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+                  dedupContent: Boolean = false,
+                  digestLedger: Option[graft.index.DigestLedger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream
       .format("rate").option("rowsPerSecond", 1).load()
       .writeStream
@@ -299,7 +300,7 @@ object CrawlTopology {
         val (st, docs) = crawlOnce(spark, store, protocols, chain,
           crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
           indexSink = indexSink, sitemapDiscovery = sitemapDiscovery,
-          dedupContent = dedupContent)
+          dedupContent = dedupContent, digestLedger = digestLedger)
         if (st.docs > 0)
           docs.select("url", "title", "text", "signature", "noindex")
             .write.mode("append").parquet(docsOut)

@@ -11,17 +11,20 @@ import graft.plans.Bucketing
   * write-time shuffle amortize across every downstream join. */
 class BucketingSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = {
-    val wh = java.nio.file.Files.createTempDirectory("warehouse").toString
-    SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.warehouse.dir", wh)
-      // bucketed-scan parallelism must not be coalesced away for this
-      // plan assertion; AQE stays on (default) to mirror production
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-  }
+  // getOrCreate returns the suite-shared session in a full run, so no
+  // per-spec warehouse config can be relied on: tables get unique names
+  // and explicit temp locations instead (the IndexSinkSpec Derby rule)
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val run = java.util.UUID.randomUUID().toString.replace("-", "")
+  private val docsTable = s"docs_bucketed_$run"
+  private val keepTable = s"keep_bucketed_$run"
+  private def tmpPath(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("t").toString
 
   private def executedPlanString(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // materialize so AQE finalizes the plan
@@ -33,14 +36,14 @@ class BucketingSpec extends AnyFunSuite {
     val docs = (0L until 1000L).map(i => (i, s"text $i", s"src${i % 4}"))
       .toDF("doc_id", "text", "source")
     val keep = (0L until 1000L by 3).map(Tuple1(_)).toDF("doc_id")
-    Bucketing.saveBucketed(docs, "docs_bucketed", "doc_id", 8)
-    Bucketing.saveBucketed(keep, "keep_bucketed", "doc_id", 8)
+    Bucketing.saveBucketed(docs, docsTable, "doc_id", 8, Some(tmpPath("bktd")))
+    Bucketing.saveBucketed(keep, keepTable, "doc_id", 8, Some(tmpPath("bktk")))
 
     // hint("merge"): at toy scale AQE would broadcast the keep side and
     // never consult the bucketing — the 100 TB shape this spec pins is
     // two BIG sides, where sort-merge is the planner's own choice
-    val joined = Bucketing.table(spark, "docs_bucketed")
-      .join(Bucketing.table(spark, "keep_bucketed").hint("merge"), "doc_id")
+    val joined = Bucketing.table(spark, docsTable)
+      .join(Bucketing.table(spark, keepTable).hint("merge"), "doc_id")
     val plan = executedPlanString(joined)
     assert(!plan.contains("Exchange"),
       s"bucketed join must be exchange-free:\n$plan")
@@ -53,7 +56,7 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("aggregation on the bucket key reuses the bucketing (no Exchange)") {
-    val agg = Bucketing.table(spark, "docs_bucketed")
+    val agg = Bucketing.table(spark, docsTable)
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val plan = executedPlanString(agg)
     assert(!plan.contains("Exchange"),

@@ -137,6 +137,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), plan.take(3000))
   }
 
+  test("q61 temperature rates broadcast onto the corpus; ≤2 group-sized shuffles") {
+    val df = SparkEntry.queries("q61_temperature_sample")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the rate table (group-cardinality-sized) must be the broadcast
+    // side — the corpus stays a map-side filtered scan
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    // hash shuffles: the rate count-agg and the final per-lang agg,
+    // both group-sized after map-side partials; the corpus never
+    // hash-shuffles
+    assert(shuffles("q61_temperature_sample") <= 2)
+  }
+
   test("pair-generator self-joins reuse one exchange (single corpus pass)") {
     import org.apache.spark.sql.functions._
     // the expensive side (minhash/tokenize/normalize + window) must be
