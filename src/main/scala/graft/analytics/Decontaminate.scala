@@ -51,6 +51,60 @@ object Decontaminate {
     else collapsedHits(corpus, bg, idCol, textCol, k)
   }
 
+  /** [[ngramHits]] for the regime where the eval-gram table has grown
+    * past broadcast-hash-relation size (a full benchmark-suite gram
+    * table at ~50 bytes/key is tens of GB as a hash relation — not
+    * shippable to every executor): build a Bloom filter over the eval
+    * grams (`2^log2Bits` BITS total — 128 KiB at the default — riding
+    * into the probe task as a codegen reference object), prefilter the
+    * exploded corpus grams MAP-ONLY, and confirm the survivors with an
+    * exact sort-merge join. Zero false negatives means the output is
+    * hash-identical to [[ngramHits]]' direct path by construction; the
+    * bloom only changes which bytes reach the exchange — at a typical
+    * sub-percent contamination rate, ~all of the corpus-gram shuffle
+    * (the dominant cost: O(corpus tokens) rows) disappears before it
+    * ships. The `merge` hint pins the confirm join to sort-merge so the
+    * plan under test IS the at-scale plan (without it, AQE broadcasts
+    * the toy-scale eval table and the prefilter demonstrates nothing).
+    *
+    * The filter build is deterministic regardless of partitioning:
+    * set-bit union is commutative, so the bit pattern depends only on
+    * the key set. Build cost is one pass over the (small) eval side;
+    * the distinct set-bit collect is bounded by the filter size `m`,
+    * the same bounded-driver-set contract as the k-means centroid
+    * matrix.
+    *
+    * Mirrors Spark's own `InjectRuntimeFilter` bloom (public source,
+    * `spark/sql/catalyst/optimizer/InjectRuntimeFilter.scala`) as an
+    * explicit operator: the optimizer rule only fires on selective
+    * equi-joins it can cost, while a decontamination pipeline KNOWS the
+    * corpus side dwarfs the eval side and wants the filter
+    * unconditionally. */
+  def ngramHitsBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+                     textCol: String, k: Int, log2Bits: Int = 20,
+                     numHash: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions
+    val bg = benchGrams(bench, idCol, textCol, k)
+    val setPositions = bg
+      .select(explode(BloomFunctions
+        .bloomPositions(col("g"), numHash, log2Bits)).as("p"))
+      .distinct()
+      .collect() // bounded by 2^log2Bits — the filter's own bit count
+      .map(_.getInt(0))
+    val bits = graft.functions.BloomOps.buildBits(setPositions, log2Bits)
+    val grams = docGrams(
+      withGs(corpus.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol)), textCol, k), "doc_id")
+      .where(BloomFunctions.bloomContains(col("g"), bits, numHash, log2Bits))
+    grams.join(bg.hint("merge"), "g")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_hits"), min("bench_id").as("first_match"))
+      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+        (col("n_hits").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination"),
+        col("first_match"))
+  }
+
   /** (g, bench_id = min owning benchmark id) per distinct eval-set
     * gram. Small by contract — callers broadcast it. */
   private def benchGrams(bench: DataFrame, idCol: String, textCol: String,

@@ -347,6 +347,40 @@ object AnalyticsQueries {
         .orderBy("lang")
     }),
 
+    // The q53 overlap check in the big-eval-set regime: the eval grams
+    // ride as a Bloom BIT ARRAY (codegen reference object), the corpus
+    // gram stream is prefiltered map-only, and a pinned sort-merge join
+    // confirms survivors exactly — output hash-identical to the plain
+    // join, shuffle mass cut to the hit rows. 3-grams + a lower
+    // contamination floor keep this exercising a different slice of the
+    // gram space than q53's 4-gram top-100.
+    "q63_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.analytics.Decontaminate.ngramHitsBloom(
+          docs.where(col("doc_id") % 13 =!= 0),
+          docs.where(col("doc_id") % 13 === 0),
+          "doc_id", "text", 3)
+        .where(col("contamination") >= 0.05)
+        .orderBy("doc_id")
+    }),
+
+    // Fuzzy (near-dup) clean draw: q50's connected components reduced
+    // to a drop list (every member that is NOT its component's min
+    // label), anti-joined against the corpus — the keep-one-
+    // representative-per-cluster stage a dedup pipeline actually ships.
+    // The drop list is small next to the corpus (only clustered docs),
+    // so the anti-join broadcasts and the corpus is scanned once.
+    "q64_fuzzy_clean_draw" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val drops = Dedup.nearDupComponents(docs, "doc_id", "text", "source")
+        .where(col("node") =!= col("comp"))
+        .select(col("node").as("drop_id"))
+      docs.join(drops, col("doc_id") === col("drop_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // Temperature (size-aware) downsampling: per-group keep rate
     // min(1, sqrt(cap/n)) derived from the data — en (218 docs at
     // sf0.01) tempers to ~68%, the small langs keep everything.
@@ -589,6 +623,46 @@ object AnalyticsQueries {
          |FROM cdocs d JOIN keep USING (doc_id)
          |LEFT JOIN bad ON bad.doc_id = d.doc_id
          |WHERE bad.doc_id IS NULL
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // The bloom prefilter is invisible to semantics (no false
+    // negatives + exact confirm join), so the oracle is simply the
+    // exact 3-gram overlap chain.
+    "q63_bloom_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |         THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+         |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END AS shs FROM w),
+         |grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+         |bench AS (SELECT g, min(doc_id) AS bench_id FROM grams WHERE doc_id % 13 = 0 GROUP BY g),
+         |corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 13 <> 0),
+         |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+         |hits AS (SELECT c.doc_id, count(*) AS n_hits, min(b.bench_id) AS first_match
+         |         FROM corpus c JOIN bench b USING (g) GROUP BY c.doc_id)
+         |SELECT h.doc_id, n_hits, n.n_shingles,
+         |       CAST(n_hits AS DOUBLE) / CAST(n.n_shingles AS DOUBLE) AS contamination,
+         |       first_match
+         |FROM hits h JOIN nsh n USING (doc_id)
+         |WHERE CAST(n_hits AS DOUBLE) / CAST(n.n_shingles AS DOUBLE) >= 0.05
+         |ORDER BY h.doc_id""".stripMargin,
+
+    // q50's exact transitive closure reduced to the non-representative
+    // drop set, anti-joined against the corpus.
+    "q64_fuzzy_clean_draw" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         |u AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+         |v AS (SELECT DISTINCT x AS node FROM u),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM v
+         |  UNION
+         |  SELECT u.x, reach.r FROM u JOIN reach ON u.y = reach.node
+         |  WHERE reach.r < u.x),
+         |l AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+         |drops AS (SELECT node FROM l WHERE comp <> node)
+         |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+         |FROM documents d LEFT JOIN drops ON drops.node = d.doc_id
+         |WHERE drops.node IS NULL
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     // Mirror of Sampling.temperatureSample: the rate chain is three

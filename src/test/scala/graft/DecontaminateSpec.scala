@@ -148,4 +148,55 @@ class DecontaminateSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
     assert(out.toSeq == Seq((1L, 4L, 2L, 2L), (2L, 2L, 2L, 1L)))
   }
+
+  test("ngramHitsBloom: hash-identical to the exact join, even with a tiny filter full of false positives") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 13 =!= 0)
+    val bench = docs.where(col("doc_id") % 13 === 0)
+    val exact = Decontaminate.ngramHits(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().toSeq
+    // realistic filter size…
+    val bloom = Decontaminate.ngramHitsBloom(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact)
+    // …and a 64-bit filter, saturated: ~every probe is a false
+    // positive, so equality here proves the confirm join does the
+    // semantics and the bloom is pure pruning
+    val saturated = Decontaminate.ngramHitsBloom(
+        corpus, bench, "doc_id", "text", 3, log2Bits = 6, numHash = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(saturated == exact)
+  }
+
+  test("bloom build is partitioning-invariant; probe filter sits before the exchange over a sort-merge confirm join") {
+    import spark.implicits._
+    import graft.functions.{BloomFunctions, BloomOps}
+    val bench = (0L until 200L).map(i => (i, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    def bitsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val grams = df.select(explode(graft.functions.TextHashExpressions
+        .distinctShingles(col("text"), 3)).as("g"))
+      val pos = grams.select(explode(
+          BloomFunctions.bloomPositions(col("g"), 5, 16)).as("p"))
+        .distinct().collect().map(_.getInt(0))
+      BloomOps.buildBits(pos, 16).toSeq
+    }
+    assert(bitsOf(bench.repartition(1)) == bitsOf(bench.repartition(7)),
+      "set-bit union must not depend on partitioning")
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Decontaminate.ngramHitsBloom(
+        docs.where(col("doc_id") % 13 =!= 0),
+        docs.where(col("doc_id") % 13 === 0),
+        "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_contains"), plan.take(3000))
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // map-only prefilter: the bloom probe must run BEFORE the corpus
+    // gram exchange, not after it
+    val probeAt = plan.indexOf("bloom_contains")
+    val smjAt = plan.indexOf("SortMergeJoin")
+    assert(smjAt < probeAt,
+      "bloom filter should be below (after, in toString order) the join it feeds")
+  }
 }
