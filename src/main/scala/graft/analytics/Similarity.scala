@@ -154,4 +154,105 @@ object Similarity {
       .orderBy(col("cosine").desc, col("a"), col("b"))
       .limit(topN)
   }
+
+  /** Product-quantization codebooks: the corpus is split into `m`
+    * subspaces of `subDim` dims and each subspace gets its own
+    * `kCodes`-entry codebook from the exact-integer Lloyd iteration
+    * ([[Clustering]]'s geometry — `floor(x·2^20)` quantization, long
+    * distances, floor-of-mean centroid updates — so codebooks are
+    * bit-identical across engines and partitionings).
+    *
+    * All `m` subspaces train in ONE corpus scan per round: a per-row
+    * explode emits (subspace, code, subvector) legs and a single
+    * partial-aggregated groupBy produces the m×kCodes update rows (the
+    * round's only exchange — m·kCodes·(subDim+1) longs). Init is the
+    * kCodes lowest-id vectors sliced per subspace (one TakeOrdered).
+    * At 100 TB, codebook training would run on a sample; the full-scan
+    * trainer here is what makes the oracle reproducible end-to-end. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, subDim: Int, kCodes: Int,
+                  iters: Int): Array[Array[Array[Long]]] = {
+    import graft.functions.VecExpressions
+    val q = corpus.select(col(idCol).as("id"),
+      VecExpressions.quantizeLongs(col(vecCol), Clustering.Scale).as("qv"))
+    var books: Array[Array[Array[Long]]] = {
+      val rows = q.orderBy("id").limit(kCodes).collect()
+        .map(_.getSeq[Long](1).toArray)
+      Array.tabulate(m)(s => rows.map(v => v.slice(s * subDim, (s + 1) * subDim)))
+    }
+    for (_ <- 1 until iters) {
+      val legs = (0 until m).map { s =>
+        struct(lit(s).as("s"),
+          VecExpressions.kmeansAssign(
+              slice(col("qv"), s * subDim + 1, subDim), books(s))
+            .getField("cluster").as("code"),
+          slice(col("qv"), s * subDim + 1, subDim).as("sv"))
+      }
+      val ex = q.select(explode(array(legs: _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"), col("e.sv").as("sv"))
+      val aggs = (1 to subDim).map(i => sum(element_at(col("sv"), i)).as(s"s$i"))
+      val rows = ex.groupBy("s", "code")
+        .agg(count(lit(1)).as("n"), aggs: _*)
+        .collect() // bounded: ≤ m·kCodes rows
+      val next = books.map(_.map(_.clone())) // empty code keeps its centroid
+      rows.foreach { r =>
+        val s = r.getInt(0)
+        val j = r.getInt(1)
+        val n = r.getLong(2)
+        val c = new Array[Long](subDim)
+        var i = 0
+        while (i < subDim) {
+          c(i) = math.floor(r.getLong(3 + i).toDouble / n.toDouble).toLong
+          i += 1
+        }
+        next(s)(j) = c
+      }
+      books = next
+    }
+    books
+  }
+
+  /** PQ-compressed ANN — the MEMORY scale path: 100 TB of float32
+    * embeddings cannot sit in executor memory or ride a shuffle, but
+    * their PQ codes can (64 dims × 4 B → `m` small ints, a 32× working
+    * set reduction at the default geometry; the float vectors are read
+    * once to encode and never touched again). Encoding is map-only —
+    * the codebooks ride as codegen reference objects
+    * ([[graft.functions.KmeansAssignExpr]] per subspace), never a join
+    * side. Each query precomputes an m×kCodes distance lookup table
+    * ([[graft.functions.PqLutExpr]], query side small by contract →
+    * broadcast), and the scan scores a candidate with `m` table loads
+    * + adds ([[graft.functions.PqDistExpr]]) — no float math, no
+    * codebook access in the hot loop. Top-k per query by approximate
+    * squared L2, ties by corpus id; self-matches excluded. Compose
+    * with [[ivfTopK]]'s coarse quantizer for the full IVF-PQ shape
+    * (prune buckets, then LUT-score codes within probed buckets).
+    *
+    * Exactness contract: PQ is approximate vs true L2 by design, but
+    * BIT-EXACT as a function of (corpus, queries, geometry) — integer
+    * codebooks, codes, and distances — which is what the DuckDB oracle
+    * (q65) checks, hash-identical, no recall hand-waving. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, m: Int = 8, subDim: Int = 8,
+             kCodes: Int = 16, iters: Int = 2, k: Int = 5): DataFrame = {
+    import graft.functions.{PqFunctions, VecExpressions}
+    val books = pqCodebooks(corpus, idCol, vecCol, m, subDim, kCodes, iters)
+    val codeCols = (0 until m).map(s =>
+      VecExpressions.kmeansAssign(
+          slice(col("qv"), s * subDim + 1, subDim), books(s))
+        .getField("cluster"))
+    val c = graft.plans.InputWidth
+      .widen(corpus.select(col(idCol).as("c_id"),
+        VecExpressions.quantizeLongs(col(vecCol), Clustering.Scale).as("qv")))
+      .select(col("c_id"), array(codeCols: _*).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"),
+      PqFunctions.pqLut(
+        VecExpressions.quantizeLongs(col(vecCol), Clustering.Scale), books).as("lut"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        PqFunctions.pqDist(col("lut"), col("codes")).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("adist"), col("rnk"))
+  }
 }

@@ -364,6 +364,19 @@ object AnalyticsQueries {
         .orderBy("doc_id")
     }),
 
+    // PQ-compressed ANN: per-subspace exact-integer codebooks, map-only
+    // encode (codebooks as codegen constants), LUT-scored scan over the
+    // 8-int codes — the memory scale path (float vectors are read once
+    // to encode and never shuffled). Approximate by design, bit-exact
+    // as a function of the inputs — the oracle reproduces codebooks,
+    // codes, and distances integer-for-integer.
+    "q65_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.where(col("vec_id") % 100 === 0),
+          "vec_id", "embedding")
+        .orderBy("q_id", "rnk")
+    }),
+
     // Fuzzy (near-dup) clean draw: q50's connected components reduced
     // to a drop list (every member that is NOT its component's min
     // label), anti-joined against the corpus — the keep-one-
@@ -467,6 +480,68 @@ object AnalyticsQueries {
         "concat('h', cast(user_id % 20 as string)) AS src",
         "concat('h', cast(event_id % 20 as string)) AS dst")
       .where(col("src") =!= col("dst"))
+
+  /** The per-subspace PQ chain (mirror of [[Similarity.pqCodebooks]] /
+    * `pqTopK` at the default geometry: m=8 subspaces × 8 dims, 16
+    * codes, 2 Lloyd rounds, queries = vec_id % 100 = 0): each subspace
+    * runs the same exact-integer Lloyd rounds as [[lloydCte]] over its
+    * slice, then codes join back per id and the query LUTs supply the
+    * summed approximate distance. Generated by a loop so all eight
+    * subspaces stay structurally identical.
+    *
+    * Every CTE is MATERIALIZED: DuckDB inlines multiply-referenced
+    * CTEs by default, and with eight ~9-deep chains each referencing
+    * its predecessors 2-3 times the inlined plan explodes
+    * combinatorially (measured: >120 s to not even finish planning at
+    * sf0.01 vs 1.1 s materialized). */
+  private lazy val pqScoredCte: String = {
+    val m = 8; val subDim = 8; val kCodes = 16
+    def sq(v: String, c: String) =
+      s"list_reduce(list_transform(generate_series(1, $subDim), " +
+        s"i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (a,b) -> a + b)"
+    val per = (0 until m).map { s =>
+      val off = s * subDim
+      s"""sub$s AS MATERIALIZED (SELECT id, qv[${off + 1}:${off + subDim}] AS v FROM qv),
+         |c0_$s AS MATERIALIZED (SELECT row_number() OVER (ORDER BY id) - 1 AS j, v AS cv
+         |          FROM (SELECT id, v FROM sub$s ORDER BY id LIMIT $kCodes)),
+         |a1_$s AS MATERIALIZED (SELECT t.id, t.v, c.j, ${sq("t.v", "c.cv")} AS dist
+         |          FROM sub$s t CROSS JOIN c0_$s c),
+         |m1_$s AS MATERIALIZED (SELECT id, v, j AS code
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a1_$s)
+         |          WHERE rk = 1),
+         |u1_$s AS MATERIALIZED (SELECT code, i, sum(v[i]) AS sm, count(*) AS n
+         |          FROM m1_$s CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS i) d
+         |          GROUP BY code, i),
+         |c1p_$s AS MATERIALIZED (SELECT code AS j,
+         |             list(CAST(floor(CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) ORDER BY i) AS cv
+         |           FROM u1_$s GROUP BY code),
+         |c1_$s AS MATERIALIZED (SELECT c0.j, COALESCE(p.cv, c0.cv) AS cv
+         |          FROM c0_$s c0 LEFT JOIN c1p_$s p ON p.j = c0.j),
+         |a2_$s AS MATERIALIZED (SELECT t.id, c.j, ${sq("t.v", "c.cv")} AS dist
+         |          FROM sub$s t CROSS JOIN c1_$s c),
+         |m2_$s AS MATERIALIZED (SELECT id, j AS code$s
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a2_$s)
+         |          WHERE rk = 1),
+         |lut_$s AS MATERIALIZED (SELECT q.id AS q_id, c.j, ${sq("q.v", "c.cv")} AS d
+         |           FROM sub$s q CROSS JOIN c1_$s c WHERE q.id % 100 = 0)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (1 until m).map(s => s"JOIN m2_$s USING (id)").mkString(" ")
+    val lutJoins = (0 until m).map(s =>
+      s"JOIN lut_$s l$s ON l$s.q_id = q.q_id AND l$s.j = codes.code$s").mkString("\n  ")
+    val distSum = (0 until m).map(s => s"l$s.d").mkString(" + ")
+    s"""qv AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |$per,
+       |codes AS MATERIALIZED (SELECT * FROM m2_0 $codeJoins),
+       |qids AS MATERIALIZED (SELECT id AS q_id FROM qv WHERE id % 100 = 0),
+       |scored AS MATERIALIZED (
+       |  SELECT q.q_id, codes.id AS c_id, $distSum AS adist
+       |  FROM qids q CROSS JOIN codes
+       |  $lutJoins
+       |  WHERE codes.id <> q.q_id)""".stripMargin
+  }
 
   /** Shared pair-generation CTE (q22's LSH banding), reused by the
     * component-clustering oracle. */
@@ -646,6 +721,16 @@ object AnalyticsQueries {
          |FROM hits h JOIN nsh n USING (doc_id)
          |WHERE CAST(n_hits AS DOUBLE) / CAST(n.n_shingles AS DOUBLE) >= 0.05
          |ORDER BY h.doc_id""".stripMargin,
+
+    // Full PQ reproduction: 8 per-subspace integer Lloyd chains →
+    // codes → LUT-summed approximate distances → per-query top-5.
+    "q65_pq_topk" ->
+      s"""WITH $pqScoredCte
+         |SELECT q_id, c_id, adist, rnk FROM (
+         |  SELECT q_id, c_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
 
     // q50's exact transitive closure reduced to the non-representative
     // drop set, anti-joined against the corpus.

@@ -87,4 +87,53 @@ class SimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
+
+  test("PQ codebooks are partitioning-invariant; codes stay in range") {
+    val e = embeddings
+    val b1 = Similarity.pqCodebooks(e.repartition(1), "vec_id", "embedding", 8, 8, 16, 2)
+    val b7 = Similarity.pqCodebooks(e.repartition(7), "vec_id", "embedding", 8, 8, 16, 2)
+    assert(b1.map(_.map(_.toSeq).toSeq).toSeq == b7.map(_.map(_.toSeq).toSeq).toSeq,
+      "integer Lloyd must be reduction-order independent")
+    assert(b1.length == 8 && b1.forall(_.length == 16) && b1.forall(_.forall(_.length == 8)))
+  }
+
+  test("pqTopK: deterministic, self-excluded, and exact on well-separated clusters") {
+    import spark.implicits._
+    // 3 tight clusters far apart: PQ distances must rank same-cluster
+    // members first despite quantization
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 60).map { i =>
+      val center = i % 3
+      val v = Array.tabulate(64)(d =>
+        (if (d / 8 == center) 5f else 0f) + rnd.nextFloat() * 0.05f)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(df, df.where(col("vec_id") < 3), "vec_id", "embedding",
+        m = 8, subDim = 8, kCodes = 4, iters = 2, k = 5)
+      .collect()
+    assert(out.length == 15)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)), "self-matches excluded")
+    out.foreach { r =>
+      assert(r.getLong(0) % 3 == r.getLong(1) % 3,
+        s"neighbor ${r.getLong(1)} of query ${r.getLong(0)} is from the wrong cluster")
+    }
+    // determinism across shuffle widths
+    val again = Similarity.pqTopK(df.repartition(5), df.where(col("vec_id") < 3),
+        "vec_id", "embedding", m = 8, subDim = 8, kCodes = 4, iters = 2, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(again == out.map(_.toSeq).toSet)
+  }
+
+  test("PQ scan plan: corpus is map-only to the scorer; queries broadcast") {
+    val e = embeddings
+    val q = e.where(col("vec_id") % 100 === 0)
+    val plan = Similarity.pqTopK(e, q, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("pq_dist"), plan)
+    // the only exchange over the scored stream feeds the per-query
+    // window — the corpus side itself is never hash-partitioned
+    assert(!plan.contains("hashpartitioning(c_id"), plan)
+  }
 }
