@@ -74,7 +74,8 @@ object CrawlTopology {
                   graft.index.IndexerMapping(),
                 sitemapDiscovery: Boolean = false,
                 dedupContent: Boolean = false,
-                digestLedger: Option[graft.index.DigestLedger] = None): (CrawlStats, DataFrame) = {
+                digestLedger: Option[graft.index.DigestLedger] = None,
+                bandLedger: Option[graft.index.BandLedger] = None): (CrawlStats, DataFrame) = {
     // selection may run at an adaptive horizon (backlog digging), but
     // merges/schedules always stamp wall-clock batchTime — scheduling
     // new discoveries at a frozen horizon would make them immediately
@@ -204,24 +205,63 @@ object CrawlTopology {
       // shard-pruned ledger sliver — the unbounded side never moves
       // (DigestLedger scaladoc). Null signatures fall back to the url
       // hash, i.e. are always fresh.
+      // The known set is COLLECTED (bounded by the batch: membership of
+      // batch keys only) rather than left as a lazy semi-join: record()
+      // appends to the ledger path, and Spark recaches-by-path on
+      // write — a `fresh` plan still referencing the ledger files would
+      // be recomputed at indexBatch time against the POST-record
+      // ledger, where every just-recorded doc suppresses itself.
       val (toIndex, cached) = digestLedger match {
         case Some(ledger) if dedupContent =>
           val keyed = batchDeduped.withColumn("__d",
             coalesce(col("signature"), sha2(col("url"), 256)))
-          val known = ledger.knownAmong(spark,
-            keyed.select(col("__d").as("digest")))
-          val fresh = keyed.join(
-            broadcast(known.withColumnRenamed("digest", "__d")),
-            Seq("__d"), "left_anti")
+          val knownSet = ledger.knownAmong(spark,
+              keyed.select(col("__d").as("digest")))
+            .collect().map(_.getString(0)).toSeq // ≤ batch size
+          val fresh =
+            if (knownSet.isEmpty) keyed
+            else keyed.where(!col("__d").isin(knownSet: _*))
           fresh.cache() // consumed twice: record + index
           ledger.record(fresh.select(col("__d").as("digest")))
           (fresh.drop("__d"), Some(fresh))
         case _ => (batchDeduped, None)
       }
+      // near-dup cross-batch face: suppress docs whose MinHash band
+      // keys collide with content an EARLIER batch indexed (BandLedger
+      // scaladoc: same shard-pruned bounded-batch-broadcast shape as
+      // the digest ledger; within-batch near-dups deliberately both
+      // index — the rule must not depend on intra-batch ordering).
+      // Known band keys are collected for the same reason as the digest
+      // stage above: the suppression decision must be frozen BEFORE
+      // record() appends, or the recache-by-path recompute would
+      // suppress the batch's own just-recorded bands.
+      val (toIndexFinal, bandCached) = bandLedger match {
+        case Some(ledger) =>
+          val withBands = graft.index.BandLedger.bandKeys(toIndex, "text")
+          val knownKeys = ledger.knownAmong(spark,
+              withBands.select("bk").distinct())
+            .collect().map(_.getString(0)).toSeq // ≤ 2 × batch size
+          val fresh =
+            if (knownKeys.isEmpty) toIndex
+            else {
+              val suppressedUrls = withBands
+                .where(col("bk").isin(knownKeys: _*))
+                .select("url").distinct()
+              toIndex.join(broadcast(suppressedUrls), Seq("url"), "left_anti")
+            }
+          fresh.cache() // consumed twice: record + index
+          ledger.record(
+            graft.index.BandLedger.bandKeys(fresh, "text").select("bk"))
+          (fresh, Some(fresh))
+        case None => (toIndex, None)
+      }
       try {
-        sink.indexBatch(indexerMapping(toIndex))
+        sink.indexBatch(indexerMapping(toIndexFinal))
         sink.deleteBatch(updates.where(col("status") === Status.Error).select("url"))
-      } finally cached.foreach(_.unpersist())
+      } finally {
+        cached.foreach(_.unpersist())
+        bandCached.foreach(_.unpersist())
+      }
     }
     val stats = CrawlStats(
       selected = selected,
@@ -247,7 +287,8 @@ object CrawlTopology {
             indexSink: Option[graft.index.IndexSink] = None,
             sitemapDiscovery: Boolean = false,
             dedupContent: Boolean = false,
-            digestLedger: Option[graft.index.DigestLedger] = None): Seq[CrawlStats] = {
+            digestLedger: Option[graft.index.DigestLedger] = None,
+            bandLedger: Option[graft.index.BandLedger] = None): Seq[CrawlStats] = {
     var stats = Vector.empty[CrawlStats]
     var i = 0
     var continue = true
@@ -260,7 +301,8 @@ object CrawlTopology {
         crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
         selectTime = Some(adaptiveDate.queryDate()),
         indexSink = indexSink, sitemapDiscovery = sitemapDiscovery,
-        dedupContent = dedupContent, digestLedger = digestLedger)
+        dedupContent = dedupContent, digestLedger = digestLedger,
+        bandLedger = bandLedger)
       adaptiveDate.observe(st.selected, selectionLimit)
       docsOut.foreach { dir =>
         if (st.docs > 0)
@@ -290,7 +332,8 @@ object CrawlTopology {
                   indexSink: Option[graft.index.IndexSink] = None,
                   sitemapDiscovery: Boolean = false,
                   dedupContent: Boolean = false,
-                  digestLedger: Option[graft.index.DigestLedger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                  digestLedger: Option[graft.index.DigestLedger] = None,
+                  bandLedger: Option[graft.index.BandLedger] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     spark.readStream
       .format("rate").option("rowsPerSecond", 1).load()
       .writeStream
@@ -300,7 +343,8 @@ object CrawlTopology {
         val (st, docs) = crawlOnce(spark, store, protocols, chain,
           crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
           indexSink = indexSink, sitemapDiscovery = sitemapDiscovery,
-          dedupContent = dedupContent, digestLedger = digestLedger)
+          dedupContent = dedupContent, digestLedger = digestLedger,
+          bandLedger = bandLedger)
         if (st.docs > 0)
           docs.select("url", "title", "text", "signature", "noindex")
             .write.mode("append").parquet(docsOut)

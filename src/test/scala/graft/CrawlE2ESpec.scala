@@ -222,19 +222,78 @@ class CrawlE2ESpec extends AnyFunSuite {
       maxIterations = 2, crawlDelayMs = 0, respectRobots = false,
       indexSink = Some(sink), dedupContent = true, digestLedger = Some(ledger))
     assert(indexed.toSeq == Seq(s"file://$dir/first.html"))
-    // round 2: a NEW url serving byte-identical content — batch-scoped
-    // dedup can't see it (different batch); the ledger must
+    // round 2: a MIXED batch — a NEW url serving byte-identical content
+    // (batch-scoped dedup can't see it; the ledger must) AND a
+    // genuinely new page that must still index (guards the
+    // recache-by-path trap: recording the fresh digest must not
+    // retroactively suppress the doc that brought it)
     Files.write(dir.resolve("second.html"), html.getBytes("UTF-8"))
-    CrawlTopology.seed(spark, store, Seq(s"file://$dir/second.html"), chain)
+    Files.write(dir.resolve("novel.html"),
+      "<html><body>content the ledger has never seen</body></html>".getBytes("UTF-8"))
+    CrawlTopology.seed(spark, store,
+      Seq(s"file://$dir/second.html", s"file://$dir/novel.html"), chain)
     CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
       maxIterations = 2, crawlDelayMs = 0, respectRobots = false,
       indexSink = Some(sink), dedupContent = true, digestLedger = Some(ledger))
-    assert(indexed.toSeq == Seq(s"file://$dir/first.html"), s"re-indexed: $indexed")
+    assert(indexed.toSet == Set(s"file://$dir/first.html", s"file://$dir/novel.html"),
+      s"indexed: $indexed")
     // both urls crawled and FETCHED — only indexing was gated
     val byUrl = store.read(spark).collect()
       .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
     assert(byUrl(s"file://$dir/first.html") == Status.Fetched)
     assert(byUrl(s"file://$dir/second.html") == Status.Fetched)
+  }
+
+  test("band ledger: near-duplicate content in a LATER batch never re-indexes; distinct content does") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bandsite")
+    val baseText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    def bandsOf(text: String): Set[String] =
+      graft.index.BandLedger.bandKeys(Seq(text).toDF("text"), "text")
+        .select("bk").collect().map(_.getString(0)).toSet
+    // a near-dup: append the first candidate word that leaves at least
+    // one MinHash band unchanged (robust to the hash function's values)
+    val base = bandsOf(baseText)
+    val nearText = (0 until 200).iterator
+      .map(i => s"$baseText extra$i")
+      .find(t => bandsOf(t).intersect(base).nonEmpty)
+      .getOrElse(fail("no band-preserving edit found — widen the candidate list"))
+    val farText = "completely different content with no shared vocabulary at all whatsoever"
+    assert(bandsOf(farText).intersect(base).isEmpty)
+
+    // NO title: the parser folds title words into the extracted text,
+    // and a shared title word could own both signature minima
+    def page(t: String) = s"<html><body>$t</body></html>"
+    Files.write(dir.resolve("first.html"), page(baseText).getBytes("UTF-8"))
+    val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    val ledger = new graft.index.BandLedger(
+      Files.createTempDirectory("bands").toString + "/bands")
+    val indexed = scala.collection.mutable.Buffer.empty[String]
+    val sink = new graft.index.IndexSink {
+      def indexBatch(docs: org.apache.spark.sql.DataFrame): Unit =
+        indexed ++= docs.select("url").collect().map(_.getString(0))
+      def deleteBatch(urls: org.apache.spark.sql.DataFrame): Unit = ()
+    }
+    CrawlTopology.seed(spark, store, Seq(s"file://$dir/first.html"), chain)
+    CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+      maxIterations = 2, crawlDelayMs = 0, respectRobots = false,
+      indexSink = Some(sink), bandLedger = Some(ledger))
+    assert(indexed.toSeq == Seq(s"file://$dir/first.html"))
+    // round 2: one near-dup (different bytes, shared band) and one
+    // genuinely new page — only the new page may index
+    Files.write(dir.resolve("near.html"), page(nearText).getBytes("UTF-8"))
+    Files.write(dir.resolve("far.html"), page(farText).getBytes("UTF-8"))
+    CrawlTopology.seed(spark, store,
+      Seq(s"file://$dir/near.html", s"file://$dir/far.html"), chain)
+    CrawlTopology.crawl(spark, store, new ProtocolFactory(), chain,
+      maxIterations = 2, crawlDelayMs = 0, respectRobots = false,
+      indexSink = Some(sink), bandLedger = Some(ledger))
+    assert(indexed.toSet == Set(s"file://$dir/first.html", s"file://$dir/far.html"),
+      s"indexed: $indexed")
+    // the near-dup still got its status row — only indexing was gated
+    val byUrl = store.read(spark).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(byUrl(s"file://$dir/near.html") == Status.Fetched)
   }
 
   test("politeness: same-host fetches spaced by crawl delay") {
