@@ -67,6 +67,12 @@ object ExplainDump {
       "Id-level k-means assignments — the surface users JOIN with (q56 verifies the same fixed point's aggregate view): one map-only pass (centroid matrix as a plan-time codegen constant), zero data-dependent exchanges; the trailing sort is oracle-determinism only. At 100 TB the assignment column costs one corpus scan.",
     "q59_semdedup_draw" ->
       "SemDeDup consumed as a KEEP LIST (the exactDedup composability contract): drop ids (distinct larger-id members of qualifying pairs) are a small fraction of the corpus, so the anti-join broadcasts under AQE and the corpus is never shuffled by the keep step; the only full-size exchanges are the ones the SemDeDup pair search already pays (cluster+bucket self-join).",
+    "q63_bloom_decontaminate" ->
+      "Bloom-prefiltered decontamination — the big-eval-set regime where a broadcast hash relation no longer fits: the eval grams ride as a 2^20-BIT array (codegen reference object, 128 KiB — the KmeansAssignExpr pattern), the exploded corpus gram stream is prefiltered by a MAP-ONLY bloom_contains filter BELOW the exchange, and the pinned sort-merge join confirms survivors exactly. Zero false negatives + exact confirm ⇒ output hash-identical to q53's plain join; at a sub-percent contamination rate ~all of the corpus-gram shuffle (the dominant cost) dies before it ships. The filter build is one pass over the small eval side; set-bit union is commutative, so the bit pattern is partitioning-invariant. Mirrors Spark's own InjectRuntimeFilter as an explicit, unconditional operator.",
+    "q64_fuzzy_clean_draw" ->
+      "Fuzzy clean draw — q50's connected components reduced to the keep-one-representative contract: the drop list (members that are NOT their component's min label) is cluster-mass-sized, tiny next to the corpus, so the anti-join broadcasts under AQE and the corpus is scanned ONCE; the only heavy exchanges are the ones the CC pair search already pays. Verified against the exact transitive closure (recursive-CTE oracle), not a fixed round count.",
+    "q65_pq_topk" ->
+      "Product-quantization ANN — the embedding MEMORY scale path (100 TB of float32 cannot sit in executor memory; their m-int codes can, a 32× working-set cut at this geometry): all 8 subspace codebooks train in ONE corpus scan per Lloyd round (explode legs → a single partial-aggregated groupBy of m×kCodes rows — the round's only exchange), encoding is MAP-ONLY with codebooks as plan-time codegen constants, each query precomputes an m×kCodes LUT (query side broadcast), and the scan scores a candidate with m table loads + adds (pq_dist) — no float math, no codebook access in the hot loop. Exact-integer geometry end to end, so the approximate result is bit-exact as a function of the inputs and the SQL oracle hash-verifies codebooks, codes, and distances. Compose with q38's coarse quantizer for full IVF-PQ.",
     "q49_pagerank" ->
       "Fixed-point PageRank, ADAPTIVE like q50's CC: a host-level link graph is tiny even when the corpus is not (10⁸ pages → 10⁵ hosts), so when the distinct edge list fits on the driver the SAME BIGINT recurrence runs locally (floor divisions + integer sums are order-independent → bit-identical by construction, spec-pinned; works for any node type since no ordering is needed) and the final plan is a LocalTableScan. Big graphs run 3 materialized distributed rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->
