@@ -73,6 +73,8 @@ object ExplainDump {
       "Fuzzy clean draw — q50's connected components reduced to the keep-one-representative contract: the drop list (members that are NOT their component's min label) is cluster-mass-sized, tiny next to the corpus, so the anti-join broadcasts under AQE and the corpus is scanned ONCE; the only heavy exchanges are the ones the CC pair search already pays. Verified against the exact transitive closure (recursive-CTE oracle), not a fixed round count.",
     "q65_pq_topk" ->
       "Product-quantization ANN — the embedding MEMORY scale path (100 TB of float32 cannot sit in executor memory; their m-int codes can, a 32× working-set cut at this geometry): all 8 subspace codebooks train in ONE corpus scan per Lloyd round (explode legs → a single partial-aggregated groupBy of m×kCodes rows — the round's only exchange), encoding is MAP-ONLY with codebooks as plan-time codegen constants, each query precomputes an m×kCodes LUT (query side broadcast), and the scan scores a candidate with m table loads + adds (pq_dist) — no float math, no codebook access in the hot loop. Exact-integer geometry end to end, so the approximate result is bit-exact as a function of the inputs and the SQL oracle hash-verifies codebooks, codes, and distances. Compose with q38's coarse quantizer for full IVF-PQ.",
+    "q66_ivfpq_topk" ->
+      "IVF-PQ — the production ANN composition at 100 TB: ONE map-only corpus pass derives BOTH the coarse hyperplane bucket and the PQ codes (codebooks + sign matrix as plan-time constants), the per-query probe set (lut × nprobe buckets) broadcasts (BroadcastHashJoin on bucket), and only candidates in probed buckets are LUT-scored (pq_dist — m table loads + adds, no floats). On a bucket-partitioned code table the non-probed partitions prune at the scan, and the scanned bytes are the CODES (~1/32 of the float vectors) — the q38 pruning and the q65 compression multiply. Bit-exact as a function of the inputs; the oracle reproduces buckets, probes, codebooks, codes, and distances.",
     "q49_pagerank" ->
       "Fixed-point PageRank, ADAPTIVE like q50's CC: a host-level link graph is tiny even when the corpus is not (10⁸ pages → 10⁵ hosts), so when the distinct edge list fits on the driver the SAME BIGINT recurrence runs locally (floor divisions + integer sums are order-independent → bit-identical by construction, spec-pinned; works for any node type since no ordering is needed) and the final plan is a LocalTableScan. Big graphs run 3 materialized distributed rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->

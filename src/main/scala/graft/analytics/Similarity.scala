@@ -255,4 +255,52 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("adist"), col("rnk"))
   }
+
+  /** IVF-PQ — [[ivfTopK]]'s coarse quantizer composed with [[pqTopK]]'s
+    * compressed scorer, the production ANN shape at 100 TB: the corpus
+    * is touched ONCE map-only (hyperplane bucket + PQ codes derived in
+    * the same pass, codebooks as codegen constants), the per-query
+    * probe set (q_id, lut, nprobe buckets) broadcasts, and the search
+    * is a LUT-scored scan over candidate CODES in probed buckets — a
+    * bucket-partitioned code table prunes non-probed partitions at the
+    * scan and holds ~1/32 the bytes of the float vectors. Candidates
+    * come from the cosine-hyperplane cells (zero-norm vectors excluded,
+    * as in [[ivfTopK]]); scoring is [[pqTopK]]'s exact-integer
+    * approximate L2, so the whole composition stays bit-exact as a
+    * function of the inputs and the q66 oracle hash-verifies it. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int = 64, numPlanes: Int = 6,
+                nprobe: Int = 3, m: Int = 8, subDim: Int = 8,
+                kCodes: Int = 16, iters: Int = 2, k: Int = 5): DataFrame = {
+    import graft.functions.{PqFunctions, VecExpressions}
+    val books = pqCodebooks(corpus, idCol, vecCol, m, subDim, kCodes, iters)
+    val codeCols = (0 until m).map(s =>
+      VecExpressions.kmeansAssign(
+          slice(col("qv"), s * subDim + 1, subDim), books(s))
+        .getField("cluster"))
+    val c = graft.plans.InputWidth
+      .widen(corpus.select(col(idCol).as("c_id"),
+        VecExpressions.quantizeLongs(col(vecCol), Clustering.Scale).as("qv"),
+        graft.functions.VecExpressions
+          .l2Normalize(col(vecCol).cast("array<double>")).as("nv")))
+      .where(col("nv").isNotNull)
+      .select(col("c_id"), lshBucket(col("nv"), dim, numPlanes).as("bucket"),
+        array(codeCols: _*).as("codes"))
+    val q = queries.select(col(idCol).as("q_id"),
+        PqFunctions.pqLut(VecExpressions
+          .quantizeLongs(col(vecCol), Clustering.Scale), books).as("lut"),
+        graft.functions.VecExpressions
+          .l2Normalize(col(vecCol).cast("array<double>")).as("nv"))
+      .where(col("nv").isNotNull)
+      .select(col("q_id"), col("lut"),
+        explode(graft.functions.VecExpressions
+          .multiProbeBuckets(col("nv"), dim, numPlanes, nprobe)).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        PqFunctions.pqDist(col("lut"), col("codes")).as("adist"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("adist"), col("rnk"))
+  }
 }

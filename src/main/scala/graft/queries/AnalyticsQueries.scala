@@ -377,6 +377,17 @@ object AnalyticsQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // IVF-PQ: q38's coarse hyperplane quantizer composed with q65's
+    // compressed scorer — one map-only corpus pass derives bucket AND
+    // codes, the probe set broadcasts, candidates are LUT-scored codes
+    // in probed buckets only. The production ANN shape at 100 TB.
+    "q66_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.where(col("vec_id") % 100 === 0),
+          "vec_id", "embedding")
+        .orderBy("q_id", "rnk")
+    }),
+
     // Fuzzy (near-dup) clean draw: q50's connected components reduced
     // to a drop list (every member that is NOT its component's min
     // label), anti-joined against the corpus — the keep-one-
@@ -494,7 +505,7 @@ object AnalyticsQueries {
     * its predecessors 2-3 times the inlined plan explodes
     * combinatorially (measured: >120 s to not even finish planning at
     * sf0.01 vs 1.1 s materialized). */
-  private lazy val pqScoredCte: String = {
+  private lazy val pqChainsCte: String = {
     val m = 8; val subDim = 8; val kCodes = 16
     def sq(v: String, c: String) =
       s"list_reduce(list_transform(generate_series(1, $subDim), " +
@@ -526,21 +537,70 @@ object AnalyticsQueries {
          |           FROM sub$s q CROSS JOIN c1_$s c WHERE q.id % 100 = 0)""".stripMargin
     }.mkString(",\n")
     val codeJoins = (1 until m).map(s => s"JOIN m2_$s USING (id)").mkString(" ")
-    val lutJoins = (0 until m).map(s =>
-      s"JOIN lut_$s l$s ON l$s.q_id = q.q_id AND l$s.j = codes.code$s").mkString("\n  ")
-    val distSum = (0 until m).map(s => s"l$s.d").mkString(" + ")
     s"""qv AS MATERIALIZED (
        |  SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
        |  FROM embeddings),
        |$per,
-       |codes AS MATERIALIZED (SELECT * FROM m2_0 $codeJoins),
+       |codes AS MATERIALIZED (SELECT * FROM m2_0 $codeJoins)""".stripMargin
+  }
+
+  /** q65's tail over [[pqChainsCte]]: every (query, corpus) pair
+    * scored from the LUTs — the exhaustive compressed scan. */
+  private lazy val pqScoredCte: String =
+    s"""$pqChainsCte,
        |qids AS MATERIALIZED (SELECT id AS q_id FROM qv WHERE id % 100 = 0),
        |scored AS MATERIALIZED (
-       |  SELECT q.q_id, codes.id AS c_id, $distSum AS adist
+       |  SELECT q.q_id, codes.id AS c_id, $pqDistSumSql AS adist
        |  FROM qids q CROSS JOIN codes
-       |  $lutJoins
+       |  $pqLutJoinsSql
        |  WHERE codes.id <> q.q_id)""".stripMargin
+
+  /** The LUT joins + summed distance shared by the q65/q66 tails. */
+  private def pqLutJoinsSql: String = (0 until 8).map(s =>
+    s"JOIN lut_$s l$s ON l$s.q_id = q.q_id AND l$s.j = codes.code$s").mkString("\n  ")
+  private def pqDistSumSql: String = (0 until 8).map(s => s"l$s.d").mkString(" + ")
+
+  /** q66's tail: the q38 hyperplane-bucket machinery (6 planes, probe
+    * = base + 2 lowest-|projection| flips) feeding the PQ scorer —
+    * candidates restricted to probed buckets, distance from the LUT
+    * joins. Prepend [[pqChainsCte]] (codes + LUTs) in the WITH. */
+  private lazy val pqIvfScoredCte: String = {
+    val signCase = (j: String, i: String) =>
+      s"""(CASE WHEN (strpos('0123456789abcdef', substring(md5(concat($j, ':', $i)), 1, 1)) - 1) % 2 = 0
+         |      THEN 1.0 ELSE -1.0 END)""".stripMargin
+    s"""nrmc AS MATERIALIZED (
+       |  SELECT vec_id AS c_id, embedding AS v,
+       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |cnv AS MATERIALIZED (SELECT c_id, list_transform(v, x -> CAST(x AS DOUBLE) / nrm) AS cv
+       |       FROM nrmc WHERE nrm > 0 AND isfinite(nrm)),
+       |js AS MATERIALIZED (SELECT unnest(generate_series(0, 5)) AS j),
+       |cproj AS MATERIALIZED (SELECT c_id, j,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> cv[i] * ${signCase("CAST(j AS VARCHAR)", "CAST(i AS VARCHAR)")}), (a,b) -> a + b) AS proj
+       |  FROM cnv, js),
+       |cbk AS MATERIALIZED (SELECT c_id, CAST(sum(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+       |        FROM cproj GROUP BY c_id),
+       |qnv AS MATERIALIZED (SELECT c_id AS q_id, cv AS qnv FROM cnv WHERE c_id % 100 = 0),
+       |qproj AS MATERIALIZED (SELECT q_id, j,
+       |    list_reduce(list_transform(generate_series(1, 64),
+       |      i -> qnv[i] * ${signCase("CAST(j AS VARCHAR)", "CAST(i AS VARCHAR)")}), (a,b) -> a + b) AS proj
+       |  FROM qnv, js),
+       |qbk AS MATERIALIZED (SELECT q_id, CAST(sum(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
+       |        FROM qproj GROUP BY q_id),
+       |flips AS MATERIALIZED (SELECT q_id, j FROM (
+       |    SELECT q_id, j, row_number() OVER (PARTITION BY q_id ORDER BY abs(proj), j) AS rk
+       |    FROM qproj) WHERE rk <= 2),
+       |probes AS MATERIALIZED (SELECT q_id, bucket FROM qbk
+       |  UNION ALL
+       |  SELECT f.q_id, CAST(xor(b.bucket, 1 << f.j) AS INT) FROM flips f JOIN qbk b ON f.q_id = b.q_id),
+       |cand AS MATERIALIZED (SELECT p.q_id, kk.c_id FROM probes p JOIN cbk kk ON p.bucket = kk.bucket
+       |         WHERE p.q_id <> kk.c_id),
+       |scored AS MATERIALIZED (
+       |  SELECT q.q_id, codes.id AS c_id, $pqDistSumSql AS adist
+       |  FROM cand q JOIN codes ON codes.id = q.c_id
+       |  $pqLutJoinsSql)""".stripMargin
   }
 
   /** Shared pair-generation CTE (q22's LSH banding), reused by the
@@ -726,6 +786,17 @@ object AnalyticsQueries {
     // codes → LUT-summed approximate distances → per-query top-5.
     "q65_pq_topk" ->
       s"""WITH $pqScoredCte
+         |SELECT q_id, c_id, adist, rnk FROM (
+         |  SELECT q_id, c_id, adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // The full IVF-PQ reproduction: pq chains (codes + LUTs) + the q38
+    // bucket/probe machinery + LUT-scored candidates in probed buckets.
+    "q66_ivfpq_topk" ->
+      s"""WITH $pqChainsCte,
+         |$pqIvfScoredCte
          |SELECT q_id, c_id, adist, rnk FROM (
          |  SELECT q_id, c_id, adist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk

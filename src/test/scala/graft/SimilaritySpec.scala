@@ -125,6 +125,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == out.map(_.toSeq).toSet)
   }
 
+  test("ivfPqTopK: probing every cell reproduces the exhaustive PQ scan; zero-norm rows excluded") {
+    val e = embeddings
+    val q = e.where(col("vec_id") % 100 === 0)
+    // 1 plane → 2 cells; nprobe 2 probes both, so the bucketing must
+    // be pure pruning over the same PQ distances (multi-probe flips
+    // one plane at a time — nprobe can cover ALL cells only with 1
+    // plane, same construction as the ivfTopK full-probe test above)
+    val full = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+        numPlanes = 1, nprobe = 2)
+      .orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+    val exhaustive = Similarity.pqTopK(e, q, "vec_id", "embedding")
+      .orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(full == exhaustive)
+    // fewer probes → candidates shrink but results stay deterministic
+    val narrow = Similarity.ivfPqTopK(e, q, "vec_id", "embedding")
+      .orderBy("q_id", "rnk").collect()
+    val again = Similarity.ivfPqTopK(e.repartition(7), q, "vec_id", "embedding")
+      .orderBy("q_id", "rnk").collect()
+    assert(narrow.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("PQ scan plan: corpus is map-only to the scorer; queries broadcast") {
     val e = embeddings
     val q = e.where(col("vec_id") % 100 === 0)
