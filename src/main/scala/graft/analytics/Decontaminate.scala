@@ -133,6 +133,38 @@ object Decontaminate {
     df.withColumn("gs", graft.functions.TextHashExpressions
       .distinctShingles(col(textCol), k))
 
+  /** Embedding-space decontamination: flag corpus vectors whose cosine
+    * against ANY eval-set vector reaches `minCos` — the semantic
+    * companion to [[ngramHits]]' verbatim n-gram check (published eval
+    * hygiene uses both: paraphrased benchmark leakage survives 13-gram
+    * dedup but not an embedding sweep). Output per contaminated corpus
+    * vector: (vec_id, n_evals = #eval vectors at/above threshold,
+    * first_eval = smallest such eval id, max_cos), ordered by vec_id.
+    *
+    * Scale shape: the eval side is megabytes by contract — normalized
+    * once and BROADCAST (pinned, the q53 argument), so the corpus side
+    * is a single map-only pass (normalize → dot against each resident
+    * eval vector) and only HIT rows reach the per-vector aggregation,
+    * which partial-aggregates map-side (a corpus vector's eval matches
+    * all originate in the same input row). Threshold membership and
+    * `max_cos` are reproducible across engines: both sides fold the
+    * dot product left-to-right in double precision
+    * ([[Similarity.normalized]]'s contract), and IEEE ops are
+    * deterministic given identical operation order. */
+  def embedHits(corpus: DataFrame, eval: DataFrame, idCol: String,
+                vecCol: String, minCos: Double): DataFrame = {
+    val c = Similarity.normalized(corpus, idCol, vecCol, "vec_id", "cv")
+    val e = Similarity.normalized(eval, idCol, vecCol, "eval_id", "ev")
+    c.join(broadcast(e), col("vec_id") =!= col("eval_id"))
+      .select(col("vec_id"), col("eval_id"),
+        Similarity.dotD(col("cv"), col("ev")).as("cos"))
+      .where(col("cos") >= minCos)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_evals"), min("eval_id").as("first_eval"),
+        max("cos").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
   /** Doc-level pipeline: one shingle pass per corpus ROW. */
   private[graft] def directHits(corpus: DataFrame, bg: DataFrame,
                                     idCol: String, textCol: String,

@@ -25,6 +25,30 @@ object AnalyticsQueries {
   private def chunk(e: String, k: Int): String =
     s"CAST(concat('0x', substring(md5($e), ${1 + 8 * k}, 8)) AS BIGINT)"
 
+  /** Mechanically generated R-round BPE oracle — mirror of
+    * [[graft.analytics.BpeTrainer.trainMerges]]: same sentinel-wrapped
+    * sequences, same engine-native LTR `replace` merge, same
+    * (count DESC, pair) argmax, one CTE block per round. */
+  private def bpeOracleSql(rounds: Int): String = {
+    val head =
+      s"""toks AS (SELECT unnest($wordsSql) AS w FROM documents),
+         |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+         |s0 AS (SELECT regexp_replace(w, '(.)', chr(1) || chr(1) || '\\1', 'g') || chr(1) || chr(1) AS seq, cnt FROM v)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""t$r AS (SELECT cnt, list_filter(string_split(seq, chr(1)), x -> x <> '') AS tk FROM s${r - 1}),
+         |p$r AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || chr(1) || tk[i+1])) AS pair, cnt FROM t$r),
+         |g$r AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM p$r GROUP BY pair),
+         |b$r AS (SELECT pair, c FROM g$r ORDER BY c DESC, pair LIMIT 1),
+         |s$r AS (SELECT replace(seq, chr(1) || replace(b.pair, chr(1), chr(1) || chr(1)) || chr(1), chr(1) || replace(b.pair, chr(1), '') || chr(1)) AS seq, cnt FROM s${r - 1}, b$r AS b)""".stripMargin
+    }
+    val sel = (1 to rounds).map { r =>
+      s"""SELECT $r AS round, string_split(pair, chr(1))[1] AS lhs,
+         |  string_split(pair, chr(1))[2] AS rhs,
+         |  replace(pair, chr(1), '') AS merged, c AS cnt FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (head +: roundCtes).mkString(",\n") + "\n" + sel + "\nORDER BY round"
+  }
+
   /** The two-round exact-integer Lloyd chain over `embeddings`, ending
     * at `m2(id, cluster, dist)` — shared by the q56/q57/q58/q59 oracles
     * (mirror of [[graft.analytics.Clustering]], k=8, iters=2, 2^20
@@ -387,6 +411,39 @@ object AnalyticsQueries {
           "vec_id", "embedding")
         .orderBy("q_id", "rnk")
     }),
+
+    // DSIR-style importance selection: hashed-unigram target/corpus
+    // ratio scores (integer ppm — engine-exact), target = the English
+    // slice; top-20 most target-like docs via TakeOrdered, never a
+    // global sort.
+    "q67_dsir_topk" -> ((s, dir) =>
+      graft.analytics.Dsir.importanceTopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 4096, k = 20)),
+
+    // Distributed BPE vocabulary induction: corpus → word histogram
+    // once, then 4 vocabulary-sized merge rounds (pair argmax is a
+    // 1-row driver collect per round, the k-means contract).
+    "q68_bpe_merges" -> ((s, dir) =>
+      graft.analytics.BpeTrainer.trainMerges(
+        t(s, dir, "documents"), "text", rounds = 4)),
+
+    // Embedding-space decontamination: eval vectors (broadcast)
+    // swept against the corpus map-only; hits-only aggregation.
+    "q69_embed_decontaminate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.analytics.Decontaminate.embedHits(
+        e.where(col("vec_id") % 500 =!= 0),
+        e.where(col("vec_id") % 500 === 0),
+        "vec_id", "embedding", minCos = 0.15)
+    }),
+
+    // Histogram-based range sharding: value→shard map from the key
+    // histogram (value-domain-sized window), assignment broadcast —
+    // the corpus is never globally sorted.
+    "q70_range_shard" -> ((s, dir) =>
+      graft.analytics.Sharding.rangeShardStats(
+        t(s, dir, "documents"), "n_chars", n = 8)),
 
     // Fuzzy (near-dup) clean draw: q50's connected components reduced
     // to a drop list (every member that is NOT its component's min
@@ -802,6 +859,50 @@ object AnalyticsQueries {
          |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
          |  FROM scored)
          |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // Mirror of Dsir.importanceTopK: same md5 buckets, same add-one
+    // smoothed integer-ppm ratio, same (score DESC, doc_id) top-20.
+    "q67_dsir_topk" ->
+      s"""WITH toks AS (SELECT doc_id, (lang = 'en') AS is_t, unnest($wordsSql) AS w FROM documents),
+         |b AS (SELECT doc_id, is_t, ${graft.analytics.Dsir.bucketSql("w", 4096)} AS bkt FROM toks),
+         |c AS (SELECT bkt, CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tcnt,
+         |        count(*) AS scnt FROM b GROUP BY bkt),
+         |s AS (SELECT doc_id, count(*) AS n_tokens,
+         |        CAST(sum(((tcnt + 1) * 1000000) // (scnt + 1)) AS BIGINT) AS score
+         |      FROM b JOIN c USING (bkt) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, score FROM s
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q68_bpe_merges" -> bpeOracleSql(4),
+
+    // Embedding decontamination: q25's normalize/dot chain, eval slice
+    // vs corpus slice, threshold membership on the portable left-fold
+    // cosine.
+    "q69_embed_decontaminate" ->
+      """WITH n AS (SELECT vec_id,
+        |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nrm,
+        |    embedding AS v FROM embeddings),
+        |u AS (SELECT vec_id, list_transform(v, x -> CAST(x AS DOUBLE) / nrm) AS uv
+        |      FROM n WHERE nrm > 0 AND isfinite(nrm)),
+        |ev AS (SELECT vec_id AS eval_id, uv AS evec FROM u WHERE vec_id % 500 = 0),
+        |cv AS (SELECT vec_id, uv AS cvec FROM u WHERE vec_id % 500 <> 0),
+        |hits AS (SELECT c.vec_id, e.eval_id,
+        |           list_reduce(list_transform(generate_series(1, len(cvec)), i -> cvec[i] * evec[i]), (a,b) -> a + b) AS cos
+        |         FROM cv c CROSS JOIN ev e)
+        |SELECT vec_id, count(*) AS n_evals, min(eval_id) AS first_eval, max(cos) AS max_cos
+        |FROM hits WHERE cos >= 0.15
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // Mirror of Sharding.rangeShardStats: histogram cumsum → BIGINT
+    // floor-div shard per distinct value → per-shard manifest.
+    "q70_range_shard" ->
+      """WITH h AS (SELECT n_chars AS v, count(*) AS cnt FROM documents GROUP BY n_chars),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+        |m AS (SELECT v, CAST(((sum(cnt) OVER (ORDER BY v) - cnt) * 8) // total AS BIGINT) AS shard FROM h, t)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS sum_key,
+        |       min(d.n_chars) AS min_key, max(d.n_chars) AS max_key
+        |FROM documents d JOIN m ON m.v = d.n_chars
+        |GROUP BY shard ORDER BY shard""".stripMargin,
 
     // q50's exact transitive closure reduced to the non-representative
     // drop set, anti-joined against the corpus.
