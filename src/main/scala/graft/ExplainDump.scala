@@ -75,6 +75,14 @@ object ExplainDump {
       "Product-quantization ANN — the embedding MEMORY scale path (100 TB of float32 cannot sit in executor memory; their m-int codes can, a 32× working-set cut at this geometry): all 8 subspace codebooks train in ONE corpus scan per Lloyd round (explode legs → a single partial-aggregated groupBy of m×kCodes rows — the round's only exchange), encoding is MAP-ONLY with codebooks as plan-time codegen constants, each query precomputes an m×kCodes LUT (query side broadcast), and the scan scores a candidate with m table loads + adds (pq_dist) — no float math, no codebook access in the hot loop. Exact-integer geometry end to end, so the approximate result is bit-exact as a function of the inputs and the SQL oracle hash-verifies codebooks, codes, and distances. Compose with q38's coarse quantizer for full IVF-PQ.",
     "q66_ivfpq_topk" ->
       "IVF-PQ — the production ANN composition at 100 TB: ONE map-only corpus pass derives BOTH the coarse hyperplane bucket and the PQ codes (codebooks + sign matrix as plan-time constants), the per-query probe set (lut × nprobe buckets) broadcasts (BroadcastHashJoin on bucket), and only candidates in probed buckets are LUT-scored (pq_dist — m table loads + adds, no floats). On a bucket-partitioned code table the non-probed partitions prune at the scan, and the scanned bytes are the CODES (~1/32 of the float vectors) — the q38 pruning and the q65 compression multiply. Bit-exact as a function of the inputs; the oracle reproduces buckets, probes, codebooks, codes, and distances.",
+    "q67_dsir_topk" ->
+      "DSIR importance selection: two corpus passes, both map-heavy — the bucket-count aggregate's working set is the 4096-bucket feature table (map-side partials, so the exchange carries at most partitions×buckets fixed-width rows), the integer-ppm ratio LUT joins back PINNED broadcast (the corpus side must never be a build side — the q53 argument), the per-doc score partial-aggregates to ~one row per document before its exchange (a doc's tokens all originate in one input row), and the top-20 is TakeOrderedAndProject — per-partition heaps merged on the driver, never a global sort. Integer ratios instead of float log sums make the selection ORDER engine-exact, which is what lets a SQL oracle hash-verify an importance sampler.",
+    "q68_bpe_merges" ->
+      "Distributed BPE vocabulary induction: the corpus is read ONCE — the word-histogram collapse (BPE statistics depend only on the histogram) partial-aggregates map-side to a vocabulary-sized table, and every merge round then runs over the VOCABULARY: one pair-count HashAggregate plus a 1-row argmax collect (the bounded-driver-set contract, k-means edition), so rounds cost O(distinct words) no matter how many bytes were crawled. The double-sentinel token encoding makes the engine-native LTR replace reproduce true BPE non-overlapping merge order byte-identically on both engines. The final plan is the LocalTableScan of the learned merge table — the real work is the per-round aggregates above it.",
+    "q69_embed_decontaminate" ->
+      "Embedding-space decontamination — the semantic companion to q53's verbatim n-gram check (paraphrased benchmark leakage survives 13-gram dedup but not an embedding sweep): the eval set is megabytes by contract, normalized once and broadcast, so the corpus side is ONE map-only pass (native l2-normalize + dot per resident eval vector under a BroadcastNestedLoopJoin) and only HIT rows reach the per-vector aggregation, which partial-aggregates map-side. Threshold membership is engine-exact: both sides fold the dot left-to-right in double precision.",
+    "q70_range_shard" ->
+      "Histogram-based range sharding: a global ntile/row_number would funnel every corpus row through ONE window partition — the canonical scale-killer. Instead the corpus collapses to its key HISTOGRAM (working set = the value domain, map-side partials), the value→shard map is computed by a histogram-sized window (BIGINT cumsum × n div total), and assignment joins that map back BROADCAST — map-only over the corpus, which is never globally sorted. Equal key values always share a shard, so shard sizes are balanced exactly up to value granularity: the same guarantee a sampling range-partitioner gives, made deterministic.",
     "q49_pagerank" ->
       "Fixed-point PageRank, ADAPTIVE like q50's CC: a host-level link graph is tiny even when the corpus is not (10⁸ pages → 10⁵ hosts), so when the distinct edge list fits on the driver the SAME BIGINT recurrence runs locally (floor divisions + integer sums are order-independent → bit-identical by construction, spec-pinned; works for any node type since no ordering is needed) and the final plan is a LocalTableScan. Big graphs run 3 materialized distributed rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->
