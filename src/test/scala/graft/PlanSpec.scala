@@ -150,6 +150,40 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles("q61_temperature_sample") <= 2)
   }
 
+  test("q67 DSIR: ratio LUT broadcasts, top-k is TakeOrdered, ≤2 hash shuffles") {
+    val df = SparkEntry.queries("q67_dsir_topk")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the 4096-bucket LUT must be the broadcast side; the top-20 must
+    // be per-partition heaps, never a global sort
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // hash shuffles: the bucket-count agg and the per-doc score agg —
+    // both compacted by map-side partials; the corpus never
+    // hash-shuffles raw tokens past them
+    assert(shuffles("q67_dsir_topk") <= 2)
+  }
+
+  test("q69 embed decontamination: eval side broadcast, one hash shuffle") {
+    val df = SparkEntry.queries("q69_embed_decontaminate")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // only the hits-aggregation shuffles (hit rows, not the corpus)
+    assert(shuffles("q69_embed_decontaminate") <= 1)
+  }
+
+  test("q70 range shard: assignment via broadcast map, corpus never sorted") {
+    val df = SparkEntry.queries("q70_range_shard")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the value→shard map broadcasts back onto the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // hash shuffles: histogram agg + final per-shard agg; the window
+    // runs over the histogram (SinglePartition exchange), not corpus
+    assert(shuffles("q70_range_shard") <= 2)
+  }
+
   test("pair-generator self-joins reuse one exchange (single corpus pass)") {
     import org.apache.spark.sql.functions._
     // the expensive side (minhash/tokenize/normalize + window) must be
