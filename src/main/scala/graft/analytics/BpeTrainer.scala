@@ -40,50 +40,89 @@ object BpeTrainer {
 
   private val S = "\u0001"
 
+  /** Corpus → sentinel-encoded word histogram (the only corpus-wide
+    * pass; BPE statistics depend on nothing else). */
+  private def wordHistogram(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(Dedup.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(regexp_replace(col("w"), "(.)", S + S + "$1"),
+        lit(S + S)).as("seq"), col("cnt"))
+
+  /** The merge loop over a (cached) histogram: returns the merge
+    * records and the fully-merged vocabulary view. */
+  private def learnLoop(vocab0: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var vocab = vocab0
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val toks = vocab.select(col("cnt"),
+        filter(split(col("seq"), S), t => t =!= "").as("tk"))
+      // Spark's sequence(1, 0) counts DOWN — guard single-token seqs
+      val mkPairs = transform(
+        sequence(lit(1), size(col("tk")) - 1),
+        i => concat(element_at(col("tk"), i), lit(S),
+          element_at(col("tk"), i + 1)))
+      val pairs = toks
+        .select(col("cnt"), explode(when(size(col("tk")) >= 2, mkPairs)
+          .otherwise(array())).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("c"))
+      val best = pairs.orderBy(col("c").desc, col("pair")).limit(1)
+        .collect() // exactly one row — bounded by construction
+      if (best.nonEmpty) {
+        val pair = best(0).getString(0)
+        val c = best(0).getLong(1)
+        val Array(x, y) = pair.split(S)
+        merges += ((r, x, y, x + y, c))
+        // Column-API replace: corpus tokens stay data, never SQL text
+        vocab = vocab.withColumn("seq",
+          replace(col("seq"), lit(S + x + S + S + y + S),
+            lit(S + x + y + S)))
+      }
+    }
+    (merges.result(), vocab)
+  }
+
   /** The learned merge table: one row per round,
     * (round, lhs, rhs, merged, cnt) — `cnt` the pair's corpus
     * frequency when it was chosen. */
   def trainMerges(corpus: DataFrame, textCol: String,
                   rounds: Int): DataFrame = {
     val spark = corpus.sparkSession
-    // corpus → word histogram (the only corpus-wide pass)
-    val vocab0 = corpus
-      .select(explode(Dedup.words(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(concat(regexp_replace(col("w"), "(.)", S + S + "$1"),
-        lit(S + S)).as("seq"), col("cnt"))
-      .cache()
+    val vocab0 = wordHistogram(corpus, textCol).cache()
     try {
-      var vocab = vocab0
-      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      for (r <- 1 to rounds) {
-        val toks = vocab.select(col("cnt"),
-          filter(split(col("seq"), S), t => t =!= "").as("tk"))
-        // Spark's sequence(1, 0) counts DOWN — guard single-token seqs
-        val mkPairs = transform(
-          sequence(lit(1), size(col("tk")) - 1),
-          i => concat(element_at(col("tk"), i), lit(S),
-            element_at(col("tk"), i + 1)))
-        val pairs = toks
-          .select(col("cnt"), explode(when(size(col("tk")) >= 2, mkPairs)
-            .otherwise(array())).as("pair"))
-          .groupBy("pair").agg(sum("cnt").as("c"))
-        val best = pairs.orderBy(col("c").desc, col("pair")).limit(1)
-          .collect() // exactly one row — bounded by construction
-        if (best.nonEmpty) {
-          val pair = best(0).getString(0)
-          val c = best(0).getLong(1)
-          val Array(x, y) = pair.split(S)
-          merges += ((r, x, y, x + y, c))
-          // Column-API replace: corpus tokens stay data, never SQL text
-          vocab = vocab.withColumn("seq",
-            replace(col("seq"), lit(S + x + S + S + y + S),
-              lit(S + x + y + S)))
-        }
-      }
+      val (merges, _) = learnLoop(vocab0, rounds)
       import spark.implicits._
-      merges.result().toDF("round", "lhs", "rhs", "merged", "cnt")
+      merges.toDF("round", "lhs", "rhs", "merged", "cnt")
         .orderBy("round")
+    } finally vocab0.unpersist()
+  }
+
+  /** Train → APPLY: the top-`k` tokens (by corpus occurrences, ties on
+    * the token string) of the corpus encoded under the first `rounds`
+    * learned merges — the composability face of the trainer (a real
+    * pipeline learns the vocabulary and then tokenizes with it).
+    * Encoding, like training, runs over the word HISTOGRAM: applying a
+    * merge table to a corpus prices by distinct words, and occurrence
+    * totals recover exactly as count-weighted sums. The top-k
+    * materializes under the histogram cache (k rows, bounded) so the
+    * returned frame is a LocalTableScan. */
+  def encodeTopK(corpus: DataFrame, textCol: String, rounds: Int,
+                 k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val vocab0 = wordHistogram(corpus, textCol).cache()
+    try {
+      val (_, vocabF) = learnLoop(vocab0, rounds)
+      val top = vocabF
+        .select(explode(filter(split(col("seq"), S), t => t =!= ""))
+          .as("token"), col("cnt"))
+        .groupBy("token").agg(sum("cnt").as("n_occ"))
+        .orderBy(col("n_occ").desc, col("token"))
+        .limit(k)
+        .collect() // bounded by k
+        .map(r => (r.getString(0), r.getLong(1)))
+      import spark.implicits._
+      top.toSeq.toDF("token", "n_occ")
     } finally vocab0.unpersist()
   }
 }

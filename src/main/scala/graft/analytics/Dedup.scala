@@ -38,6 +38,21 @@ object Dedup {
       .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Cross-corpus exact dedup: rows of `df` whose content digest does
+    * NOT appear in `ref` — "drop what the last training run already
+    * saw", the batch face of the [[graft.index.DigestLedger]] contract
+    * (there the reference set is the cross-batch ledger; here it is
+    * any corpus-shaped frame). The reference side collapses to its
+    * DISTINCT digest set (fixed-width, map-side partials) before the
+    * LEFT ANTI join, so the join's build input prices by distinct
+    * reference texts; strategy is AQE's call — broadcast when the
+    * digest set is small, shuffled-hash/sort-merge when it is
+    * genuinely corpus-sized. Output keeps `df`'s columns. */
+  def crossDedup(df: DataFrame, ref: DataFrame, textCol: String): DataFrame =
+    df.join(
+      ref.select(md5(col(textCol)).as("__ref_digest")).distinct(),
+      md5(df(textCol)) === col("__ref_digest"), "left_anti")
+
   /** Words of a text column: single-space split, empty tokens dropped.
     * Deliberately NOT a whitespace-class split — `split(text, ' ')` has
     * the exact same semantics in Spark and DuckDB, which keeps every

@@ -29,7 +29,7 @@ object AnalyticsQueries {
     * [[graft.analytics.BpeTrainer.trainMerges]]: same sentinel-wrapped
     * sequences, same engine-native LTR `replace` merge, same
     * (count DESC, pair) argmax, one CTE block per round. */
-  private def bpeOracleSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int): String = {
     val head =
       s"""toks AS (SELECT unnest($wordsSql) AS w FROM documents),
          |v AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
@@ -41,13 +41,27 @@ object AnalyticsQueries {
          |b$r AS (SELECT pair, c FROM g$r ORDER BY c DESC, pair LIMIT 1),
          |s$r AS (SELECT replace(seq, chr(1) || replace(b.pair, chr(1), chr(1) || chr(1)) || chr(1), chr(1) || replace(b.pair, chr(1), '') || chr(1)) AS seq, cnt FROM s${r - 1}, b$r AS b)""".stripMargin
     }
+    (head +: roundCtes).mkString(",\n")
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val sel = (1 to rounds).map { r =>
       s"""SELECT $r AS round, string_split(pair, chr(1))[1] AS lhs,
          |  string_split(pair, chr(1))[2] AS rhs,
          |  replace(pair, chr(1), '') AS merged, c AS cnt FROM b$r""".stripMargin
     }.mkString("\nUNION ALL\n")
-    "WITH " + (head +: roundCtes).mkString(",\n") + "\n" + sel + "\nORDER BY round"
+    "WITH " + bpeCtes(rounds) + "\n" + sel + "\nORDER BY round"
   }
+
+  /** q71: the corpus re-tokenized under the first `rounds` merges —
+    * token totals recover as count-weighted sums over the final
+    * vocabulary view `s{rounds}`. */
+  private def bpeEncodeOracleSql(rounds: Int, k: Int): String =
+    "WITH " + bpeCtes(rounds) +
+      s""",
+         |enc AS (SELECT unnest(list_filter(string_split(seq, chr(1)), x -> x <> '')) AS token, cnt FROM s$rounds)
+         |SELECT token, CAST(sum(cnt) AS BIGINT) AS n_occ FROM enc
+         |GROUP BY token ORDER BY n_occ DESC, token LIMIT $k""".stripMargin
 
   /** The two-round exact-integer Lloyd chain over `embeddings`, ending
     * at `m2(id, cluster, dist)` — shared by the q56/q57/q58/q59 oracles
@@ -444,6 +458,49 @@ object AnalyticsQueries {
     "q70_range_shard" -> ((s, dir) =>
       graft.analytics.Sharding.rangeShardStats(
         t(s, dir, "documents"), "n_chars", n = 8)),
+
+    // Train → apply: the corpus tokenized under its own learned BPE
+    // merges, top-20 tokens by occurrences — the composability face
+    // of q68 (encoding prices by distinct words, like training).
+    "q71_bpe_encode" -> ((s, dir) =>
+      graft.analytics.BpeTrainer.encodeTopK(
+        t(s, dir, "documents"), "text", rounds = 4, k = 20)),
+
+    // Quality-gate composition: surface quality (q27) ∧ bigram-LM
+    // fluency (q60, integer-form score_s ≥ 33000·n_bigrams) ∧ low
+    // 2-gram repetition (q54, integer-form 5·(n2−n2d) < n2) — the
+    // ensemble keep decision a filtering pipeline actually ships;
+    // every leg is an independently hash-verified operator.
+    "q72_quality_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .where(col("n_tokens") >= 10 && col("quality") > 0.1)
+        .select("doc_id")
+      val f = graft.analytics.LanguageModel.fluency(docs, "doc_id", "text")
+        .where(col("score_s") >= lit(33000L) * col("n_bigrams"))
+        .select("doc_id")
+      val rs = graft.functions.TextStatExpressions.repStats(col("text"))
+      val r = docs.where(contains(trim(col("text")), lit(" ")))
+        .select(col("doc_id"), rs.getField("n2").as("n2"),
+          rs.getField("n2_distinct").as("n2d"))
+        .where((col("n2") - col("n2d")) * 5 < col("n2"))
+        .select("doc_id")
+      docs.join(q, "doc_id").join(f, "doc_id").join(r, "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
+
+    // Cross-corpus exact dedup: drop docs the reference slice already
+    // contains (batch face of the DigestLedger contract).
+    "q73_cross_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossDedup(docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"), "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
 
     // Fuzzy (near-dup) clean draw: q50's connected components reduced
     // to a drop list (every member that is NOT its component's min
@@ -874,6 +931,47 @@ object AnalyticsQueries {
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q68_bpe_merges" -> bpeOracleSql(4),
+
+    "q71_bpe_encode" -> bpeEncodeOracleSql(4, 20),
+
+    // The three verified gate legs (q27 quality, q60 fluency, q54
+    // repetition) composed as keep predicates; fluency and repetition
+    // gates in integer form so membership is engine-exact.
+    "q72_quality_gate" ->
+      s"""WITH w AS (SELECT doc_id, text, $wordsSql AS ws FROM documents),
+         |m AS (SELECT doc_id, len(ws) AS n_tokens, length(text) AS n_chars_m,
+         |        len(list_filter(ws, x -> x IN ('the','and','of','to','in','is','that','for'))) AS n_stop
+         |      FROM w),
+         |q AS (SELECT doc_id FROM m WHERE n_tokens >= 10 AND
+         |        (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5 +
+         |        (CAST(n_tokens AS DOUBLE) / CAST(n_chars_m + 1 AS DOUBLE)) * 0.5 > 0.1),
+         |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+         |         THEN list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])
+         |         ELSE CAST([] AS VARCHAR[]) END) AS g FROM w),
+         |uc AS (SELECT w1, count(*) AS u FROM (SELECT unnest(ws) AS w1 FROM w) GROUP BY w1),
+         |bc AS (SELECT g, count(*) AS b FROM bg GROUP BY g),
+         |sc AS (SELECT g, (1000000 * b) // u AS s
+         |       FROM bc JOIN uc ON split_part(g, ' ', 1) = w1),
+         |f AS (SELECT doc_id FROM (
+         |        SELECT doc_id, count(*) AS n_bigrams, CAST(sum(s) AS BIGINT) AS score_s
+         |        FROM bg JOIN sc USING (g) GROUP BY doc_id)
+         |      WHERE score_s >= 33000 * n_bigrams),
+         |per AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+         |r AS (SELECT doc_id FROM (
+         |        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, count(*) AS n2d
+         |        FROM per GROUP BY doc_id)
+         |      WHERE n2 > 0 AND (n2 - n2d) * 5 < n2)
+         |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+         |FROM documents d JOIN q USING (doc_id) JOIN f USING (doc_id) JOIN r USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // Keep new-corpus docs whose digest the reference slice lacks.
+    "q73_cross_dedup" ->
+      """WITH refd AS (SELECT DISTINCT md5(text) AS dg FROM documents WHERE source = 'src0'),
+        |k AS (SELECT d.lang, d.n_chars FROM documents d LEFT JOIN refd ON md5(d.text) = refd.dg
+        |      WHERE d.source <> 'src0' AND refd.dg IS NULL)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Embedding decontamination: q25's normalize/dot chain, eval slice
     // vs corpus slice, threshold membership on the portable left-fold

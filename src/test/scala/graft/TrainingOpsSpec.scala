@@ -60,6 +60,23 @@ class TrainingOpsSpec extends AnyFunSuite {
       && m(1).getLong(4) == 2L)
   }
 
+  test("BpeTrainer.encodeTopK applies the learned merges to the corpus") {
+    // after 2 rounds ((a,b) then (ab,ab)): "abab" -> [abab], "ab" -> [ab]
+    val docs = Seq((1L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    val enc = BpeTrainer.encodeTopK(docs, "text", rounds = 2, k = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(enc.toSeq == Seq("abab" -> 3L, "ab" -> 2L))
+  }
+
+  test("crossDedup drops exactly the reference-corpus digests") {
+    val ref = Seq((10L, "seen text"), (11L, "other seen")).toDF("doc_id", "text")
+    val nw = Seq((1L, "seen text"), (2L, "fresh text"), (3L, "fresh text"))
+      .toDF("doc_id", "text")
+    val kept = graft.analytics.Dedup.crossDedup(nw, ref, "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 3L)) // within-new dups are NOT dropped
+  }
+
   test("embedHits flags only above-threshold cosines, counts evals") {
     val ev = Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f)))
       .toDF("vec_id", "embedding")
