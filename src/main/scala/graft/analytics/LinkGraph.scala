@@ -169,6 +169,136 @@ object LinkGraph {
     spark.createDataFrame(spark.sparkContext.makeRDD(out.toSeq, 1), schema)
   }
 
+  /** HITS hubs & authorities over the same edge table — the
+    * complementary link-graph prior (PageRank ranks endorsement mass;
+    * HITS separates DIRECTORY pages, which point at good content,
+    * from AUTHORITY pages, which are pointed at — the classic
+    * Kleinberg formulation, and the crawl-side signal for seeding:
+    * high-hub hosts are the frontier's best discovery sources).
+    * Returns (node, hub, auth) in `scale` fixed-point units.
+    *
+    * Determinism: the float formulation L2-normalizes each half-step —
+    * order-dependent summation, engine-divergent. Here each half-step
+    * is an integer sum followed by an integer MAX-rescale
+    * (`x * scale div max(x)`): sums are order-independent, max is
+    * exact, floor division is exact, so the whole fixed point is
+    * bit-identical at any parallelism and hash-checkable by a SQL
+    * oracle. Max-normalization is order-equivalent to L2 for ranking
+    * (both are positive scalings of the same power-iteration vector).
+    *
+    * Adaptive like [[pagerank]]: a host-level graph is usually
+    * driver-small, so under the edge guard the SAME recurrence runs
+    * locally (bit-identical by construction); big graphs run the
+    * distributed loop — per round, two edge⋈score joins + two
+    * aggregations over the pre-partitioned edge cache, two 1-row max
+    * aggregates riding back as broadcasts, checkpointed per round. */
+  def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+           iterations: Int = 2, scale: Long = 1000000L,
+           localSolveMaxEdges: Long = 2000000L): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+    e.cache()
+    val nE = e.count()
+    // raw auth ≤ |E|·scale, and the rescale multiplies by `scale`
+    // again before the division — |E|·scale² must fit a BIGINT
+    require(scale > 0 && nE <= Long.MaxValue / scale / scale,
+      s"hits fixed-point overflow: |E|=$nE * scale² exceeds Long range; " +
+        "lower `scale` (10^6 admits ~9.2e6 edges, 10^3 admits ~9.2e12)")
+    if (nE <= localSolveMaxEdges) {
+      try return hitsLocal(e, iterations, scale)
+      finally e.unpersist()
+    }
+    val vertices = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    try {
+      var scores = vertices
+        .withColumn("hub", lit(scale)).withColumn("auth", lit(scale))
+      var prevHandle: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]] = None
+      for (_ <- 1 to iterations) {
+        val (next, handle) = Iterate.checkpoint(
+          hitsRound(e, vertices, scores, scale))
+        handle.count()
+        prevHandle.foreach(_.unpersist(false))
+        prevHandle = Some(handle)
+        scores = next
+      }
+      prevHandle.foreach(CheckpointRegistry.retain)
+      if (iterations <= 0) {
+        val (df, h) = Iterate.checkpoint(scores); h.count()
+        CheckpointRegistry.retain(h); df
+      } else scores
+    } finally { e.unpersist(); vertices.unpersist() }
+  }
+
+  /** One HITS round: auth from hubs, rescale by max; hubs from the NEW
+    * auths, rescale by max. The 1-row max tables cross-join back as
+    * broadcasts — nothing corpus-sized moves except the two edge⋈score
+    * joins over the pre-partitioned edge cache. */
+  private def hitsRound(e: DataFrame, vertices: DataFrame,
+                        scores: DataFrame, scale: Long): DataFrame = {
+    val araw = e
+      .join(scores.select(col("node").as("src"), col("hub")), "src")
+      .groupBy(col("dst").as("node")).agg(sum("hub").as("araw"))
+    val amax = araw.agg(greatest(max("araw"), lit(1L)).as("am"))
+    val a = vertices.join(araw, Seq("node"), "left").crossJoin(amax)
+      .select(col("node"),
+        expr(s"coalesce(araw, 0L) * $scale div am").as("auth"))
+    val hraw = e
+      .join(a.select(col("node").as("dst"), col("auth")), "dst")
+      .groupBy(col("src").as("node")).agg(sum("auth").as("hraw"))
+    val hmax = hraw.agg(greatest(max("hraw"), lit(1L)).as("hm"))
+    vertices.join(hraw, Seq("node"), "left").crossJoin(hmax)
+      .select(col("node"),
+        expr(s"coalesce(hraw, 0L) * $scale div hm").as("hub"))
+      .join(a, "node")
+      .select(col("node"), col("hub"), col("auth"))
+  }
+
+  /** Driver-local mirror of [[hitsRound]] — Java long `/` on the
+    * non-negative scores IS SQL `div`, integer sums and max are
+    * order-independent, so outputs are bit-identical to the loop. */
+  private def hitsLocal(e: DataFrame, iterations: Int,
+                        scale: Long): DataFrame = {
+    val rows = e.collect()
+    val verts = new java.util.LinkedHashSet[Any]()
+    rows.foreach { r => verts.add(r.get(0)); verts.add(r.get(1)) }
+    val spark = e.sparkSession
+    val nodeField = e.schema("src")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      nodeField.copy(name = "node",
+        nullable = nodeField.nullable || e.schema("dst").nullable),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("auth",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (verts.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    var hub = new java.util.HashMap[Any, Long]()
+    var auth = new java.util.HashMap[Any, Long]()
+    verts.forEach { v => hub.put(v, scale); auth.put(v, scale) }
+    for (_ <- 1 to iterations) {
+      val araw = new java.util.HashMap[Any, Long]()
+      rows.foreach(r => araw.merge(r.get(1), hub.get(r.get(0)), (a, b) => a + b))
+      var am = 1L
+      araw.values.forEach(v => if (v > am) am = v)
+      val a2 = new java.util.HashMap[Any, Long]()
+      verts.forEach(v => a2.put(v, araw.getOrDefault(v, 0L) * scale / am))
+      val hraw = new java.util.HashMap[Any, Long]()
+      rows.foreach(r => hraw.merge(r.get(0), a2.get(r.get(1)), (a, b) => a + b))
+      var hm = 1L
+      hraw.values.forEach(v => if (v > hm) hm = v)
+      val h2 = new java.util.HashMap[Any, Long]()
+      verts.forEach(v => h2.put(v, hraw.getOrDefault(v, 0L) * scale / hm))
+      hub = h2; auth = a2
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](verts.size)
+    verts.forEach(v => out += org.apache.spark.sql.Row(v, hub.get(v), auth.get(v)))
+    spark.createDataFrame(spark.sparkContext.makeRDD(out.toSeq, 1), schema)
+  }
+
   /** One PageRank round, pre-checkpoint — the plan each iteration
     * materializes. Shared between the loop and [[roundPlan]] so the
     * dumped explain can never drift from the shipped iteration. */

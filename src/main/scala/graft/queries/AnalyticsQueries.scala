@@ -580,6 +580,14 @@ object AnalyticsQueries {
       graft.analytics.LinkGraph.pagerank(q49Edges(s, dir), iterations = 3)
         .orderBy("node")),
 
+    // HITS hubs & authorities over the same host graph — integer
+    // max-rescaled power iteration (order-equivalent to L2 for
+    // ranking, bit-exact for the oracle). h15..h19 are dst-only:
+    // real zero-hub nodes, so the hash exercises both halves.
+    "q74_hits" -> ((s, dir) =>
+      graft.analytics.LinkGraph.hits(q49Edges(s, dir), iterations = 2)
+        .orderBy("node")),
+
     // Sequence packing: concat-then-chop token budgeting per language,
     // budget 256 — integer window arithmetic, one shuffle.
     "q48_sequence_pack" -> ((s, dir) => {
@@ -1439,6 +1447,32 @@ object AnalyticsQueries {
         |r3 AS (SELECT v.node, CAST(150000000000 + (85 * (coalesce(c3.contrib, 0) + (SELECT ds FROM d3) // (SELECT n FROM nv))) // 100 AS BIGINT) AS rank
         |       FROM v LEFT JOIN c3 ON v.node = c3.node)
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+
+    // Mirror of LinkGraph.hits (2 iterations, scale 10^6): integer
+    // sum → max-rescale per half-step, generated round by round.
+    "q74_hits" -> {
+      val R = 2
+      val head =
+        """e AS (SELECT DISTINCT 'h' || CAST(user_id % 20 AS VARCHAR) AS src,
+          |    'h' || CAST(event_id % 20 AS VARCHAR) AS dst
+          |  FROM events WHERE user_id % 20 < 15 AND user_id % 20 <> event_id % 20),
+          |v AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM v)""".stripMargin
+      val rounds = (1 to R).map { i =>
+        s"""ar$i AS (SELECT e.dst AS node, CAST(sum(s.hub) AS BIGINT) AS araw
+           |        FROM e JOIN s${i - 1} s ON s.node = e.src GROUP BY e.dst),
+           |am$i AS (SELECT greatest(max(araw), 1) AS am FROM ar$i),
+           |a$i AS (SELECT v.node, CAST(coalesce(ar.araw, 0) * 1000000 // (SELECT am FROM am$i) AS BIGINT) AS auth
+           |       FROM v LEFT JOIN ar$i ar ON ar.node = v.node),
+           |hr$i AS (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS hraw
+           |        FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+           |hm$i AS (SELECT greatest(max(hraw), 1) AS hm FROM hr$i),
+           |s$i AS (SELECT v.node, CAST(coalesce(hr.hraw, 0) * 1000000 // (SELECT hm FROM hm$i) AS BIGINT) AS hub
+           |       FROM v LEFT JOIN hr$i hr ON hr.node = v.node)""".stripMargin
+      }
+      "WITH " + (head +: rounds).mkString(",\n") +
+        s"\nSELECT s.node, s.hub, a.auth FROM s$R s JOIN a$R a ON a.node = s.node ORDER BY s.node"
+    },
 
     "q48_sequence_pack" ->
       s"""WITH d AS (SELECT lang, doc_id, len($wordsSql) AS tok FROM documents),

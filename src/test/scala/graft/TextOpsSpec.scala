@@ -107,6 +107,55 @@ class TextOpsSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  /** Plain-Scala reference of the integer HITS recurrence: auth from
+    * hubs then max-rescale, hubs from the NEW auths then max-rescale. */
+  private def hitsRef(edgeList: Seq[(String, String)], iterations: Int,
+                      scale: Long): Map[String, (Long, Long)] = {
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+    var hub = nodes.map(_ -> scale).toMap
+    var auth = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iterations) {
+      val araw = edgeList.groupBy(_._2).view
+        .mapValues(_.map(e => hub(e._1)).sum).toMap
+      val am = math.max(if (araw.isEmpty) 1L else araw.values.max, 1L)
+      auth = nodes.map(n => n -> araw.getOrElse(n, 0L) * scale / am).toMap
+      val hraw = edgeList.groupBy(_._1).view
+        .mapValues(_.map(e => auth(e._2)).sum).toMap
+      val hm = math.max(if (hraw.isEmpty) 1L else hraw.values.max, 1L)
+      hub = nodes.map(n => n -> hraw.getOrElse(n, 0L) * scale / hm).toMap
+    }
+    nodes.map(n => n -> ((hub(n), auth(n)))).toMap
+  }
+
+  test("integer HITS matches an independent reference; hubs/auths split") {
+    import spark.implicits._
+    // d is a pure directory (points at everything, nothing points at
+    // it); c is a pure authority (everyone points at it, no outlinks)
+    val edgeList = Seq(
+      "d" -> "a", "d" -> "b", "d" -> "c", "a" -> "c", "b" -> "c")
+    val edges = edgeList.toDF("src", "dst")
+    val got = graft.analytics.LinkGraph.hits(edges, iterations = 3)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == hitsRef(edgeList, 3, 1000000L))
+    // the best hub holds max hub score; the best authority max auth
+    assert(got("d")._1 == 1000000L && got("c")._2 == 1000000L)
+    // pure authority has zero hub; pure directory zero auth
+    assert(got("c")._1 == 0L && got("d")._2 == 0L)
+  }
+
+  test("HITS local fast path is bit-identical to the distributed loop") {
+    import spark.implicits._
+    val edges = Seq(
+      "d" -> "a", "d" -> "b", "d" -> "c", "a" -> "c", "b" -> "c",
+      "x" -> "a", "c" -> "d").toDF("src", "dst")
+    val local = graft.analytics.LinkGraph.hits(edges, iterations = 3)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val dist = graft.analytics.LinkGraph
+      .hits(edges, iterations = 3, localSolveMaxEdges = 0L)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(local == dist)
+  }
+
   test("pagerank redistributes dangling mass: total rank conserved on a leaf-heavy graph") {
     import spark.implicits._
     // star: hub h links to 3 leaves with NO outlinks — 3/4 of the mass
