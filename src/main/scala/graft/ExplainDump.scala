@@ -83,6 +83,14 @@ object ExplainDump {
       "Embedding-space decontamination — the semantic companion to q53's verbatim n-gram check (paraphrased benchmark leakage survives 13-gram dedup but not an embedding sweep): the eval set is megabytes by contract, normalized once and broadcast, so the corpus side is ONE map-only pass (native l2-normalize + dot per resident eval vector under a BroadcastNestedLoopJoin) and only HIT rows reach the per-vector aggregation, which partial-aggregates map-side. Threshold membership is engine-exact: both sides fold the dot left-to-right in double precision.",
     "q70_range_shard" ->
       "Histogram-based range sharding: a global ntile/row_number would funnel every corpus row through ONE window partition — the canonical scale-killer. Instead the corpus collapses to its key HISTOGRAM (working set = the value domain, map-side partials), the value→shard map is computed by a histogram-sized window (BIGINT cumsum × n div total), and assignment joins that map back BROADCAST — map-only over the corpus, which is never globally sorted. Equal key values always share a shard, so shard sizes are balanced exactly up to value granularity: the same guarantee a sampling range-partitioner gives, made deterministic.",
+    "q71_bpe_encode" ->
+      "BPE train→apply: both training and encoding run over the WORD HISTOGRAM (BPE statistics depend on nothing else), so the corpus is read once, the merge rounds cost O(distinct words), and applying the merge table prices by distinct words with occurrence totals recovered as count-weighted sums. The top-k materializes bounded (k rows) under the histogram cache, so the final plan is a LocalTableScan — the vocabulary-sized aggregates above it are the real work.",
+    "q72_quality_gate" ->
+      "Quality-gate composition — the ensemble keep decision a filtering pipeline ships: three independently hash-verified legs (q27 surface quality, q60 bigram-LM fluency, q54 repetition) reduced to doc_id keep lists and composed as joins. The fluency and repetition gates are INTEGER-form (score_s ≥ 33000·n_bigrams; 5·(n2−n2d) < n2), so keep membership is engine-exact; the legs share the corpus scan shapes their parent operators already pinned, and the composition adds only id-list joins (AQE's call — broadcast at corpus-fraction selectivity).",
+    "q73_cross_dedup" ->
+      "Cross-corpus exact dedup ('drop what the last training run already saw' — the batch face of the DigestLedger contract): the reference side collapses to its DISTINCT digest set (fixed-width, map-side partials) before a LEFT ANTI join, so the build input prices by distinct reference texts; strategy stays AQE's call — broadcast for a small reference set, shuffled-hash/sort-merge when the reference is genuinely corpus-sized, where an anti-join (unlike an IN-subquery rewrite) gets skew handling.",
+    "q74_hits" ->
+      "Integer HITS, ADAPTIVE like pagerank: the float formulation L2-normalizes each half-step (order-dependent summation — engine-divergent); here each half-step is an integer sum + exact MAX-rescale (`x·scale div max`), order-equivalent to L2 for ranking and bit-identical at any parallelism, so a SQL oracle hash-checks a power iteration. Host graphs are driver-small → the guard routes to a local solve (spec-pinned bit-identical); big graphs run per-round: two edge⋈score joins over the pre-partitioned edge cache + two aggregations, the 1-row max tables riding back as broadcasts, checkpointed per round.",
     "q49_pagerank" ->
       "Fixed-point PageRank, ADAPTIVE like q50's CC: a host-level link graph is tiny even when the corpus is not (10⁸ pages → 10⁵ hosts), so when the distinct edge list fits on the driver the SAME BIGINT recurrence runs locally (floor divisions + integer sums are order-independent → bit-identical by construction, spec-pinned; works for any node type since no ordering is needed) and the final plan is a LocalTableScan. Big graphs run 3 materialized distributed rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->
