@@ -89,6 +89,10 @@ object ExplainDump {
       "Quality-gate composition — the ensemble keep decision a filtering pipeline ships: three independently hash-verified legs (q27 surface quality, q60 bigram-LM fluency, q54 repetition) reduced to doc_id keep lists and composed as joins. The fluency and repetition gates are INTEGER-form (score_s ≥ 33000·n_bigrams; 5·(n2−n2d) < n2), so keep membership is engine-exact; the legs share the corpus scan shapes their parent operators already pinned, and the composition adds only id-list joins (AQE's call — broadcast at corpus-fraction selectivity).",
     "q73_cross_dedup" ->
       "Cross-corpus exact dedup ('drop what the last training run already saw' — the batch face of the DigestLedger contract): the reference side collapses to its DISTINCT digest set (fixed-width, map-side partials) before a LEFT ANTI join, so the build input prices by distinct reference texts; strategy stays AQE's call — broadcast for a small reference set, shuffled-hash/sort-merge when the reference is genuinely corpus-sized, where an anti-join (unlike an IN-subquery rewrite) gets skew handling.",
+    "q75_novelty" ->
+      "Cross-corpus gram novelty — the incremental-crawl signal (how much of a re-crawl is new content): both sides shingle MAP-ONLY (native distinct-shingle pass + explode_outer), the reference collapses to its distinct gram set, and the novelty check is a LEFT ANTI join — both sides corpus-sized, so strategy is AQE's call with skew-join splitting available (the q55 argument; a broadcast hint here would be WRONG — the reference is not an eval set). Ranking is integer parts-per-million, so top-k membership is engine-exact; the top-k itself is TakeOrderedAndProject.",
+    "q76_budget_draw" ->
+      "Budgeted uniform draw ('~N tokens per language, drawn uniformly'): the naive formulation — a running-sum window per group over the corpus — sorts every language's rows in ONE partition (languages are few and huge: maximal skew). Instead the corpus collapses to its (group, id-hash-bucket) SIZE histogram (≤ groups×10⁴ rows, map-side partials), the running sum runs over that histogram, and the kept (group, bucket) pairs broadcast back as a map-only join filter. Budget fill is exact at bucket granularity (≤1/10⁴ of the group overshoot — the range-partitioner bound). All BIGINT; the draw order is the deterministic id-hash, so the kept set is a uniform draw reproducible anywhere.",
     "q74_hits" ->
       "Integer HITS, ADAPTIVE like pagerank: the float formulation L2-normalizes each half-step (order-dependent summation — engine-divergent); here each half-step is an integer sum + exact MAX-rescale (`x·scale div max`), order-equivalent to L2 for ranking and bit-identical at any parallelism, so a SQL oracle hash-checks a power iteration. Host graphs are driver-small → the guard routes to a local solve (spec-pinned bit-identical); big graphs run per-round: two edge⋈score joins over the pre-partitioned edge cache + two aggregations, the 1-row max tables riding back as broadcasts, checkpointed per round.",
     "q49_pagerank" ->

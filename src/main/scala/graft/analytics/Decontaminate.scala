@@ -92,17 +92,45 @@ object Decontaminate {
       .collect() // bounded by 2^log2Bits — the filter's own bit count
       .map(_.getInt(0))
     val bits = graft.functions.BloomOps.buildBits(setPositions, log2Bits)
-    val grams = docGrams(
-      withGs(corpus.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol)), textCol, k), "doc_id")
+    def prefiltered(grams: DataFrame) = grams
       .where(BloomFunctions.bloomContains(col("g"), bits, numHash, log2Bits))
-    grams.join(bg.hint("merge"), "g")
-      .groupBy("doc_id", "n_shingles")
-      .agg(count(lit(1)).as("n_hits"), min("bench_id").as("first_match"))
-      .select(col("doc_id"), col("n_hits"), col("n_shingles"),
-        (col("n_hits").cast("double") / col("n_shingles").cast("double"))
-          .as("contamination"),
-        col("first_match"))
+    // ADAPTIVE like ngramHits: on a replicated corpus, shingling every
+    // copy feeds the (pinned sort-merge) confirm join a gram stream
+    // that scales with COPIES — the collapse prices it by DISTINCT
+    // texts and expands per-digest hits back to members, bit-identical
+    // (measured 30 → ~2 s at a 100×-replicated sf10). The bloom
+    // prefilter applies to the rep gram stream the same way.
+    if (Dedup.noVerbatimDups(corpus, textCol, textCol)) {
+      val grams = prefiltered(docGrams(
+        withGs(corpus.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol)), textCol, k), "doc_id"))
+      grams.join(bg.hint("merge"), "g")
+        .groupBy("doc_id", "n_shingles")
+        .agg(count(lit(1)).as("n_hits"), min("bench_id").as("first_match"))
+        .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+          (col("n_hits").cast("double") / col("n_shingles").cast("double"))
+            .as("contamination"),
+          col("first_match"))
+    } else {
+      val members = corpus.select(col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol)).as("digest"))
+      val repIds = members.groupBy("digest").agg(min("doc_id").as("rep"))
+      val repRows = corpus
+        .select(col(idCol).cast("long").as("m_id"), col(textCol))
+        .join(repIds.withColumnRenamed("digest", "r_digest"),
+          col("m_id") === col("rep"))
+        .select(col("r_digest").as("digest"), col(textCol))
+      val hitsByDigest = prefiltered(
+          docGrams(withGs(repRows, textCol, k), "digest"))
+        .join(bg.hint("merge"), "g")
+        .groupBy("digest", "n_shingles")
+        .agg(count(lit(1)).as("n_hits"), min("bench_id").as("first_match"))
+      members.join(hitsByDigest, "digest")
+        .select(col("doc_id"), col("n_hits"), col("n_shingles"),
+          (col("n_hits").cast("double") / col("n_shingles").cast("double"))
+            .as("contamination"),
+          col("first_match"))
+    }
   }
 
   /** (g, bench_id = min owning benchmark id) per distinct eval-set
@@ -164,6 +192,88 @@ object Decontaminate {
         max("cos").as("max_cos"))
       .orderBy("vec_id")
   }
+
+  /** Cross-corpus n-gram novelty: for each `df` document, how much of
+    * its DISTINCT k-gram content is UNSEEN in the reference corpus —
+    * the "new information" signal of an incremental crawl (a re-crawl
+    * that is 95% boilerplate-overlapping with the last snapshot is
+    * priced here, doc by doc). Output: top `topK` most-novel docs as
+    * (doc_id, n_shingles, n_novel, novelty_ppm), ranked by the
+    * INTEGER novelty (parts-per-million — float fractions would make
+    * top-k membership engine-fragile), ties on doc_id.
+    *
+    * Scale shape: both sides shingle map-only (native distinct-shingle
+    * pass, explode_outer); the reference collapses to its DISTINCT
+    * gram set (fixed-width after hashing? no — grams themselves, but
+    * one row per distinct gram via partial-agg'd distinct) and the
+    * novelty join is a LEFT ANTI — corpus-sized both sides, so the
+    * strategy is AQE's call with skew handling, the q55 argument. The
+    * per-doc aggregate partial-aggregates map-side; top-k is
+    * TakeOrderedAndProject. */
+  def ngramNovelty(df: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, k: Int, topK: Int): DataFrame = {
+    // Each side collapses independently (adaptive per-side probes):
+    // the reference's distinct gram set and a doc's novelty are both
+    // functions of the TEXT, so shingling replicas is pure waste.
+    val refRows =
+      if (Dedup.noVerbatimDups(ref, textCol, textCol))
+        ref.select(col(textCol))
+      else repTexts(ref, idCol, textCol).select(col(textCol))
+    val refGrams = refRows
+      .select(explode_outer(graft.functions.TextHashExpressions
+        .distinctShingles(col(textCol), k)).as("g"))
+      .where(col("g").isNotNull).distinct()
+    if (Dedup.noVerbatimDups(df, textCol, textCol)) {
+      val grams = docGrams(
+        withGs(df.select(col(idCol).cast("long").as("doc_id"), col(textCol)),
+          textCol, k), "doc_id")
+        .where(col("g").isNotNull)
+      noveltyRank(grams, refGrams, "doc_id", topK)
+    } else {
+      val members = df.select(col(idCol).cast("long").as("doc_id"),
+        md5(col(textCol)).as("digest"))
+      val grams = docGrams(
+        withGs(repTexts(df, idCol, textCol), textCol, k), "digest")
+        .where(col("g").isNotNull)
+      val byDigest = noveltyStats(grams, refGrams, "digest")
+      members.join(byDigest, "digest")
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          col("novelty_ppm"))
+        .orderBy(col("novelty_ppm").desc, col("doc_id"))
+        .limit(topK)
+    }
+  }
+
+  /** One (digest, text) row per distinct text of `df` — the standard
+    * fixed-width collapse + join-back on id = rep. */
+  private def repTexts(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val repIds = df
+      .select(md5(col(textCol)).as("digest"), col(idCol).cast("long").as("m_id"))
+      .groupBy("digest").agg(min("m_id").as("rep"))
+    df.select(col(idCol).cast("long").as("m_id"), col(textCol))
+      .join(repIds.withColumnRenamed("digest", "r_digest"),
+        col("m_id") === col("rep"))
+      .select(col("r_digest").as("digest"), col(textCol))
+  }
+
+  private def noveltyStats(grams: DataFrame, refGrams: DataFrame,
+                           keyName: String): DataFrame = {
+    val novel = grams.join(refGrams, Seq("g"), "left_anti")
+      .groupBy(keyName).agg(count(lit(1)).as("n_novel"))
+    grams.select(keyName, "n_shingles").distinct()
+      .join(novel, Seq(keyName), "left")
+      .select(col(keyName), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        expr("n_novel * 1000000 div n_shingles"))
+  }
+
+  private def noveltyRank(grams: DataFrame, refGrams: DataFrame,
+                          keyName: String, topK: Int): DataFrame =
+    noveltyStats(grams, refGrams, keyName)
+      .orderBy(col("novelty_ppm").desc, col(keyName))
+      .limit(topK)
 
   /** Doc-level pipeline: one shingle pass per corpus ROW. */
   private[graft] def directHits(corpus: DataFrame, bg: DataFrame,

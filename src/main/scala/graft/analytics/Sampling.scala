@@ -50,6 +50,41 @@ object Sampling {
     df.where(bucket(col(idCol)) < rate * 10000)
   }
 
+  /** Budgeted draw: per group, keep documents in the deterministic
+    * id-hash order until the group's SIZE budget (tokens/chars) fills
+    * — "give me ~1B tokens per language, drawn uniformly" as one
+    * operator. The draw order is the 0..9999 [[bucket]] hash of the
+    * id (a deterministic shuffle), so the kept set is a uniform draw
+    * reproducible at any parallelism.
+    *
+    * Scale shape — the q70 histogram argument: a per-group
+    * running-sum window over the CORPUS would sort every group's rows
+    * in one partition (languages are few and huge — maximal skew).
+    * Instead the corpus collapses to its (group, bucket) size
+    * histogram (≤ groups×10⁴ rows, map-side partials), the running
+    * sum runs over THAT, and the kept (group, bucket) pairs broadcast
+    * back as a map-only join filter. Budget fill is exact at bucket
+    * granularity — the last kept bucket may overshoot by one bucket's
+    * mass (~1/10⁴ of the group), the same granularity bound a range
+    * partitioner gives. All BIGINT, engine-exact. */
+  def budgetDraw(df: DataFrame, groupCol: String, idCol: String,
+                 sizeCol: String, budget: Long): DataFrame = {
+    val withB = df.withColumn("__bkt", bucket(col(idCol)))
+    val hist = withB
+      .groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(col(sizeCol).cast("long")).as("__s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("__bkt")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val keep = hist
+      .select(col(groupCol), col("__bkt"),
+        (sum("__s").over(w) - col("__s")).as("__cum_before"))
+      .where(col("__cum_before") < budget)
+      .select(col(groupCol), col("__bkt"))
+    withB.join(broadcast(keep), Seq(groupCol, "__bkt")).drop("__bkt")
+  }
+
   /** Temperature (size-aware) downsampling: each group keeps rate
     * `min(1, sqrt(cap / n_g))` — the XLM-R-style flattening rule that
     * tempers over-represented sources while leaving small groups

@@ -408,9 +408,13 @@ object AnalyticsQueries {
     // to encode and never shuffled). Approximate by design, bit-exact
     // as a function of the inputs — the oracle reproduces codebooks,
     // codes, and distances integer-for-integer.
+    // Query set %1000 — the q25 brute-force convention: PQ without IVF
+    // is still a full code scan per query (its virtue is MEMORY, not
+    // FLOPs), so the exhaustive baseline keeps a bounded query set;
+    // q66 (bucket-pruned) carries the larger %100 set.
     "q65_pq_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.pqTopK(e, e.where(col("vec_id") % 100 === 0),
+      Similarity.pqTopK(e, e.where(col("vec_id") % 1000 === 0),
           "vec_id", "embedding")
         .orderBy("q_id", "rnk")
     }),
@@ -501,6 +505,29 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("lang")
     }),
+
+    // Cross-corpus gram novelty: how much of each new doc's distinct
+    // 3-gram content the reference slice has never seen — integer-ppm
+    // ranking (top-k membership engine-exact), anti-join strategy
+    // AQE's call (both sides corpus-sized).
+    "q75_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.analytics.Decontaminate.ngramNovelty(
+        docs.where(col("doc_id") % 3 =!= 0),
+        docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", k = 3, topK = 20)
+    }),
+
+    // Budgeted uniform draw: ~15k chars per language, drawn in
+    // deterministic id-hash order, filled at bucket granularity — the
+    // q70 histogram trick applied to budget filling (no corpus-sized
+    // window partition per language).
+    "q76_budget_draw" -> ((s, dir) =>
+      graft.analytics.Sampling.budgetDraw(
+          t(s, dir, "documents"), "lang", "doc_id", "n_chars", 15000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")),
 
     // Fuzzy (near-dup) clean draw: q50's connected components reduced
     // to a drop list (every member that is NOT its component's min
@@ -616,7 +643,7 @@ object AnalyticsQueries {
 
   /** The per-subspace PQ chain (mirror of [[Similarity.pqCodebooks]] /
     * `pqTopK` at the default geometry: m=8 subspaces × 8 dims, 16
-    * codes, 2 Lloyd rounds, queries = vec_id % 100 = 0): each subspace
+    * codes, 2 Lloyd rounds, queries = vec_id % qmod = 0): each subspace
     * runs the same exact-integer Lloyd rounds as [[lloydCte]] over its
     * slice, then codes join back per id and the query LUTs supply the
     * summed approximate distance. Generated by a loop so all eight
@@ -627,7 +654,7 @@ object AnalyticsQueries {
     * its predecessors 2-3 times the inlined plan explodes
     * combinatorially (measured: >120 s to not even finish planning at
     * sf0.01 vs 1.1 s materialized). */
-  private lazy val pqChainsCte: String = {
+  private def pqChainsCte(qmod: Int): String = {
     val m = 8; val subDim = 8; val kCodes = 16
     def sq(v: String, c: String) =
       s"list_reduce(list_transform(generate_series(1, $subDim), " +
@@ -656,7 +683,7 @@ object AnalyticsQueries {
          |          FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a2_$s)
          |          WHERE rk = 1),
          |lut_$s AS MATERIALIZED (SELECT q.id AS q_id, c.j, ${sq("q.v", "c.cv")} AS d
-         |           FROM sub$s q CROSS JOIN c1_$s c WHERE q.id % 100 = 0)""".stripMargin
+         |           FROM sub$s q CROSS JOIN c1_$s c WHERE q.id % $qmod = 0)""".stripMargin
     }.mkString(",\n")
     val codeJoins = (1 until m).map(s => s"JOIN m2_$s USING (id)").mkString(" ")
     s"""qv AS MATERIALIZED (
@@ -669,9 +696,9 @@ object AnalyticsQueries {
 
   /** q65's tail over [[pqChainsCte]]: every (query, corpus) pair
     * scored from the LUTs — the exhaustive compressed scan. */
-  private lazy val pqScoredCte: String =
-    s"""$pqChainsCte,
-       |qids AS MATERIALIZED (SELECT id AS q_id FROM qv WHERE id % 100 = 0),
+  private def pqScoredCte(qmod: Int): String =
+    s"""${pqChainsCte(qmod)},
+       |qids AS MATERIALIZED (SELECT id AS q_id FROM qv WHERE id % $qmod = 0),
        |scored AS MATERIALIZED (
        |  SELECT q.q_id, codes.id AS c_id, $pqDistSumSql AS adist
        |  FROM qids q CROSS JOIN codes
@@ -907,7 +934,7 @@ object AnalyticsQueries {
     // Full PQ reproduction: 8 per-subspace integer Lloyd chains →
     // codes → LUT-summed approximate distances → per-query top-5.
     "q65_pq_topk" ->
-      s"""WITH $pqScoredCte
+      s"""WITH ${pqScoredCte(1000)}
          |SELECT q_id, c_id, adist, rnk FROM (
          |  SELECT q_id, c_id, adist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rnk
@@ -917,7 +944,7 @@ object AnalyticsQueries {
     // The full IVF-PQ reproduction: pq chains (codes + LUTs) + the q38
     // bucket/probe machinery + LUT-scored candidates in probed buckets.
     "q66_ivfpq_topk" ->
-      s"""WITH $pqChainsCte,
+      s"""WITH ${pqChainsCte(100)},
          |$pqIvfScoredCte
          |SELECT q_id, c_id, adist, rnk FROM (
          |  SELECT q_id, c_id, adist,
@@ -972,6 +999,37 @@ object AnalyticsQueries {
          |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
          |FROM documents d JOIN q USING (doc_id) JOIN f USING (doc_id) JOIN r USING (doc_id)
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // Mirror of Decontaminate.ngramNovelty: distinct 3-grams, anti
+    // set membership vs the reference slice, integer-ppm ranking.
+    "q75_novelty" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |         THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+         |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         |         ELSE CAST([] AS VARCHAR[]) END AS shs FROM w),
+         |grams AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+         |refg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 3 = 0),
+         |newg AS (SELECT doc_id, g FROM grams WHERE doc_id % 3 <> 0),
+         |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM newg GROUP BY doc_id),
+         |nov AS (SELECT n.doc_id, count(*) AS n_novel FROM newg n
+         |        LEFT JOIN refg r ON n.g = r.g WHERE r.g IS NULL GROUP BY n.doc_id)
+         |SELECT s.doc_id, s.n_shingles, CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CAST((COALESCE(v.n_novel, 0) * 1000000) // s.n_shingles AS BIGINT) AS novelty_ppm
+         |FROM nsh s LEFT JOIN nov v USING (doc_id)
+         |ORDER BY novelty_ppm DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Mirror of Sampling.budgetDraw: (lang, bucket) size histogram,
+    // per-lang running sum, keep buckets whose cum-before < budget.
+    "q76_budget_draw" ->
+      s"""WITH b AS (SELECT lang, doc_id, n_chars,
+         |             ${graft.analytics.Sampling.bucketSql("doc_id")} AS bkt FROM documents),
+         |h AS (SELECT lang, bkt, CAST(sum(n_chars) AS BIGINT) AS s FROM b GROUP BY lang, bkt),
+         |c AS (SELECT lang, bkt, sum(s) OVER (PARTITION BY lang ORDER BY bkt) - s AS cum_before FROM h),
+         |k AS (SELECT lang, bkt FROM c WHERE cum_before < 15000)
+         |SELECT b.lang, count(*) AS n_docs, CAST(sum(b.n_chars) AS BIGINT) AS total_chars
+         |FROM b JOIN k ON k.lang = b.lang AND k.bkt = b.bkt
+         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
 
     // Keep new-corpus docs whose digest the reference slice lacks.
     "q73_cross_dedup" ->
