@@ -41,13 +41,28 @@ object BpeTrainer {
   private val S = "\u0001"
 
   /** Corpus → sentinel-encoded word histogram (the only corpus-wide
-    * pass; BPE statistics depend on nothing else). */
-  private def wordHistogram(corpus: DataFrame, textCol: String): DataFrame =
-    corpus
-      .select(explode(Dedup.words(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    * pass; BPE statistics depend on nothing else). ADAPTIVE on the
+    * [[Dedup.noVerbatimDups]] probe: a replicated corpus tokenizes
+    * every copy of a text into the same words, so with duplicates
+    * present the corpus collapses to one representative per content
+    * digest and word counts recover exactly as member-weight sums —
+    * identical histogram, tokenization priced by DISTINCT texts. */
+  private def wordHistogram(corpus: DataFrame, textCol: String): DataFrame = {
+    val weighted =
+      if (Dedup.noVerbatimDups(corpus, textCol, textCol))
+        corpus.select(explode(Dedup.words(col(textCol))).as("w"),
+          lit(1L).as("m"))
+      else
+        // text as the GROUP KEY (not an agg buffer — stays inside
+        // HashAggregate): map-side partials collapse replicas before
+        // the exchange, so it carries ~distinct texts per partition
+        corpus.groupBy(col(textCol)).agg(count(lit(1)).as("m"))
+          .select(explode(Dedup.words(col(textCol))).as("w"), col("m"))
+    weighted
+      .groupBy("w").agg(sum("m").as("cnt"))
       .select(concat(regexp_replace(col("w"), "(.)", S + S + "$1"),
         lit(S + S)).as("seq"), col("cnt"))
+  }
 
   /** The merge loop over a (cached) histogram: returns the merge
     * records and the fully-merged vocabulary view. */

@@ -178,19 +178,48 @@ object Decontaminate {
     * `max_cos` are reproducible across engines: both sides fold the
     * dot product left-to-right in double precision
     * ([[Similarity.normalized]]'s contract), and IEEE ops are
-    * deterministic given identical operation order. */
+    * deterministic given identical operation order.
+    *
+    * Contract: `corpus` and `eval` are id-disjoint frames (an eval
+    * vector passed in the corpus simply matches itself at cos 1). */
   def embedHits(corpus: DataFrame, eval: DataFrame, idCol: String,
                 vecCol: String, minCos: Double): DataFrame = {
-    val c = Similarity.normalized(corpus, idCol, vecCol, "vec_id", "cv")
     val e = Similarity.normalized(eval, idCol, vecCol, "eval_id", "ev")
-    c.join(broadcast(e), col("vec_id") =!= col("eval_id"))
-      .select(col("vec_id"), col("eval_id"),
-        Similarity.dotD(col("cv"), col("ev")).as("cos"))
-      .where(col("cos") >= minCos)
-      .groupBy("vec_id")
-      .agg(count(lit(1)).as("n_evals"), min("eval_id").as("first_eval"),
-        max("cos").as("max_cos"))
-      .orderBy("vec_id")
+    def hitsFor(c: DataFrame, keyName: String): DataFrame =
+      c.crossJoin(broadcast(e))
+        .select(col(keyName), col("eval_id"),
+          Similarity.dotD(col("cv"), col("ev")).as("cos"))
+        .where(col("cos") >= minCos)
+        .groupBy(keyName)
+        .agg(count(lit(1)).as("n_evals"), min("eval_id").as("first_eval"),
+          max("cos").as("max_cos"))
+    // ADAPTIVE on a duplicate-vector probe (the dedup-family shape —
+    // duplicate documents carry duplicate embeddings): identical
+    // vectors have identical eval sweeps, so with duplicates present
+    // the corpus collapses to one representative per distinct VECTOR
+    // (the vector is the GROUP KEY — map-side partials collapse
+    // replicas before the exchange) and per-rep results expand back
+    // to members through a join on the vector. Bit-identical by
+    // construction. The exact-dup probe uses xxhash64 over the raw
+    // array — a collision only mis-routes to the (always-correct)
+    // collapsed path.
+    val probe = corpus.agg(count(lit(1)),
+      count_distinct(xxhash64(col(vecCol)))).first()
+    if (probe.getLong(0) == probe.getLong(1)) {
+      hitsFor(Similarity.normalized(corpus, idCol, vecCol, "vec_id", "cv"),
+        "vec_id").orderBy("vec_id")
+    } else {
+      val members = corpus.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("__v"))
+      val reps = members.groupBy("__v").agg(min("vec_id").as("rep"))
+      val repHits = hitsFor(
+        Similarity.normalized(reps, "rep", "__v", "rep_id", "cv"), "rep_id")
+      members.join(reps, "__v")
+        .join(repHits, col("rep") === col("rep_id"))
+        .select(col("vec_id"), col("n_evals"), col("first_eval"),
+          col("max_cos"))
+        .orderBy("vec_id")
+    }
   }
 
   /** Cross-corpus n-gram novelty: for each `df` document, how much of

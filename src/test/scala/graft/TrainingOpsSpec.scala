@@ -167,6 +167,23 @@ class TrainingOpsSpec extends AnyFunSuite {
       10000L).count() == 50L)
   }
 
+  test("embedHits collapsed route (duplicate vectors) matches the direct output") {
+    val ev = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val base = Seq(
+      (1L, Array(1f, 0f)), (3L, Array(1f, 1f)), (5L, Array(0f, 1f)))
+    val unique = base.toDF("vec_id", "embedding")
+    // replicate each vector under a second id — the probe must route
+    // collapsed, and every member must carry its replica's row
+    val dup = (base ++ base.map { case (i, v) => (i + 1, v) })
+      .toDF("vec_id", "embedding")
+    val u = Decontaminate.embedHits(unique, ev, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d = Decontaminate.embedHits(dup, ev, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(u == Set((1L, 1L, 100L), (3L, 1L, 100L)))
+    assert(d == Set((1L, 1L, 100L), (2L, 1L, 100L), (3L, 1L, 100L), (4L, 1L, 100L)))
+  }
+
   test("Sharding balances shards up to value granularity, keeps ranges") {
     // 100 docs with distinct lengths 1..100 into 4 shards of 25
     val docs = (1L to 100L).map(i => (i, i)).toDF("doc_id", "n_chars")
