@@ -68,7 +68,7 @@ object ExplainDump {
     "q59_semdedup_draw" ->
       "SemDeDup consumed as a KEEP LIST (the exactDedup composability contract): drop ids (distinct larger-id members of qualifying pairs) are a small fraction of the corpus, so the anti-join broadcasts under AQE and the corpus is never shuffled by the keep step; the only full-size exchanges are the ones the SemDeDup pair search already pays (cluster+bucket self-join).",
     "q63_bloom_decontaminate" ->
-      "Bloom-prefiltered decontamination — the big-eval-set regime where a broadcast hash relation no longer fits: the eval grams ride as a 2^20-BIT array (codegen reference object, 128 KiB — the KmeansAssignExpr pattern), the exploded corpus gram stream is prefiltered by a MAP-ONLY bloom_contains filter BELOW the exchange, and the pinned sort-merge join confirms survivors exactly. Zero false negatives + exact confirm ⇒ output hash-identical to q53's plain join; at a sub-percent contamination rate ~all of the corpus-gram shuffle (the dominant cost) dies before it ships. The filter build is one pass over the small eval side; set-bit union is commutative, so the bit pattern is partitioning-invariant. Mirrors Spark's own InjectRuntimeFilter as an explicit, unconditional operator.",
+      "Bloom-prefiltered decontamination, ADAPTIVE on the duplication probe (replicated corpora collapse to distinct texts before shingling, per-digest hits expand back — 30 -> 9.9 s at a 100x-replicated sf10) — the big-eval-set regime where a broadcast hash relation no longer fits: the eval grams ride as a 2^20-BIT array (codegen reference object, 128 KiB — the KmeansAssignExpr pattern), the exploded corpus gram stream is prefiltered by a MAP-ONLY bloom_contains filter BELOW the exchange, and the pinned sort-merge join confirms survivors exactly. Zero false negatives + exact confirm ⇒ output hash-identical to q53's plain join; at a sub-percent contamination rate ~all of the corpus-gram shuffle (the dominant cost) dies before it ships. The filter build is one pass over the small eval side; set-bit union is commutative, so the bit pattern is partitioning-invariant. Mirrors Spark's own InjectRuntimeFilter as an explicit, unconditional operator.",
     "q64_fuzzy_clean_draw" ->
       "Fuzzy clean draw — q50's connected components reduced to the keep-one-representative contract: the drop list (members that are NOT their component's min label) is cluster-mass-sized, tiny next to the corpus, so the anti-join broadcasts under AQE and the corpus is scanned ONCE; the only heavy exchanges are the ones the CC pair search already pays. Verified against the exact transitive closure (recursive-CTE oracle), not a fixed round count.",
     "q65_pq_topk" ->
@@ -76,11 +76,11 @@ object ExplainDump {
     "q66_ivfpq_topk" ->
       "IVF-PQ — the production ANN composition at 100 TB: ONE map-only corpus pass derives BOTH the coarse hyperplane bucket and the PQ codes (codebooks + sign matrix as plan-time constants), the per-query probe set (lut × nprobe buckets) broadcasts (BroadcastHashJoin on bucket), and only candidates in probed buckets are LUT-scored (pq_dist — m table loads + adds, no floats). On a bucket-partitioned code table the non-probed partitions prune at the scan, and the scanned bytes are the CODES (~1/32 of the float vectors) — the q38 pruning and the q65 compression multiply. Bit-exact as a function of the inputs; the oracle reproduces buckets, probes, codebooks, codes, and distances.",
     "q67_dsir_topk" ->
-      "DSIR importance selection: two corpus passes, both map-heavy — the bucket-count aggregate's working set is the 4096-bucket feature table (map-side partials, so the exchange carries at most partitions×buckets fixed-width rows), the integer-ppm ratio LUT joins back PINNED broadcast (the corpus side must never be a build side — the q53 argument), the per-doc score partial-aggregates to ~one row per document before its exchange (a doc's tokens all originate in one input row), and the top-20 is TakeOrderedAndProject — per-partition heaps merged on the driver, never a global sort. Integer ratios instead of float log sums make the selection ORDER engine-exact, which is what lets a SQL oracle hash-verify an importance sampler.",
+      "DSIR importance selection: two corpus passes, both map-heavy — the bucket-count aggregate's working set is the 4096-bucket feature table (map-side partials, so the exchange carries at most partitions×buckets fixed-width rows), the integer-ppm ratio LUT joins back PINNED broadcast (the corpus side must never be a build side — the q53 argument), the per-doc score partial-aggregates to ~one row per document before its exchange (a doc's tokens all originate in one input row), and the top-20 is TakeOrderedAndProject — per-partition heaps merged on the driver, never a global sort. ADAPTIVE on the duplication probe: a replicated corpus hashes token features once per DISTINCT text, bucket counts recover as member-weight sums, per-digest scores expand back (77.6 -> 4.8 s at a 100x-replicated sf10). Integer ratios instead of float log sums make the selection ORDER engine-exact, which is what lets a SQL oracle hash-verify an importance sampler.",
     "q68_bpe_merges" ->
-      "Distributed BPE vocabulary induction: the corpus is read ONCE — the word-histogram collapse (BPE statistics depend only on the histogram) partial-aggregates map-side to a vocabulary-sized table, and every merge round then runs over the VOCABULARY: one pair-count HashAggregate plus a 1-row argmax collect (the bounded-driver-set contract, k-means edition), so rounds cost O(distinct words) no matter how many bytes were crawled. The double-sentinel token encoding makes the engine-native LTR replace reproduce true BPE non-overlapping merge order byte-identically on both engines. The final plan is the LocalTableScan of the learned merge table — the real work is the per-round aggregates above it.",
+      "Distributed BPE vocabulary induction: the corpus is read ONCE — the word-histogram collapse (BPE statistics depend only on the histogram) partial-aggregates map-side to a vocabulary-sized table, and every merge round then runs over the VOCABULARY: one pair-count HashAggregate plus a 1-row argmax collect (the bounded-driver-set contract, k-means edition), so rounds cost O(distinct words) no matter how many bytes were crawled. The double-sentinel token encoding makes the engine-native LTR replace reproduce true BPE non-overlapping merge order byte-identically on both engines. The histogram itself is ADAPTIVE on the duplication probe — replicated corpora collapse by text (the text is the group KEY, so map-side partials compact replicas before the exchange) with word counts as member-weight sums. The final plan is the LocalTableScan of the learned merge table — the real work is the per-round aggregates above it.",
     "q69_embed_decontaminate" ->
-      "Embedding-space decontamination — the semantic companion to q53's verbatim n-gram check (paraphrased benchmark leakage survives 13-gram dedup but not an embedding sweep): the eval set is megabytes by contract, normalized once and broadcast, so the corpus side is ONE map-only pass (native l2-normalize + dot per resident eval vector under a BroadcastNestedLoopJoin) and only HIT rows reach the per-vector aggregation, which partial-aggregates map-side. Threshold membership is engine-exact: both sides fold the dot left-to-right in double precision.",
+      "Embedding-space decontamination — the semantic companion to q53's verbatim n-gram check (paraphrased benchmark leakage survives 13-gram dedup but not an embedding sweep): the eval set is megabytes by contract, normalized once and broadcast, so the corpus side is ONE map-only pass (native l2-normalize + dot per resident eval vector under a BroadcastNestedLoopJoin) and only HIT rows reach the per-vector aggregation, which partial-aggregates map-side. Threshold membership is engine-exact: both sides fold the dot left-to-right in double precision. ADAPTIVE on a duplicate-VECTOR probe (duplicate documents carry duplicate embeddings): with duplicates present the sweep runs once per distinct vector and per-rep results expand back through the vector join (7.5 -> 2.4 s at a 100x-replicated sf10).",
     "q70_range_shard" ->
       "Histogram-based range sharding: a global ntile/row_number would funnel every corpus row through ONE window partition — the canonical scale-killer. Instead the corpus collapses to its key HISTOGRAM (working set = the value domain, map-side partials), the value→shard map is computed by a histogram-sized window (BIGINT cumsum × n div total), and assignment joins that map back BROADCAST — map-only over the corpus, which is never globally sorted. Equal key values always share a shard, so shard sizes are balanced exactly up to value granularity: the same guarantee a sampling range-partitioner gives, made deterministic.",
     "q71_bpe_encode" ->
