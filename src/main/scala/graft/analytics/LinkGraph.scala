@@ -299,6 +299,123 @@ object LinkGraph {
     spark.createDataFrame(spark.sparkContext.makeRDD(out.toSeq, 1), schema)
   }
 
+  /** Minimum-hop BFS depth from a seed set over a (src, dst) edge
+    * table — the crawl-depth computation behind the reference's
+    * MaxDepth filter (`core/.../filtering/depth/MaxDepthFilter.java`
+    * reads the `depth` counter `MetadataTransfer.getMetaForOutlink`
+    * increments per hop, `core/.../util/MetadataTransfer.java:150`):
+    * seeds sit at depth 0 and every reachable node's depth is the
+    * length of the shortest link path from any seed — the value an
+    * incremental crawl records when a page is always discovered
+    * through its shortest chain. Training-data face: link distance
+    * from trusted seeds is a standard corpus-quality prior.
+    *
+    * Returns (node, depth:int) for seeds and nodes reachable within
+    * `maxDepth` hops; unreachable nodes are absent (at web scale the
+    * unreachable complement would dwarf the result). Seeds absent
+    * from the graph still appear at depth 0 — a seed list is a crawl
+    * input, not a subset of the discovered link graph.
+    *
+    * Determinism: depths are exact small integers — no arithmetic
+    * beyond hop counting — so evaluation order cannot perturb the
+    * output and a recursive-CTE oracle reproduces it bit-for-bit.
+    *
+    * Scale: level-synchronous frontier expansion. Round d joins the
+    * CURRENT frontier (nodes first reached at d-1, NOT the whole
+    * visited set) against the edge cache pre-partitioned on src, then
+    * anti-joins the visited set so only first sightings survive. Each
+    * round moves |frontier| + |new| rows; the |E|-row edge table is
+    * never re-exchanged after round 1. Per-depth layers checkpoint
+    * (lineage would otherwise deepen per hop) and the returned frame
+    * is their union — handles retained via [[CheckpointRegistry]].
+    * Adaptive like [[pagerank]]: under the edge guard the same BFS
+    * runs driver-local (hop counts are trivially bit-identical), so
+    * host-graph-sized inputs skip per-round job overhead. */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame,
+               srcCol: String = "src", dstCol: String = "dst",
+               seedCol: String = "node", maxDepth: Int = 8,
+               localSolveMaxEdges: Long = 2000000L): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .sortWithinPartitions("src")
+    e.cache()
+    val s0 = seeds.select(col(seedCol).as("node")).distinct()
+    if (e.count() <= localSolveMaxEdges)
+      try return bfsLocal(e, s0, maxDepth)
+      finally e.unpersist()
+    try {
+      val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val handles = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]
+      val (l0, h0) = Iterate.checkpoint(
+        s0.withColumn("depth", lit(0)))
+      h0.count()
+      layers += l0; handles += h0
+      var frontier = l0.select("node")
+      var d = 0
+      var grew = true
+      while (d < maxDepth && grew) {
+        d += 1
+        val visited = layers.map(_.select("node")).reduce(_ union _)
+        val next = e
+          .join(frontier.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("depth", lit(d))
+        val (chk, h) = Iterate.checkpoint(next)
+        grew = h.count() > 0
+        if (grew) { layers += chk; handles += h; frontier = chk.select("node") }
+        else h.unpersist(false)
+      }
+      // every retained layer backs the returned union
+      handles.foreach(CheckpointRegistry.retain)
+      layers.reduce(_ union _)
+    } finally e.unpersist()
+  }
+
+  /** Driver-local BFS over the collected (distinct) edge list — the
+    * same level-synchronous expansion; integer hop counts make the
+    * two paths bit-identical by construction. Seeds are collected
+    * too: a seed list is operator input like the guard-sized edge
+    * list, and callers at scale run the distributed loop anyway. */
+  private def bfsLocal(e: DataFrame, seeds: DataFrame,
+                       maxDepth: Int): DataFrame = {
+    val adj = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]]()
+    e.collect().foreach { r =>
+      adj.computeIfAbsent(r.get(0),
+        _ => scala.collection.mutable.ArrayBuffer.empty[Any]) += r.get(1)
+    }
+    val depth = new java.util.LinkedHashMap[Any, Int]()
+    var frontier = scala.collection.mutable.ArrayBuffer.empty[Any]
+    seeds.collect().foreach { r =>
+      val v = r.get(0)
+      if (!depth.containsKey(v)) { depth.put(v, 0); frontier += v }
+    }
+    var d = 0
+    while (d < maxDepth && frontier.nonEmpty) {
+      d += 1
+      val nf = scala.collection.mutable.ArrayBuffer.empty[Any]
+      frontier.foreach { v =>
+        val out = adj.get(v)
+        if (out != null) out.foreach { w =>
+          if (!depth.containsKey(w)) { depth.put(w, d); nf += w }
+        }
+      }
+      frontier = nf
+    }
+    val spark = e.sparkSession
+    val seedField = seeds.schema("node")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      seedField.copy(name = "node",
+        nullable = seedField.nullable || e.schema("dst").nullable),
+      org.apache.spark.sql.types.StructField("depth",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](depth.size)
+    depth.forEach((v, dd) => out += org.apache.spark.sql.Row(v, dd))
+    spark.createDataFrame(spark.sparkContext.makeRDD(out.toSeq, 1), schema)
+  }
+
   /** One PageRank round, pre-checkpoint — the plan each iteration
     * materializes. Shared between the loop and [[roundPlan]] so the
     * dumped explain can never drift from the shipped iteration. */

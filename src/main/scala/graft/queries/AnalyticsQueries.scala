@@ -615,6 +615,29 @@ object AnalyticsQueries {
       graft.analytics.LinkGraph.hits(q49Edges(s, dir), iterations = 2)
         .orderBy("node")),
 
+    // Min-hop crawl depth from a 5-seed set over a sparse derived page
+    // graph (reference: the depth counter MetadataTransfer increments
+    // per hop, gated by MaxDepthFilter). Level-synchronous BFS;
+    // recursive-CTE oracle. The %11 edge filter keeps the graph sparse
+    // enough that depths actually spread (0..8 at sf0.01) instead of
+    // collapsing to one hop.
+    "q77_bfs_depth" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .where(col("event_id") % 11 === 0)
+        .selectExpr(
+          "concat('p', cast((event_id * 31 + user_id) % 1000 as string)) AS src",
+          "concat('p', cast((event_id * 57) % 1000 as string)) AS dst")
+        .where(col("src") =!= col("dst"))
+      val seeds = s.createDataFrame(
+        s.sparkContext.makeRDD(Seq("p0", "p1", "p2", "p3", "p4")
+          .map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType, nullable = false))))
+      graft.analytics.LinkGraph.bfsDepth(e, seeds, maxDepth = 8)
+        .orderBy("node")
+    }),
+
     // Sequence packing: concat-then-chop token budgeting per language,
     // budget 256 — integer window arithmetic, one shuffle.
     "q48_sequence_pack" -> ((s, dir) => {
@@ -1505,6 +1528,25 @@ object AnalyticsQueries {
         |r3 AS (SELECT v.node, CAST(150000000000 + (85 * (coalesce(c3.contrib, 0) + (SELECT ds FROM d3) // (SELECT n FROM nv))) // 100 AS BIGINT) AS rank
         |       FROM v LEFT JOIN c3 ON v.node = c3.node)
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+
+    // Min-hop BFS as a bounded recursive CTE: UNION dedups (node,
+    // depth) pairs so the recursion terminates on cycles, and min()
+    // over all enumerated path lengths IS the shortest-path depth.
+    "q77_bfs_depth" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT 'p' || CAST((event_id * 31 + user_id) % 1000 AS VARCHAR) AS src,
+        |    'p' || CAST((event_id * 57) % 1000 AS VARCHAR) AS dst
+        |  FROM events
+        |  WHERE event_id % 11 = 0
+        |    AND (event_id * 31 + user_id) % 1000 <> (event_id * 57) % 1000),
+        |seeds AS (SELECT unnest(['p0','p1','p2','p3','p4']) AS node),
+        |reach(node, depth) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT e.dst, r.depth + 1 FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.depth < 8)
+        |SELECT node, CAST(min(depth) AS INT) AS depth
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
     // Mirror of LinkGraph.hits (2 iterations, scale 10^6): integer
     // sum → max-rescale per half-step, generated round by round.

@@ -107,6 +107,61 @@ class TextOpsSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  /** Plain-Scala min-hop BFS reference. */
+  private def bfsRef(edgeList: Seq[(String, String)], seeds: Seq[String],
+                     maxDepth: Int): Map[String, Int] = {
+    val adj = edgeList.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var depth = seeds.map(_ -> 0).toMap
+    var frontier = seeds.distinct
+    var d = 0
+    while (d < maxDepth && frontier.nonEmpty) {
+      d += 1
+      val next = frontier.flatMap(adj.getOrElse(_, Nil)).distinct
+        .filterNot(depth.contains)
+      depth = depth ++ next.map(_ -> d)
+      frontier = next
+    }
+    depth
+  }
+
+  test("bfsDepth: min-hop from seeds, off-graph seeds at 0, maxDepth truncates") {
+    import spark.implicits._
+    // two ways into e (a->e direct, a->b->e) must record depth 1, a
+    // cycle (b<->c) must not loop, z is seed-only (absent from graph)
+    val edgeList = Seq(
+      "a" -> "b", "a" -> "e", "b" -> "e", "b" -> "c", "c" -> "b",
+      "c" -> "d", "d" -> "f", "f" -> "g")
+    val edges = edgeList.toDF("src", "dst")
+    val seeds = Seq("a", "z").toDF("node")
+    val got = graft.analytics.LinkGraph.bfsDepth(edges, seeds, maxDepth = 3)
+      .as[(String, Int)].collect().toMap
+    assert(got == bfsRef(edgeList, Seq("a", "z"), 3))
+    assert(got("z") == 0 && got("e") == 1 && got("d") == 3)
+    assert(!got.contains("f") && !got.contains("g")) // beyond maxDepth 3
+  }
+
+  test("bfsDepth local fast path is bit-identical to the distributed loop") {
+    import spark.implicits._
+    val edgeList = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d", "d" -> "e",
+      "x" -> "y", "e" -> "f", "f" -> "g", "g" -> "h")
+    val edges = edgeList.toDF("src", "dst")
+    val seeds = Seq("a", "x").toDF("node")
+    val local = graft.analytics.LinkGraph.bfsDepth(edges, seeds, maxDepth = 4)
+      .as[(String, Int)].collect().toMap
+    val dist = graft.analytics.LinkGraph
+      .bfsDepth(edges, seeds, maxDepth = 4, localSolveMaxEdges = 0L)
+      .as[(String, Int)].collect().toMap
+    assert(local == dist)
+    assert(local == bfsRef(edgeList, Seq("a", "x"), 4))
+    // early-exit round: nothing new after depth 4 on the x-chain side
+    val dist2 = graft.analytics.LinkGraph
+      .bfsDepth(edges, Seq("x").toDF("node"), maxDepth = 8,
+        localSolveMaxEdges = 0L)
+      .as[(String, Int)].collect().toMap
+    assert(dist2 == Map("x" -> 0, "y" -> 1))
+  }
+
   /** Plain-Scala reference of the integer HITS recurrence: auth from
     * hubs then max-rescale, hubs from the NEW auths then max-rescale. */
   private def hitsRef(edgeList: Seq[(String, String)], iterations: Int,
