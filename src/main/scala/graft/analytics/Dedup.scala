@@ -726,4 +726,119 @@ object Dedup {
       .select(col(groupCol), col("ia").as("a"), col("ib").as("b"), col("jaccard"))
     crossOut.unionByName(selfOut)
   }
+
+  /** Overlap-coefficient (containment) pairs: |A∩B| / min(|A|,|B|) —
+    * the near-dup signal Jaccard structurally misses when a SHORT
+    * document is quoted inside a LONG one (the union dilutes jaccard
+    * toward 0 as the big doc grows; the overlap coefficient of a full
+    * quote stays 1.0 regardless). The training-data use is exactly
+    * that asymmetry: catching excerpts, boilerplate-wrapped reposts,
+    * and doc-inside-doc containment that [[jaccardPairs]] scores low.
+    *
+    * Same unigram-set machinery and adaptive digest collapse as
+    * [[jaccardPairs]], with one deliberate difference: the size-ratio
+    * join prefilter is UNSOUND here — a small set fully contained in a
+    * big one scores 1.0 at ANY size ratio — so the self-join keeps
+    * every shared-word pair and the skew defenses are the df-prune
+    * (`maxDf`) and the group key alone. Same df-prune caveat as
+    * jaccard: intersection mass carried only by ubiquitous tokens is
+    * dropped while the min-size denominator still counts every token,
+    * so a pair sharing nothing but stop-words sits below any useful
+    * threshold rather than at a spurious 1.0. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, minOverlap: Double,
+                       maxDf: Int = 1024): DataFrame =
+    if (noVerbatimDups(df, textCol, groupCol))
+      containmentDirect(df, idCol, textCol, groupCol, minOverlap, maxDf)
+    else containmentCollapsed(df, idCol, textCol, groupCol, minOverlap, maxDf)
+
+  /** Doc-level overlap pipeline for corpora without verbatim
+    * duplicates — [[jaccardDirect]] minus the (unsound here) ratio
+    * prefilter, with the overlap-coefficient formula at the end. */
+  private[graft] def containmentDirect(df: DataFrame, idCol: String,
+                                       textCol: String, groupCol: String,
+                                       minOverlap: Double,
+                                       maxDf: Int): DataFrame = {
+    val tok = graft.plans.InputWidth.widen(df)
+      .select(col(groupCol), col(idCol).as("i"),
+        explode(array_distinct(words(col(textCol)))).as("w"))
+    val sizes = tok.groupBy(col(groupCol), col("i")).agg(count(lit(1)).as("sz"))
+    val pruned = tok
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col(groupCol), col("w"))))
+      .where(col("df") <= maxDf).drop("df")
+      .join(sizes, Seq(groupCol, "i"))
+    pruned.as("l").join(pruned.as("r"), Seq(groupCol, "w"))
+      .where(col("l.i") < col("r.i"))
+      .select(col(groupCol), col("l.i").as("a"), col("r.i").as("b"),
+        col("l.sz").as("sza"), col("r.sz").as("szb"))
+      .groupBy(col(groupCol), col("a"), col("b"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("overlap",
+        col("inter").cast("double") / least(col("sza"), col("szb")).cast("double"))
+      .where(col("overlap") >= minOverlap)
+      .select(col(groupCol), col("a"), col("b"), col("overlap"))
+  }
+
+  /** Digest-collapsed overlap pipeline — [[jaccardCollapsed]] with the
+    * overlap formula. Same-digest pairs under df-pruning score
+    * s / k (s surviving shared tokens over the true set size k =
+    * min(|A|,|A|)), which is exactly what the uncollapsed pipeline
+    * emits for a verbatim pair — and a pair whose every token was
+    * pruned emits nothing on either path. */
+  private[graft] def containmentCollapsed(df: DataFrame, idCol: String,
+                                          textCol: String, groupCol: String,
+                                          minOverlap: Double,
+                                          maxDf: Int): DataFrame = {
+    val agg = df
+      .select(col(groupCol), md5(col(textCol)).as("digest"), col(idCol).as("m_id"))
+      .groupBy(col(groupCol), col("digest"))
+      .agg(min(col("m_id")).as("rep"), count(lit(1)).as("weight"))
+    val joined = df
+      .select(col(groupCol), md5(col(textCol)).as("digest"),
+        col(idCol).as("rep"), col(textCol).as("rtext"))
+      .join(agg, Seq(groupCol, "digest", "rep"))
+    val reps =
+      (if (graft.plans.InputWidth.isNarrow(df)) {
+        val w = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        joined.repartition(w)
+      } else joined)
+        .select(col(groupCol), col("digest"), col("weight"), col("rtext"))
+    val tok = reps.select(col(groupCol), col("digest"), col("weight"),
+      explode(array_distinct(words(col("rtext")))).as("w"))
+    val sizes = tok.groupBy(col(groupCol), col("digest")).agg(count(lit(1)).as("sz"))
+    val pruned = tok
+      .withColumn("df", sum(col("weight")).over(Window.partitionBy(col(groupCol), col("w"))))
+      .where(col("df") <= maxDf).drop("df")
+      .join(sizes, Seq(groupCol, "digest"))
+    val crossRep = pruned.as("l").join(pruned.as("r"), Seq(groupCol, "w"))
+      .where(col("l.digest") < col("r.digest"))
+      .select(col(groupCol), col("l.digest").as("da"), col("r.digest").as("db"),
+        col("l.sz").as("sza"), col("r.sz").as("szb"))
+      .groupBy(col(groupCol), col("da"), col("db"), col("sza"), col("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("overlap",
+        col("inter").cast("double") / least(col("sza"), col("szb")).cast("double"))
+      .where(col("overlap") >= minOverlap)
+      .select(col(groupCol), col("da"), col("db"), col("overlap"))
+    val selfRep = pruned.groupBy(col(groupCol), col("digest"))
+      .agg(count(lit(1)).as("s"), min(col("sz")).as("szs"))
+      .join(reps.select(col(groupCol), col("digest"), col("weight")),
+        Seq(groupCol, "digest"))
+      .where(col("weight") >= 2)
+      .withColumn("overlap", col("s").cast("double") / col("szs").cast("double"))
+      .where(col("overlap") >= minOverlap)
+      .select(col(groupCol), col("digest"), col("overlap"))
+    val members = df.select(col(groupCol), md5(col(textCol)).as("digest"), col(idCol))
+    val ma = members.select(col(groupCol), col("digest").as("da"), col(idCol).as("ia"))
+    val mb = members.select(col(groupCol), col("digest").as("db"), col(idCol).as("ib"))
+    val crossOut = crossRep.join(ma, Seq(groupCol, "da")).join(mb, Seq(groupCol, "db"))
+      .select(col(groupCol), least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("overlap"))
+    val selfOut = selfRep
+      .join(ma.withColumnRenamed("da", "digest"), Seq(groupCol, "digest"))
+      .join(mb.withColumnRenamed("db", "digest"), Seq(groupCol, "digest"))
+      .where(col("ia") < col("ib"))
+      .select(col(groupCol), col("ia").as("a"), col("ib").as("b"), col("overlap"))
+    crossOut.unionByName(selfOut)
+  }
 }

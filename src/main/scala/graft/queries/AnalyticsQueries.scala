@@ -154,6 +154,17 @@ object AnalyticsQueries {
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)),
 
+    // Overlap-coefficient (containment) pairs: |A∩B| / min(|A|,|B|) —
+    // catches short-doc-quoted-in-long-doc near-dups that jaccard's
+    // union denominator dilutes away. No size-ratio prefilter (unsound
+    // for containment); maxDf=256 is the skew guard.
+    "q78_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(
+          t(s, dir, "documents").where(col("doc_id") % 3 === 0),
+          "doc_id", "text", "source", 0.9, maxDf = 256)
+        .orderBy(col("overlap").desc, col("a"), col("b"))
+        .limit(100)),
+
     // Brute-force cosine top-5 neighbors for 0.1% query sample.
     "q25_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1199,6 +1210,21 @@ object AnalyticsQueries {
          |      FROM shared JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
          |SELECT source, a, b, jaccard FROM j WHERE jaccard >= 0.35
          |ORDER BY jaccard DESC, a, b LIMIT 100""".stripMargin,
+
+    "q78_containment_pairs" ->
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+         |tok AS (SELECT source, doc_id, unnest(list_distinct($wordsSql)) AS w FROM d),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+         |dfr AS (SELECT source, w, count(*) AS df FROM tok GROUP BY source, w),
+         |p AS (SELECT tok.* FROM tok JOIN dfr USING (source, w) WHERE df <= 256),
+         |shared AS (SELECT l.source, l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+         |           FROM p l JOIN p r ON l.source = r.source AND l.w = r.w AND l.doc_id < r.doc_id
+         |           GROUP BY l.source, l.doc_id, r.doc_id),
+         |o AS (SELECT shared.source, a, b,
+         |        CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS overlap
+         |      FROM shared JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+         |SELECT source, a, b, overlap FROM o WHERE overlap >= 0.9
+         |ORDER BY overlap DESC, a, b LIMIT 100""".stripMargin,
 
     "q25_cosine_topk" ->
       """WITH nq AS (

@@ -199,6 +199,25 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Double]("jaccard") === 0.5) // {red,green} / 4
   }
 
+  test("containmentPairs: full quote scores 1.0 where jaccard dilutes; df-prune drops stop-word-only pairs") {
+    val docs = Seq(
+      // doc 2's words ⊂ doc 1's: overlap 1.0, jaccard 3/8
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "web"),
+      (2L, "alpha beta gamma", "web"),
+      // 3/4 share 'the' only — with maxDf=2 'the' (df=3 incl. doc 5) is
+      // pruned, so the pair vanishes instead of scoring spuriously
+      (3L, "the quick fox", "web"),
+      (4L, "the lazy dog", "web"),
+      (5L, "the end", "web")).toDF("doc_id", "text", "source")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", "source",
+        minOverlap = 0.9, maxDf = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out === Set((1L, 2L, 1.0)))
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", "source",
+        minJaccard = 0.9, maxDf = 2).collect()
+    assert(j.isEmpty) // jaccard of the same quote pair is 3/8
+  }
+
   test("adaptive dispatch: direct and collapsed pipelines are bit-identical on both corpus shapes") {
     // the public entry points route by a verbatim-duplication probe;
     // this pins the routing's soundness: BOTH implementations must
@@ -221,6 +240,8 @@ class DedupSkewSpec extends AnyFunSuite {
           (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
       assert(jset(Dedup.jaccardDirect(docs, "doc_id", "text", "source", 0.3, 1024)) ===
         jset(Dedup.jaccardCollapsed(docs, "doc_id", "text", "source", 0.3, 1024)))
+      assert(jset(Dedup.containmentDirect(docs, "doc_id", "text", "source", 0.3, 1024)) ===
+        jset(Dedup.containmentCollapsed(docs, "doc_id", "text", "source", 0.3, 1024)))
       def cset(f: org.apache.spark.sql.DataFrame) =
         f.collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("comp"))).toSet
       assert(cset(Dedup.connectedComponents(
