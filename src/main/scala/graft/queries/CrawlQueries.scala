@@ -140,6 +140,39 @@ object CrawlQueries {
         .orderBy("key")
     }),
 
+    // Snapshot diff between two crawl epochs — the batch face of the
+    // reference's change detection (status-updater merge decides
+    // new-vs-revisit; AdaptiveScheduler compares signatures across
+    // fetches). Each epoch's per-URL state is its LATEST event's
+    // status (row_number over ts desc, event_id desc); the diff is ONE
+    // full-outer join classifying ADDED / REMOVED / CHANGED. Epoch key
+    // ranges are offset (0..389 vs 10..399) so all three classes occur.
+    "q79_snapshot_diff" -> ((s, dir) => {
+      def snap(epoch: Int, lo: Int, hi: Int): DataFrame = {
+        val w = Window.partitionBy(col("url"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .where(col("user_id") % 2 === epoch &&
+            col("event_id") % 400 >= lo && col("event_id") % 400 < hi)
+          .selectExpr(
+            "concat('p', cast(event_id % 400 as string)) AS url",
+            """CASE event_type
+                 WHEN 'purchase' THEN 'FETCHED'
+                 WHEN 'view'     THEN 'DISCOVERED'
+                 WHEN 'click'    THEN 'DISCOVERED'
+                 WHEN 'signup'   THEN 'REDIRECTION'
+                 ELSE 'FETCH_ERROR'
+               END AS status""",
+            "ts", "event_id")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("url", "status")
+      }
+      graft.operators.SnapshotDiff.diff(
+          snap(0, 0, 390), snap(1, 10, 400), Seq("url"), Seq("status"))
+        .orderBy("url")
+    }),
+
     // Status.fromHTTPCode (`Status.java:26-34`) as a CASE expression over
     // a synthesized http-code column.
     "q12_status_from_http" -> ((s, dir) =>
@@ -152,6 +185,28 @@ object CrawlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q79_snapshot_diff" -> {
+      val case_ =
+        """CASE event_type WHEN 'purchase' THEN 'FETCHED'
+          |     WHEN 'view' THEN 'DISCOVERED' WHEN 'click' THEN 'DISCOVERED'
+          |     WHEN 'signup' THEN 'REDIRECTION' ELSE 'FETCH_ERROR' END""".stripMargin
+      s"""WITH a AS (SELECT url, status FROM (
+         |  SELECT 'p' || CAST(event_id % 400 AS VARCHAR) AS url, $case_ AS status,
+         |    row_number() OVER (PARTITION BY event_id % 400 ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events WHERE user_id % 2 = 0 AND event_id % 400 < 390) x WHERE rn = 1),
+         |b AS (SELECT url, status FROM (
+         |  SELECT 'p' || CAST(event_id % 400 AS VARCHAR) AS url, $case_ AS status,
+         |    row_number() OVER (PARTITION BY event_id % 400 ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events WHERE user_id % 2 = 1 AND event_id % 400 >= 10) x WHERE rn = 1),
+         |d AS (SELECT coalesce(a.url, b.url) AS url,
+         |        a.status AS old_status, b.status AS new_status,
+         |        CASE WHEN a.url IS NULL THEN 'ADDED' WHEN b.url IS NULL THEN 'REMOVED'
+         |             WHEN a.status <> b.status THEN 'CHANGED' ELSE 'SAME' END AS change
+         |      FROM a FULL OUTER JOIN b ON a.url = b.url)
+         |SELECT url, old_status, new_status, change FROM d
+         |WHERE change <> 'SAME' ORDER BY url""".stripMargin
+    },
+
     "q02_frontier_topk" ->
       s"""WITH status_view AS (${Tables.statusViewSql})
          |SELECT key, url, next_fetch_date, rn FROM (
