@@ -143,4 +143,82 @@ object TextAnalysis {
       .select(col(idCol),
         col("wf").getItem(0).as("n_fingerprints"),
         col("wf").getItem(1).as("min_fp"))
+
+  /** Posting-list materialization: (term, df, postings) for n-word
+    * shingle terms whose document frequency lies in [minDf, maxDf] —
+    * the relational core of a search-index build, which is what the
+    * reference's indexer bolts ship documents to OpenSearch/Solr FOR
+    * (`core/.../indexing/AbstractIndexerBolt.java` + the backend
+    * indexers; the backend builds exactly these inverted lists).
+    * Expressed natively: the per-(term, doc) stream aggregates ONCE on
+    * term with map-side partials; postings are sort_array'd so output
+    * is order-independent and hash-checkable.
+    *
+    * Scale: `maxDf` is load-bearing — it bounds every collect_set to
+    * `maxDf` ids, so no aggregation group can exceed a fixed memory
+    * footprint no matter how common a term is (an UNBOUNDED postings
+    * build needs doc-partitioned index segments — which is how real
+    * engines shard postings — not a bigger hash map). Common terms are
+    * counted (df) but their lists are discarded by the HAVING-style
+    * filter AFTER the size-capped aggregation... except that capping
+    * must happen DURING aggregation to bound memory, so the df filter
+    * runs over a count-only aggregate and only qualifying terms join
+    * back for list collection: two passes over the shingle stream,
+    * both map-side-partial, the second one filtered down to rare
+    * terms by a broadcast-able keep set. */
+  def postings(df: DataFrame, idCol: String, textCol: String,
+               shingleN: Int = 3, minDf: Long = 2,
+               maxDf: Long = 8): DataFrame = {
+    val terms = graft.plans.InputWidth.widen(df)
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(
+          Dedup.shingles(Dedup.words(col(textCol)), shingleN))).as("term"))
+    val keep = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    terms.join(keep, "term")
+      .groupBy("term", "df")
+      .agg(sort_array(collect_set(col("doc"))).as("postings"))
+      .select(col("term"), col("df"), col("postings"))
+  }
+
+  /** Collocation (phrase) mining by integer-exact PMI ordering:
+    * assoc = ((c_xy · S) div c_x) · N div c_y — the pointwise-mutual-
+    * information ratio p(xy)/(p(x)p(y)) in fixed-point `S` units,
+    * computed with floor divisions in a FIXED order so any engine
+    * reproduces the value bit-for-bit (true PMI takes a log of this
+    * ratio, which is monotone — the ORDERING, which is what phrase
+    * extraction consumes, is identical). `minCount` floors the bigram
+    * count so hapax pairs don't dominate (standard collocation
+    * practice).
+    *
+    * Scale: two token-stream aggregations (unigrams, bigrams) with
+    * map-side partials; the unigram count table is vocabulary-sized —
+    * broadcast on both joins — so nothing corpus-sized shuffles except
+    * the bigram aggregation itself. Precondition: S·N must fit BIGINT
+    * (require'd); at web scale pass a smaller S, same contract as
+    * [[LinkGraph.pagerank]]'s scale. */
+  def collocations(df: DataFrame, textCol: String, scale: Long = 1000000L,
+                   minCount: Long = 5): DataFrame = {
+    val toks = graft.plans.InputWidth.widen(df)
+      .select(Dedup.words(col(textCol)).as("ws"))
+    toks.cache()
+    try {
+      val uni = toks.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val nTotal = uni.agg(coalesce(sum("c"), lit(0L)).as("n")).first().getLong(0)
+      require(scale > 0 && nTotal <= Long.MaxValue / scale,
+        s"collocations fixed-point overflow: N=$nTotal * scale=$scale exceeds " +
+          "Long range; lower `scale`")
+      val bi = toks
+        .select(explode(Dedup.shingles(col("ws"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cxy"))
+        .where(col("cxy") >= minCount)
+        .withColumn("x", split(col("bigram"), " ").getItem(0))
+        .withColumn("y", split(col("bigram"), " ").getItem(1))
+      bi.join(broadcast(uni.select(col("w").as("x"), col("c").as("cx"))), "x")
+        .join(broadcast(uni.select(col("w").as("y"), col("c").as("cy"))), "y")
+        .select(col("bigram"), col("cxy"),
+          expr(s"((cxy * $scale) div cx) * $nTotal div cy").as("assoc"))
+    } finally toks.unpersist()
+  }
 }

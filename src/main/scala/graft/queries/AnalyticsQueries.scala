@@ -154,6 +154,25 @@ object AnalyticsQueries {
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)),
 
+    // Posting-list materialization for rare trigram terms — the
+    // relational core of the search-index build the reference's
+    // indexer bolts delegate to OpenSearch/Solr. Count-only first
+    // pass bounds memory; qualifying terms re-aggregate with
+    // sort_array'd collect_set.
+    "q80_postings" -> ((s, dir) =>
+      TextAnalysis.postings(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, minDf = 2, maxDf = 8)
+        .orderBy(col("df").desc, col("term")).limit(200)),
+
+    // Collocation mining by integer-exact PMI ratio ordering:
+    // assoc = ((c_xy·S) div c_x)·N div c_y — fixed floor-division
+    // order makes the fixed-point value engine-exact; log(PMI) is
+    // monotone in it, so the ranking is true PMI ranking.
+    "q81_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(t(s, dir, "documents"), "text",
+          scale = 1000000L, minCount = 5)
+        .orderBy(col("assoc").desc, col("bigram")).limit(100)),
+
     // Overlap-coefficient (containment) pairs: |A∩B| / min(|A|,|B|) —
     // catches short-doc-quoted-in-long-doc near-dups that jaccard's
     // union denominator dilutes away. No size-ratio prefilter (unsound
@@ -1210,6 +1229,28 @@ object AnalyticsQueries {
          |      FROM shared JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
          |SELECT source, a, b, jaccard FROM j WHERE jaccard >= 0.35
          |ORDER BY jaccard DESC, a, b LIMIT 100""".stripMargin,
+
+    "q80_postings" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |tg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term
+         |       FROM w, unnest(generate_series(1, len(ws)-2)) t(i)),
+         |p AS (SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+         |      FROM tg GROUP BY term HAVING count(*) BETWEEN 2 AND 8)
+         |SELECT term, df, postings FROM p ORDER BY df DESC, term LIMIT 200""".stripMargin,
+
+    "q81_collocations" ->
+      s"""WITH w AS (SELECT $wordsSql AS ws FROM documents),
+         |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM w) x GROUP BY w),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+         |bi AS (SELECT b AS bigram, count(*) AS cxy FROM
+         |   (SELECT ws[i] || ' ' || ws[i+1] AS b
+         |    FROM w, unnest(generate_series(1, len(ws)-1)) t(i)) x
+         |   GROUP BY b HAVING count(*) >= 5),
+         |j AS (SELECT bigram, cxy,
+         |        CAST(((cxy * 1000000) // ux.c) * (SELECT n FROM n) // uy.c AS BIGINT) AS assoc
+         |      FROM bi JOIN uni ux ON ux.w = string_split(bigram, ' ')[1]
+         |              JOIN uni uy ON uy.w = string_split(bigram, ' ')[2])
+         |SELECT bigram, cxy, assoc FROM j ORDER BY assoc DESC, bigram LIMIT 100""".stripMargin,
 
     "q78_containment_pairs" ->
       s"""WITH d AS (SELECT * FROM documents WHERE doc_id % 3 = 0),

@@ -107,6 +107,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("postings: df window filter, sorted lists, per-doc distinct shingles") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "a b c d"),        // shingles: "a b", "b c", "c d"
+      (1L, "a b c"),          // "a b", "b c"
+      (2L, "a b a b"),        // "a b" twice in doc -> counted once (distinct)
+      (4L, "x y"))            // "x y" df=1 -> below minDf
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.postings(docs, "doc_id", "text",
+        shingleN = 2, minDf = 2, maxDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSet
+    // "a b" df=3 exceeds maxDf=2; "b c" df=2 qualifies, postings sorted
+    assert(out === Set(("b c", 2L, Seq(1L, 3L))))
+  }
+
+  test("collocations: integer PMI ratio with fixed division order; minCount floors") {
+    import spark.implicits._
+    // corpus: "p q" always together (high assoc), "r" everywhere (low)
+    val docs = Seq.fill(5)((1L, "p q r r r r")).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text",
+        scale = 1000000L, minCount = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // tokens: p=5, q=5, r=20, N=30; bigrams each appear 5x: "p q","q r","r r"(3x per doc = 15)
+    // assoc("p q") = ((5*1e6) div 5) * 30 div 5 = 6_000_000
+    assert(out("p q") == ((5L, 6000000L)))
+    // assoc("q r") = ((5*1e6) div 5) * 30 div 20 = 1_500_000
+    assert(out("q r") == ((5L, 1500000L)))
+    // assoc("r r") = ((15*1e6) div 20) * 30 div 20 = 1_125_000
+    assert(out("r r") == ((15L, 1125000L)))
+  }
+
   /** Plain-Scala min-hop BFS reference. */
   private def bfsRef(edgeList: Seq[(String, String)], seeds: Seq[String],
                      maxDepth: Int): Map[String, Int] = {
