@@ -95,6 +95,20 @@ object ExplainDump {
       "Budgeted uniform draw ('~N tokens per language, drawn uniformly'): the naive formulation — a running-sum window per group over the corpus — sorts every language's rows in ONE partition (languages are few and huge: maximal skew). Instead the corpus collapses to its (group, id-hash-bucket) SIZE histogram (≤ groups×10⁴ rows, map-side partials), the running sum runs over that histogram, and the kept (group, bucket) pairs broadcast back as a map-only join filter. Budget fill is exact at bucket granularity (≤1/10⁴ of the group overshoot — the range-partitioner bound). All BIGINT; the draw order is the deterministic id-hash, so the kept set is a uniform draw reproducible anywhere.",
     "q74_hits" ->
       "Integer HITS, ADAPTIVE like pagerank: the float formulation L2-normalizes each half-step (order-dependent summation — engine-divergent); here each half-step is an integer sum + exact MAX-rescale (`x·scale div max`), order-equivalent to L2 for ranking and bit-identical at any parallelism, so a SQL oracle hash-checks a power iteration. Host graphs are driver-small → the guard routes to a local solve (spec-pinned bit-identical); big graphs run per-round: two edge⋈score joins over the pre-partitioned edge cache + two aggregations, the 1-row max tables riding back as broadcasts, checkpointed per round.",
+    "q77_bfs_depth" ->
+      "Min-hop BFS crawl depth, ADAPTIVE like pagerank: host/page graphs are usually driver-small, so under the edge guard the same level-synchronous BFS runs locally (hop counts are trivially bit-identical) and the final plan is a LocalTableScan. Big graphs run per-depth rounds over the edge cache pre-partitioned on src: each round joins only the CURRENT frontier (nodes first reached last round — not the whole visited set) and anti-joins visited so first sightings alone survive; per-depth layers checkpoint on the UnsafeRow path, so round d+1 scans a LogicalRDD. The |E|-row edge table never re-exchanges after round 1; per-round moved rows are |frontier|+|new| — at web scale that is the BFS wavefront, not the graph.",
+    "q78_containment_pairs" ->
+      "Overlap-coefficient (containment) pairs — q24's machinery minus its size-ratio prefilter, which is UNSOUND here (a full quote scores 1.0 at any size ratio, exactly the pairs the operator exists to catch): tokenize once, df-window rides the self-join's own (group, word) exchange, per-doc set sizes attach BEFORE the join so the intersection groupBy carries them in its keys (no post-agg size joins). The skew defenses are the df-prune (a token in d docs fans out d²/2 — ubiquitous tokens are dropped from the JOIN while the min-size denominator still counts them) and the group key. ADAPTIVE on the duplication probe: replicated corpora collapse to digest representatives, pair mass prices by distinct texts, same-digest pairs get the s/k value pruning implies — spec-pinned bit-identical to the direct path.",
+    "q79_snapshot_diff" ->
+      "Snapshot diff: each epoch's per-key latest-state snapshot reduces BEFORE the diff (row_number window, one shuffle per epoch over epoch-filtered rows), then ADDED/REMOVED/CHANGED classify in ONE key-partitioned full-outer join — null-safe value compare, presence flags as constant columns (no count pre-pass, no second scan). Both sides are snapshot-sized, so no broadcast: sort-merge at scale, and snapshots stored bucketed on the key (plans/Bucketing) make the join exchange-free. The batch face of the status-updater merge + AdaptiveScheduler change detection.",
+    "q80_postings" ->
+      "Posting-list materialization: the COUNT-ONLY first pass bounds memory (fixed-width HashAggregate with map-side partials — no list grows during it), the df-qualified keep set is rare-term-sized and broadcasts under AQE, and only qualifying (term, doc) rows re-aggregate into sort_array'd collect_sets, each bounded by maxDf ids. An unbounded postings build wants doc-partitioned index segments (how real engines shard); under the df cap the aggregate state is provably bounded instead. Two passes over the shingle stream, both partial-aggregated before their exchanges.",
+    "q81_collocations" ->
+      "Integer-PMI collocations: two token-stream aggregations (unigram, bigram) with map-side partials; the unigram count table is VOCABULARY-sized and pinned broadcast on both joins, so nothing corpus-sized shuffles except the bigram aggregate itself. assoc = ((c_xy·S) div c_x)·N div c_y in a fixed floor-division order — engine-exact fixed point whose ordering IS true PMI ordering (log is monotone), which is what lets a SQL oracle hash-verify an association miner. The 1-row N aggregate is collected once (bounded-driver-set contract).",
+    "q83_anchor_inventory" ->
+      "Anchor inventory through the REAL parse stage: the whole fetch-output → parse path (charset decode, HtmlParser with nofollow semantics, URL filter chain, metadata transfer, outlink cap) runs as ONE mapPartitions over the scan — per-document work, embarrassingly parallel, no shuffle until the per-target aggregation (map-side partial count + collect_set bounded by the anchor vocabulary). 100 TB of HTML parses map-only; the inventory exchange carries aggregated target rows.",
+    "q82_incremental_recount" ->
+      "Incremental recompute — the snapshot-diff operator consumed as a DELTA FILTER: the two corpus versions full-outer-join once on doc_id (null-safe text compare classifies ADDED/CHANGED), and the token counter — a native one-pass expression — runs ONLY over the delta rows, never the unchanged corpus. At 100 TB with a percent-level change rate this is the composition that turns a full re-run into a delta-sized one; the final aggregate is integer-only (count + token sums), map-side partial.",
     "q49_pagerank" ->
       "Fixed-point PageRank, ADAPTIVE like q50's CC: a host-level link graph is tiny even when the corpus is not (10⁸ pages → 10⁵ hosts), so when the distinct edge list fits on the driver the SAME BIGINT recurrence runs locally (floor divisions + integer sums are order-independent → bit-identical by construction, spec-pinned; works for any node type since no ordering is needed) and the final plan is a LocalTableScan. Big graphs run 3 materialized distributed rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->

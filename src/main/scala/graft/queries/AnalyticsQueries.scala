@@ -154,6 +154,32 @@ object AnalyticsQueries {
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)),
 
+    // Incremental recompute: diff two corpus versions (v2 adds the
+    // %17 docs and rewrites the %5 docs), then run the token counter
+    // ONLY over the ADDED/CHANGED delta — the composition that turns
+    // a full-corpus re-run into a delta-sized one. Integer-only
+    // aggregate so the oracle is exact.
+    "q82_incremental_recount" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val v2 = docs.withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" rev2 update"))).otherwise(col("text")))
+        .select(col("doc_id"), col("lang"), col("text"))
+      val delta = graft.operators.SnapshotDiff
+        .diff(v1, v2, Seq("doc_id"), Seq("lang", "text"))
+        .where(col("change").isin("ADDED", "CHANGED"))
+        .select(col("new_lang").as("lang"), col("change"),
+          col("new_text").as("text"))
+      val st = graft.functions.TextStatExpressions.textStats(col("text"), Seq.empty)
+      delta.select(col("lang"), col("change"), st.getItem(0).cast("int").as("tok"))
+        .groupBy("lang", "change")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).cast("long").as("recompute_tokens"))
+        .orderBy("lang", "change")
+    }),
+
     // Posting-list materialization for rare trigram terms — the
     // relational core of the search-index build the reference's
     // indexer bolts delegate to OpenSearch/Solr. Count-only first
@@ -1229,6 +1255,24 @@ object AnalyticsQueries {
          |      FROM shared JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
          |SELECT source, a, b, jaccard FROM j WHERE jaccard >= 0.35
          |ORDER BY jaccard DESC, a, b LIMIT 100""".stripMargin,
+
+    "q82_incremental_recount" ->
+      s"""WITH v1 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 17 <> 0),
+         |v2 AS (SELECT doc_id, lang,
+         |         CASE WHEN doc_id % 5 = 0 THEN text || ' rev2 update' ELSE text END AS text
+         |       FROM documents),
+         |d AS (SELECT v2.lang AS lang, v2.text AS text,
+         |        CASE WHEN v1.doc_id IS NULL THEN 'ADDED'
+         |             WHEN v2.doc_id IS NULL THEN 'REMOVED'
+         |             WHEN v1.lang <> v2.lang OR v1.text <> v2.text THEN 'CHANGED'
+         |             ELSE 'SAME' END AS change
+         |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+         |r AS (SELECT lang, change,
+         |        len(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+         |      FROM d WHERE change IN ('ADDED', 'CHANGED'))
+         |SELECT lang, change, count(*) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS recompute_tokens
+         |FROM r GROUP BY lang, change ORDER BY lang, change""".stripMargin,
 
     "q80_postings" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),

@@ -140,6 +140,40 @@ object CrawlQueries {
         .orderBy("key")
     }),
 
+    // Anchor-text inventory THROUGH THE REAL PARSE STAGE: synthesized
+    // HTML pages run the full production path — charset decode,
+    // HtmlParser (nofollow links dropped per JSoupParserBolt
+    // semantics), URL filter chain, metadata transfer — and the
+    // emitted outlink rows aggregate into a per-target link inventory
+    // (the anchor signal the reference's indexer can index). The %4
+    // docs carry a rel=nofollow spam link that must NOT appear.
+    "q83_anchor_inventory" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><body><a href=\"https://h"),
+        (col("doc_id") % 20).cast("string"),
+        lit(".example.com/p/"),
+        (col("doc_id") % 50).cast("string"),
+        lit("\">"), col("lang"), lit(" link</a>"),
+        when(col("doc_id") % 4 === 0,
+          lit("<a rel=\"nofollow\" href=\"https://spam.example.com/x\">spam</a>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val fetched = docs.select(
+        concat(lit("https://"), col("source"), lit(".example.com/d/"),
+          col("doc_id").cast("string")).as("url"),
+        encode(html, "UTF-8").as("content"),
+        lit("text/html").as("content_type"),
+        lit(null).cast("map<string,array<string>>").as("metadata"),
+        lit(graft.model.Status.Fetched).as("status"))
+      graft.parse.ParseStage.parse(fetched)
+        .where(col("kind") === "outlink")
+        .groupBy(col("target_url"))
+        .agg(count(lit(1)).as("n_refs"),
+          sort_array(collect_set(col("anchor"))).as("anchors"))
+        .orderBy("target_url")
+    }),
+
     // Snapshot diff between two crawl epochs — the batch face of the
     // reference's change detection (status-updater merge decides
     // new-vs-revisit; AdaptiveScheduler compares signatures across
@@ -185,6 +219,14 @@ object CrawlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q83_anchor_inventory" ->
+      """WITH x AS (SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id % 50 AS VARCHAR) AS target_url,
+        |    lang || ' link' AS anchor FROM documents)
+        |SELECT target_url, count(*) AS n_refs,
+        |  list(DISTINCT anchor ORDER BY anchor) AS anchors
+        |FROM x GROUP BY target_url ORDER BY target_url""".stripMargin,
+
     "q79_snapshot_diff" -> {
       val case_ =
         """CASE event_type WHEN 'purchase' THEN 'FETCHED'
