@@ -105,6 +105,12 @@ object ExplainDump {
       "Posting-list materialization: the COUNT-ONLY first pass bounds memory (fixed-width HashAggregate with map-side partials — no list grows during it), the df-qualified keep set is rare-term-sized and broadcasts under AQE, and only qualifying (term, doc) rows re-aggregate into sort_array'd collect_sets, each bounded by maxDf ids. An unbounded postings build wants doc-partitioned index segments (how real engines shard); under the df cap the aggregate state is provably bounded instead. Two passes over the shingle stream, both partial-aggregated before their exchanges.",
     "q81_collocations" ->
       "Integer-PMI collocations: two token-stream aggregations (unigram, bigram) with map-side partials; the unigram count table is VOCABULARY-sized and pinned broadcast on both joins, so nothing corpus-sized shuffles except the bigram aggregate itself. assoc = ((c_xy·S) div c_x)·N div c_y in a fixed floor-division order — engine-exact fixed point whose ordering IS true PMI ordering (log is monotone), which is what lets a SQL oracle hash-verify an association miner. The 1-row N aggregate is collected once (bounded-driver-set contract).",
+    "q84_robots_batch" ->
+      "Batch robots evaluation — parse per HOST, match per URL (the reference caches parsed rules per host for the same asymmetry): the real RobotRules parser runs as a UDF over the host-count-sized rules table ONLY (20 rows here; 10⁵-10⁷ hosts at web scale — still dim-table-sized), the parsed allow/disallow arrays broadcast onto the frontier, and the per-URL longest-match decision is codegen'd column algebra (filter + aggregate over the rule arrays) — no UDF, no parse, no regex on the billion-row side. One broadcast join + one count aggregate; the frontier never shuffles.",
+    "q85_cluster_best_rep" ->
+      "Best-quality representative per near-dup cluster — keep the BEST copy, not the first: q50's adaptive CC (digest collapse + guarded local solve) joined with q27's one-pass quality score, rep per component via a row_number window over CLUSTER-MASS-sized rows (pair-connected docs only — a corpus-fraction, never the corpus). Quality is computed identically on both engines, so the float ORDER is engine-exact and the oracle verifies rep choice, not just counts.",
+    "q86_contamination_attribution" ->
+      "Contamination attribution: eval grams broadcast PINNED (q53's argument — the corpus side must never be the build side), corpus shingles map-only, only HIT rows reach the (doc, eval) aggregation, and the per-doc argmax is ONE hash-aggregable BIGINT max — (shared, eval_id) packed as shared·2^32 + (2^32−1−eval_id), numeric order = (shared DESC, eval ASC) — because max(struct) falls back to SortAggregate (the q15 packing argument). Two partial-aggregated exchanges over hit rows; the audit report costs no more than the drop list.",
     "q83_anchor_inventory" ->
       "Anchor inventory through the REAL parse stage: the whole fetch-output → parse path (charset decode, HtmlParser with nofollow semantics, URL filter chain, metadata transfer, outlink cap) runs as ONE mapPartitions over the scan — per-document work, embarrassingly parallel, no shuffle until the per-target aggregation (map-side partial count + collect_set bounded by the anchor vocabulary). 100 TB of HTML parses map-only; the inventory exchange carries aggregated target rows.",
     "q82_incremental_recount" ->

@@ -143,6 +143,48 @@ object Decontaminate {
         col(idCol).cast("long").as("doc_id"))
       .groupBy("g").agg(min("doc_id").as("bench_id"))
 
+  /** Contamination ATTRIBUTION: for each corpus doc sharing at least
+    * `minShared` distinct k-grams with some eval doc, report WHICH
+    * eval doc leaked (argmax shared grams, ties to the lowest eval
+    * id) and how many eval docs it touches — the audit report a
+    * decontamination pipeline ships alongside its drop list: "dirty"
+    * is actionable, "contains eval item 1403" is auditable.
+    *
+    * Scale: eval grams broadcast PINNED (eval sets are megabytes by
+    * contract — the q53 argument; the corpus side must never be the
+    * build side), the corpus side is one map-only shingle pass, and
+    * only HIT rows reach the two aggregations. The per-doc argmax is
+    * a single hash-aggregable BIGINT max: (shared, eval_id) packs as
+    * `shared · 2^32 + (2^32−1 − eval_id)` — numeric order = (shared
+    * DESC, eval_id ASC) lexicographic order — because max(struct)
+    * falls back to SortAggregate (the q15 packing argument).
+    * Precondition (caller contract, like pagerank's scale): eval ids
+    * in [0, 2^32) and shared < 2^31 — shared is bounded by per-doc
+    * distinct grams, so any realistic document qualifies. */
+  def attribution(corpus: DataFrame, bench: DataFrame, idCol: String,
+                  textCol: String, k: Int, minShared: Long = 2L): DataFrame = {
+    val bg = bench.select(
+        explode_outer(graft.functions.TextHashExpressions
+          .distinctShingles(col(textCol), k)).as("g"),
+        col(idCol).cast("long").as("eval_id"))
+      .where(col("g").isNotNull)
+    val cg = withGs(graft.plans.InputWidth.widen(
+        corpus.select(col(idCol), col(textCol))), textCol, k)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode_outer(col("gs")).as("g"))
+    cg.join(broadcast(bg), "g") // inner join drops the null-gram rows
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_evals"),
+        max(col("shared") * lit(4294967296L) +
+          (lit(4294967295L) - col("eval_id"))).as("pk"))
+      .selectExpr("doc_id", "n_evals",
+        "pk div 4294967296 AS top_shared",
+        "4294967295 - pk % 4294967296 AS top_eval")
+  }
+
   /** (doc_id, n_shingles, g) per distinct gram of each doc of `df`,
     * with `idExpr` naming the id column to carry.
     *

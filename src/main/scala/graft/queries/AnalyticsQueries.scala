@@ -154,6 +154,40 @@ object AnalyticsQueries {
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)),
 
+    // Best-quality representative per near-dup cluster — real
+    // pipelines keep the BEST copy, not the first: q50's connected
+    // components joined with q27's quality score, one rep per
+    // component by (quality DESC, id ASC). The exact transitive
+    // closure + the quality formula are both already hash-verified;
+    // this composes them.
+    "q85_cluster_best_rep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val comps = Dedup.nearDupComponents(docs, "doc_id", "text", "source")
+      val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id").as("node"), col("quality"))
+      val joined = comps.join(q, "node")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("comp").orderBy(col("quality").desc, col("node"))
+      joined
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_docs", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+        .where(col("rn") === 1)
+        .select(col("comp"), col("n_docs"), col("node").as("rep_id"),
+          col("quality").as("rep_quality"))
+        .orderBy("comp")
+    }),
+
+    // Contamination attribution: WHICH eval doc leaked into each
+    // flagged corpus doc (argmax shared 3-grams, hash-aggregable
+    // packed-BIGINT argmax) — the audit report beside q53's drop list.
+    "q86_contamination_attribution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.analytics.Decontaminate.attribution(
+          docs.where(col("doc_id") % 13 =!= 0),
+          docs.where(col("doc_id") % 13 === 0),
+          "doc_id", "text", 3, minShared = 2L)
+        .orderBy("doc_id")
+    }),
+
     // Incremental recompute: diff two corpus versions (v2 adds the
     // %17 docs and rewrites the %5 docs), then run the token counter
     // ONLY over the ADDED/CHANGED delta — the composition that turns
@@ -1230,6 +1264,54 @@ object AnalyticsQueries {
          |l AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
          |SELECT comp, count(*) AS n_docs, max(node) AS max_doc
          |FROM l GROUP BY comp ORDER BY comp""".stripMargin,
+
+    // q50's exact transitive closure joined with q27's quality
+    // formula; rep per component by (quality DESC, node ASC).
+    "q85_cluster_best_rep" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         |u AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+         |v AS (SELECT DISTINCT x AS node FROM u),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM v
+         |  UNION
+         |  SELECT u.x, reach.r FROM u JOIN reach ON u.y = reach.node
+         |  WHERE reach.r < u.x),
+         |l AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+         |qw AS (SELECT doc_id, text, $wordsSql AS ws FROM documents),
+         |qm AS (SELECT doc_id,
+         |        len(ws) AS n_tokens, length(text) AS n_chars_m,
+         |        len(list_filter(ws, x -> x IN ('the','and','of','to','in','is','that','for'))) AS n_stop
+         |      FROM qw),
+         |q AS (SELECT doc_id,
+         |        (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5 +
+         |        (CAST(n_tokens AS DOUBLE) / CAST(n_chars_m + 1 AS DOUBLE)) * 0.5 AS quality
+         |      FROM qm),
+         |j AS (SELECT l.comp, l.node, q.quality FROM l JOIN q ON q.doc_id = l.node),
+         |r2 AS (SELECT comp, node, quality,
+         |        row_number() OVER (PARTITION BY comp ORDER BY quality DESC, node) AS rn,
+         |        count(*) OVER (PARTITION BY comp) AS n_docs
+         |      FROM j)
+         |SELECT comp, n_docs, node AS rep_id, quality AS rep_quality
+         |FROM r2 WHERE rn = 1 ORDER BY comp""".stripMargin,
+
+    "q86_contamination_attribution" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |        THEN list_distinct(list_transform(generate_series(1, len(ws)-2),
+         |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+         |        ELSE CAST([] AS VARCHAR[]) END AS shs FROM w),
+         |cg AS (SELECT doc_id, unnest(shs) AS g FROM sh WHERE doc_id % 13 <> 0),
+         |bg AS (SELECT doc_id AS eval_id, unnest(shs) AS g FROM sh WHERE doc_id % 13 = 0),
+         |s AS (SELECT cg.doc_id, bg.eval_id, count(*) AS shared
+         |      FROM cg JOIN bg USING (g)
+         |      GROUP BY cg.doc_id, bg.eval_id HAVING count(*) >= 2),
+         |a AS (SELECT doc_id, count(*) AS n_evals,
+         |        max(shared * 4294967296 + (4294967295 - eval_id)) AS pk
+         |      FROM s GROUP BY doc_id)
+         |SELECT doc_id, n_evals,
+         |  CAST(pk // 4294967296 AS BIGINT) AS top_shared,
+         |  CAST(4294967295 - (pk % 4294967296) AS BIGINT) AS top_eval
+         |FROM a ORDER BY doc_id""".stripMargin,
 
     "q23_simhash" ->
       s"""WITH w AS (SELECT doc_id, unnest(list_distinct($wordsSql)) AS wd FROM documents),

@@ -140,6 +140,54 @@ object CrawlQueries {
         .orderBy("key")
     }),
 
+    // Batch robots.txt evaluation over a frontier — the REAL parser
+    // (`fetch/RobotRules.parse`: group selection, specific-agent
+    // override, longest-prefix match, Allow-beats-Disallow on ties,
+    // empty Disallow = allow-all) runs ONCE per host on the 20-row
+    // rules table; the per-URL decision is then pure COLUMN ALGEBRA
+    // over the parsed allow/disallow arrays (the reference caches
+    // parsed rules per host for the same reason — parse per host,
+    // match per URL: `HttpRobotRulesParser.java:38`, cache at
+    // `crawler-default.yaml:166`). Three rule shapes: prefix rules
+    // with an Allow carve-out, allow-all via empty Disallow, and a
+    // specific-agent group overriding a Disallow-/ star group.
+    "q84_robots_batch" -> ((s, dir) => {
+      val urls = t(s, dir, "events").selectExpr(
+        "concat('h', cast(user_id % 20 as string)) AS host",
+        """CASE cast(event_id % 5 as int)
+             WHEN 0 THEN concat('/private/x', cast(event_id as string))
+             WHEN 1 THEN concat('/private/ok/y', cast(event_id as string))
+             WHEN 2 THEN concat('/tmp/z', cast(event_id as string))
+             WHEN 3 THEN concat('/page/', cast(event_id as string))
+             ELSE '/'
+           END AS path""")
+      val hosts = urls.select("host").distinct()
+        .withColumn("robots_txt", expr(
+          """CASE cast(substring(host, 2) as int) % 3
+               WHEN 0 THEN 'User-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 2'
+               WHEN 1 THEN 'User-agent: *\nDisallow:\n'
+               ELSE 'User-agent: graft\nDisallow: /tmp\n\nUser-agent: *\nDisallow: /'
+             END"""))
+      val parseRules = udf((body: String) => {
+        val r = graft.fetch.RobotRules.parse(body, "graft-crawler")
+        (r.allows, r.disallows)
+      })
+      val rules = hosts.withColumn("r", parseRules(col("robots_txt")))
+        .select(col("host"), col("r._1").as("allows"), col("r._2").as("disallows"))
+      urls.join(broadcast(rules), "host")
+        .withColumn("a", aggregate(
+          filter(col("allows"), p => col("path").startsWith(p)),
+          lit(-1), (acc, x) => greatest(acc, length(x))))
+        .withColumn("d", aggregate(
+          filter(col("disallows"), p => col("path").startsWith(p)),
+          lit(-1), (acc, x) => greatest(acc, length(x))))
+        .withColumn("allowed", col("a") >= col("d"))
+        .groupBy("host")
+        .agg(sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(col("allowed"), 0L).otherwise(1L)).as("n_denied"))
+        .orderBy("host")
+    }),
+
     // Anchor-text inventory THROUGH THE REAL PARSE STAGE: synthesized
     // HTML pages run the full production path — charset decode,
     // HtmlParser (nofollow links dropped per JSoupParserBolt
@@ -219,6 +267,28 @@ object CrawlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Decision logic inlined per the three constructed rule shapes —
+    // the oracle verifies the ENGINE's longest-match/allow-override/
+    // specific-group semantics against an independent derivation.
+    "q84_robots_batch" ->
+      """WITH u AS (SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+        |        CAST(user_id % 20 AS INT) % 3 AS r,
+        |        CASE CAST(event_id % 5 AS INT)
+        |          WHEN 0 THEN '/private/x' || CAST(event_id AS VARCHAR)
+        |          WHEN 1 THEN '/private/ok/y' || CAST(event_id AS VARCHAR)
+        |          WHEN 2 THEN '/tmp/z' || CAST(event_id AS VARCHAR)
+        |          WHEN 3 THEN '/page/' || CAST(event_id AS VARCHAR)
+        |          ELSE '/' END AS path
+        |      FROM events),
+        |d AS (SELECT host,
+        |        CASE r WHEN 0 THEN NOT (path LIKE '/private%' AND NOT path LIKE '/private/ok%')
+        |               WHEN 1 THEN TRUE
+        |               ELSE NOT (path LIKE '/tmp%') END AS allowed
+        |      FROM u)
+        |SELECT host, CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+        |       CAST(sum(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT) AS n_denied
+        |FROM d GROUP BY host ORDER BY host""".stripMargin,
+
     "q83_anchor_inventory" ->
       """WITH x AS (SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
         |    || CAST(doc_id % 50 AS VARCHAR) AS target_url,

@@ -68,6 +68,31 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(pub.count(r => r.head.asInstanceOf[Long] % 10 == 1) == 3)
   }
 
+  test("attribution: argmax shared grams, ties to lowest eval id, minShared floors") {
+    import spark.implicits._
+    // corpus doc 1 shares 3 grams with eval 100, 2 with eval 200 ->
+    // top = 100; doc 2 shares 2 with BOTH 100 and 200 -> tie to 100;
+    // doc 3 shares only 1 gram with eval 100 -> below minShared, absent
+    val corpus = Seq(
+      (1L, "a b c d e f"),   // grams: abc bcd cde def
+      (2L, "a b c x p q r"), // abc bcx xpq pqr? (k=3: abc, bcx, cxp, xpq, pqr)
+      (3L, "a b z z z z")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a b c d e x1 p q r"),  // grams incl abc bcd cde + pqr
+      (200L, "c d e f g h a b c")).toDF("doc_id", "text")
+    val out = Decontaminate.attribution(corpus, bench, "doc_id", "text", 3, 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 vs 100: {abc, bcd, cde} = 3; vs 200: {cde, def, abc}... compute:
+    //   doc1 grams: abc bcd cde def; eval200 grams: cde def efg fgh gha hab abc
+    //   -> shared with 200 = {cde, def, abc} = 3 -> TIE 3 vs 3 -> lowest eval id 100
+    assert(out(1L) == ((2L, 3L, 100L)))
+    // doc 2 grams: abc bcx cxp xpq pqr; eval100 has abc + pqr (+ xpq? eval100:
+    //   a b c d e x1 p q r -> grams: abc bcd cde dex1 ex1p x1pq pqr -> shared = {abc, pqr} = 2
+    //   eval200 shared = {abc} = 1 < minShared
+    assert(out(2L) == ((1L, 2L, 100L)))
+    assert(!out.contains(3L))
+  }
+
   test("dupSpanStats: df counts member docs, shingle-less docs absent") {
     import spark.implicits._
     import graft.analytics.Decontaminate
