@@ -105,6 +105,10 @@ object ExplainDump {
       "Posting-list materialization: the COUNT-ONLY first pass bounds memory (fixed-width HashAggregate with map-side partials — no list grows during it), the df-qualified keep set is rare-term-sized and broadcasts under AQE, and only qualifying (term, doc) rows re-aggregate into sort_array'd collect_sets, each bounded by maxDf ids. An unbounded postings build wants doc-partitioned index segments (how real engines shard); under the df cap the aggregate state is provably bounded instead. Two passes over the shingle stream, both partial-aggregated before their exchanges.",
     "q81_collocations" ->
       "Integer-PMI collocations: two token-stream aggregations (unigram, bigram) with map-side partials; the unigram count table is VOCABULARY-sized and pinned broadcast on both joins, so nothing corpus-sized shuffles except the bigram aggregate itself. assoc = ((c_xy·S) div c_x)·N div c_y in a fixed floor-division order — engine-exact fixed point whose ordering IS true PMI ordering (log is monotone), which is what lets a SQL oracle hash-verify an association miner. The 1-row N aggregate is collected once (bounded-driver-set contract).",
+    "q87_oov_rate" ->
+      "Vocabulary coverage: ONE token aggregation (map-side partials) builds the frequency table, TakeOrdered trims it to the top-V vocabulary (per-partition heaps, never a global sort), the vocabulary broadcasts, and the OOV decision is a broadcast left join + integer aggregate over the token stream — the corpus shuffles once (the count), everything else is map-only. oov_ppm is integer floor division: engine-exact.",
+    "q88_warc_roundtrip" ->
+      "WARC round-trip through the REAL sink and source: foreachPartition writes gzipped WARC shards (warcinfo + HTTP response records — one file per partition, attempt-id-named so speculative retries can't interleave), the binaryFile source reads them back through the record + HTTP parsers as ONE mapPartitions (map-only; shard-parallel, which is how 100 TB of WARC actually parallelizes — per-FILE, the WARC format having no intra-file split points without an index), and the recovered bodies hash byte-exact against the originals. The only exchange is the presentation sort.",
     "q84_robots_batch" ->
       "Batch robots evaluation — parse per HOST, match per URL (the reference caches parsed rules per host for the same asymmetry): the real RobotRules parser runs as a UDF over the host-count-sized rules table ONLY (20 rows here; 10⁵-10⁷ hosts at web scale — still dim-table-sized), the parsed allow/disallow arrays broadcast onto the frontier, and the per-URL longest-match decision is codegen'd column algebra (filter + aggregate over the rule arrays) — no UDF, no parse, no regex on the billion-row side. One broadcast join + one count aggregate; the frontier never shuffles.",
     "q85_cluster_best_rep" ->

@@ -163,10 +163,21 @@ object Decontaminate {
     * distinct grams, so any realistic document qualifies. */
   def attribution(corpus: DataFrame, bench: DataFrame, idCol: String,
                   textCol: String, k: Int, minShared: Long = 2L): DataFrame = {
-    val bg = bench.select(
+    // Attribution is over distinct eval ITEMS: verbatim-duplicate eval
+    // docs collapse to one canonical (min-id) item BEFORE shingling,
+    // so the broadcast prices by distinct eval texts — a replicated
+    // eval table (the gen_scale shape: same texts, shifted ids) would
+    // otherwise grow the (gram, eval_id) broadcast linearly with the
+    // replication factor and OOM exactly when the data gets big
+    // (observed at sf10). Reporting the min-id copy is also the right
+    // CONTRACT: two identical eval items are one leak, not two.
+    val bg = bench
+      .select(col(idCol).cast("long").as("eval_id"), col(textCol).as("btext"))
+      .groupBy("btext").agg(min("eval_id").as("eval_id"))
+      .select(
         explode_outer(graft.functions.TextHashExpressions
-          .distinctShingles(col(textCol), k)).as("g"),
-        col(idCol).cast("long").as("eval_id"))
+          .distinctShingles(col("btext"), k)).as("g"),
+        col("eval_id"))
       .where(col("g").isNotNull)
     val cg = withGs(graft.plans.InputWidth.widen(
         corpus.select(col(idCol), col(textCol))), textCol, k)

@@ -154,6 +154,57 @@ object AnalyticsQueries {
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)),
 
+    // Vocabulary coverage / OOV rate: top-20 corpus vocabulary by
+    // frequency (ties lexicographic), per-lang out-of-vocabulary
+    // token rate in integer ppm — the tokenizer-coverage signal a
+    // vocab-size decision needs. The vocab is vocabulary-sized and
+    // broadcast; the corpus pass is map-only + one integer aggregate.
+    "q87_oov_rate" -> ((s, dir) => {
+      val toks = graft.plans.InputWidth.widen(t(s, dir, "documents"))
+        .select(col("lang"), explode(Dedup.words(col("text"))).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(20)
+        .select(col("w"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .selectExpr("lang", "n_tokens", "n_oov",
+          "n_oov * 1000000 div n_tokens AS oov_ppm")
+        .orderBy("lang")
+    }),
+
+    // WARC round-trip THROUGH THE REAL SINK AND SOURCE: content rows
+    // write as gzipped WARC shards (warcinfo + HTTP response records,
+    // WARCRecordFormat semantics), read back via the binaryFile-based
+    // WARC source (record parse + HTTP parse), and the recovered
+    // bodies hash against the original text — the §2.1/§2.8 WARC
+    // surface under the oracle gate, not just a spec.
+    "q88_warc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_q88_" + Integer.toHexString(dir.hashCode))
+      // reruns must not append a second copy of every record
+      if (java.nio.file.Files.isDirectory(out)) {
+        val files = java.nio.file.Files.list(out)
+        try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally files.close()
+      }
+      val content = docs.select(
+        concat(lit("https://"), col("source"), lit(".example.com/d/"),
+          col("doc_id").cast("string")).as("url"),
+        lit(200).as("http_code"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit("text/plain").as("content_type"))
+      graft.sources.Warc.write(content.repartition(8), out.toString)
+      graft.sources.Warc.read(s, out.toString)
+        .select(col("url"), col("http_code"),
+          md5(col("content")).as("digest"),
+          length(col("content")).as("n_bytes"))
+        .orderBy("url")
+    }),
+
     // Best-quality representative per near-dup cluster — real
     // pipelines keep the BEST copy, not the first: q50's connected
     // components joined with q27's quality score, one rep per
@@ -1265,6 +1316,27 @@ object AnalyticsQueries {
          |SELECT comp, count(*) AS n_docs, max(node) AS max_doc
          |FROM l GROUP BY comp ORDER BY comp""".stripMargin,
 
+    "q87_oov_rate" ->
+      s"""WITH toks AS (SELECT lang, unnest($wordsSql) AS w FROM documents),
+         |vc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+         |vocab AS (SELECT w FROM (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS rk FROM vc) x
+         |          WHERE rk <= 20),
+         |j AS (SELECT t.lang, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM toks t LEFT JOIN vocab v ON v.w = t.w)
+         |SELECT lang, count(*) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS n_oov,
+         |  CAST((CAST(sum(oov) AS BIGINT) * 1000000) // count(*) AS BIGINT) AS oov_ppm
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The round-trip itself happens engine-side; the oracle derives
+    // the SAME (url, digest, byte-length) rows straight from the
+    // documents table — equality proves byte-exact WARC recovery.
+    "q88_warc_roundtrip" ->
+      """SELECT 'https://' || source || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+        |  200 AS http_code, md5(text) AS digest,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes
+        |FROM documents ORDER BY url""".stripMargin,
+
     // q50's exact transitive closure joined with q27's quality
     // formula; rep per component by (quality DESC, node ASC).
     "q85_cluster_best_rep" ->
@@ -1301,7 +1373,8 @@ object AnalyticsQueries {
          |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
          |        ELSE CAST([] AS VARCHAR[]) END AS shs FROM w),
          |cg AS (SELECT doc_id, unnest(shs) AS g FROM sh WHERE doc_id % 13 <> 0),
-         |bg AS (SELECT doc_id AS eval_id, unnest(shs) AS g FROM sh WHERE doc_id % 13 = 0),
+         |bd AS (SELECT min(doc_id) AS eval_id FROM documents WHERE doc_id % 13 = 0 GROUP BY text),
+         |bg AS (SELECT bd.eval_id, unnest(sh.shs) AS g FROM bd JOIN sh ON sh.doc_id = bd.eval_id),
          |s AS (SELECT cg.doc_id, bg.eval_id, count(*) AS shared
          |      FROM cg JOIN bg USING (g)
          |      GROUP BY cg.doc_id, bg.eval_id HAVING count(*) >= 2),

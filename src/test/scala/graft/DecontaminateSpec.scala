@@ -79,7 +79,10 @@ class DecontaminateSpec extends AnyFunSuite {
       (3L, "a b z z z z")).toDF("doc_id", "text")
     val bench = Seq(
       (100L, "a b c d e x1 p q r"),  // grams incl abc bcd cde + pqr
-      (200L, "c d e f g h a b c")).toDF("doc_id", "text")
+      (200L, "c d e f g h a b c"),
+      // verbatim duplicate of eval 100 — must collapse to the min id
+      // (one leak, not two; and the broadcast prices by distinct texts)
+      (300L, "a b c d e x1 p q r")).toDF("doc_id", "text")
     val out = Decontaminate.attribution(corpus, bench, "doc_id", "text", 3, 2L)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     // doc 1 vs 100: {abc, bcd, cde} = 3; vs 200: {cde, def, abc}... compute:
