@@ -102,7 +102,9 @@ object ExplainDump {
     "q79_snapshot_diff" ->
       "Snapshot diff: each epoch's per-key latest-state snapshot reduces BEFORE the diff (row_number window, one shuffle per epoch over epoch-filtered rows), then ADDED/REMOVED/CHANGED classify in ONE key-partitioned full-outer join — null-safe value compare, presence flags as constant columns (no count pre-pass, no second scan). Both sides are snapshot-sized, so no broadcast: sort-merge at scale, and snapshots stored bucketed on the key (plans/Bucketing) make the join exchange-free. The batch face of the status-updater merge + AdaptiveScheduler change detection.",
     "q80_postings" ->
-      "Posting-list materialization: the COUNT-ONLY first pass bounds memory (fixed-width HashAggregate with map-side partials — no list grows during it), the df-qualified keep set is rare-term-sized and broadcasts under AQE, and only qualifying (term, doc) rows re-aggregate into sort_array'd collect_sets, each bounded by maxDf ids. An unbounded postings build wants doc-partitioned index segments (how real engines shard); under the df cap the aggregate state is provably bounded instead. Two passes over the shingle stream, both partial-aggregated before their exchanges.",
+      "Posting-list materialization, ADAPTIVE on the duplication probe: the COUNT-ONLY first pass bounds memory (fixed-width HashAggregate with map-side partials — no list grows during it), the df-qualified keep set is rare-term-sized and broadcasts under AQE, and only qualifying (term, doc) rows re-aggregate into sort_array'd collect_sets, each bounded by maxDf ids. On a replicated corpus, shingling and the df aggregate run once per DISTINCT text (df = member-weight sum) and only qualifying terms expand through the digest→member map — 57 → 6.4 s at a 100×-replicated sf10, bit-identical (spec-pinned). An unbounded postings build wants doc-partitioned index segments (how real engines shard); under the df cap the aggregate state is provably bounded instead.",
+    "q89_centroid_outliers" ->
+      "Per-group centroid outliers: ONE dim-explode aggregation (map-side partials; working set = groups × dims fixed-width rows) builds the centroid table, which broadcasts back; distances are a codegen'd zip_with/aggregate over quantized longs (map-only), and the top-k per group is a window over scored rows. Exact-integer geometry (the kmeans argument): float means are reduction-order-dependent, so quantization is what lets a SQL oracle verify the outlier CHOICE at any parallelism.",
     "q81_collocations" ->
       "Integer-PMI collocations: two token-stream aggregations (unigram, bigram) with map-side partials; the unigram count table is VOCABULARY-sized and pinned broadcast on both joins, so nothing corpus-sized shuffles except the bigram aggregate itself. assoc = ((c_xy·S) div c_x)·N div c_y in a fixed floor-division order — engine-exact fixed point whose ordering IS true PMI ordering (log is monotone), which is what lets a SQL oracle hash-verify an association miner. The 1-row N aggregate is collected once (bounded-driver-set contract).",
     "q87_oov_rate" ->
@@ -114,7 +116,7 @@ object ExplainDump {
     "q85_cluster_best_rep" ->
       "Best-quality representative per near-dup cluster — keep the BEST copy, not the first: q50's adaptive CC (digest collapse + guarded local solve) joined with q27's one-pass quality score, rep per component via a row_number window over CLUSTER-MASS-sized rows (pair-connected docs only — a corpus-fraction, never the corpus). Quality is computed identically on both engines, so the float ORDER is engine-exact and the oracle verifies rep choice, not just counts.",
     "q86_contamination_attribution" ->
-      "Contamination attribution: eval grams broadcast PINNED (q53's argument — the corpus side must never be the build side), corpus shingles map-only, only HIT rows reach the (doc, eval) aggregation, and the per-doc argmax is ONE hash-aggregable BIGINT max — (shared, eval_id) packed as shared·2^32 + (2^32−1−eval_id), numeric order = (shared DESC, eval ASC) — because max(struct) falls back to SortAggregate (the q15 packing argument). Two partial-aggregated exchanges over hit rows; the audit report costs no more than the drop list.",
+      "Contamination attribution, ADAPTIVE twice over: the eval side collapses to DISTINCT texts before shingling (a replicated eval table would otherwise grow the broadcast linearly and OOM — observed, fixed), the (gram, eval) table broadcasts PINNED (q53's argument — the corpus side must never be the build side), and on a replicated corpus the whole report runs once per DISTINCT corpus text and expands back per member (39 → 6.0 s at a 100×-replicated sf10, spec-pinned identical). The per-key argmax is ONE hash-aggregable BIGINT max — (shared, eval_id) packed as shared·2^32 + (2^32−1−eval_id), numeric order = (shared DESC, eval ASC) — because max(struct) falls back to SortAggregate (the q15 packing argument). Two partial-aggregated exchanges over hit rows; the audit report costs no more than the drop list.",
     "q83_anchor_inventory" ->
       "Anchor inventory through the REAL parse stage: the whole fetch-output → parse path (charset decode, HtmlParser with nofollow semantics, URL filter chain, metadata transfer, outlink cap) runs as ONE mapPartitions over the scan — per-document work, embarrassingly parallel, no shuffle until the per-target aggregation (map-side partial count + collect_set bounded by the anchor vocabulary). 100 TB of HTML parses map-only; the inventory exchange carries aggregated target rows.",
     "q82_incremental_recount" ->

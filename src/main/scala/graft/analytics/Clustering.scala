@@ -92,6 +92,46 @@ object Clustering {
     lloyd(q, k, iters)
   }
 
+  /** Per-group embedding centroid OUTLIERS — data-quality triage: the
+    * far tail of a language/source/cluster's embedding distribution is
+    * where mislabeled and garbage documents live, and "distance to own
+    * group's centroid" is the standard cheap outlier score. Quantized
+    * exact-integer geometry end to end (the [[lloyd]] argument: float
+    * mean + float distance are reduction-order-dependent; floor'd
+    * integer sums and the floor-of-exact-double-division centroid are
+    * engine-exact), so a SQL oracle verifies the OUTLIER CHOICE, not
+    * just distances.
+    *
+    * Scale: one dim-explode aggregation (map-side partials; working
+    * set = groups × dims rows), the groups×dims centroid table
+    * broadcast back, distance + top-k per group in one window over
+    * corpus rows scored map-only. The window's sort is per-group; at
+    * web scale with few huge groups, swap the window for the q76
+    * histogram trick — documented, not needed at the groups-×-topK
+    * output sizes this serves. */
+  def groupOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                    groupExpr: Column, topK: Int): DataFrame = {
+    val q = emb.select(col(idCol).as("id"), groupExpr.as("grp"),
+      VecExpressions.quantizeLongs(col(vecCol), Scale).as("qv"))
+    val cent = q
+      .select(col("grp"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("grp", "i").agg(sum("x").as("sm"), count(lit(1)).as("n"))
+      .withColumn("c",
+        expr("cast(floor(cast(sm as double) / cast(n as double)) as bigint)"))
+      .groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("dist").desc, col("id"))
+    q.join(broadcast(cent), "grp")
+      .withColumn("dist", aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+      .select(col("grp"), col("rnk"), col("id"), col("dist"))
+  }
+
   /** SemDeDup: semantic near-duplicate discovery SCOPED to k-means
     * clusters — cluster the corpus, then search for high-cosine pairs
     * only WITHIN a cluster (and, at scale, within an LSH bucket inside

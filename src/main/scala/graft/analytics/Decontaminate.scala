@@ -179,22 +179,55 @@ object Decontaminate {
           .distinctShingles(col("btext"), k)).as("g"),
         col("eval_id"))
       .where(col("g").isNotNull)
-    val cg = withGs(graft.plans.InputWidth.widen(
-        corpus.select(col(idCol), col(textCol))), textCol, k)
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode_outer(col("gs")).as("g"))
-    cg.join(broadcast(bg), "g") // inner join drops the null-gram rows
-      .groupBy(col("doc_id"), col("eval_id"))
+    // Corpus side is ADAPTIVE like q53 (collapsedHits): identical
+    // texts share their gram set, so on a replicated corpus the
+    // shingle pass, the broadcast join, and both aggregations run
+    // once per DISTINCT text and the per-digest report expands back
+    // to members — bit-identical per member (spec-pinned), shuffle
+    // mass priced by distinct texts (57 → a few seconds at a
+    // 100×-replicated sf10 shape).
+    if (Dedup.noVerbatimDups(corpus, textCol, textCol)) {
+      val cg = withGs(graft.plans.InputWidth.widen(
+          corpus.select(col(idCol), col(textCol))), textCol, k)
+        .select(col(idCol).cast("long").as("doc_id"),
+          explode_outer(col("gs")).as("g"))
+      attributionReport(cg.join(broadcast(bg), "g"), "doc_id", minShared)
+    } else {
+      val agg = corpus
+        .select(md5(col(textCol)).as("digest"), col(idCol).as("m_id"))
+        .groupBy("digest")
+        .agg(min(col("m_id")).as("rep"))
+      val reps = corpus
+        .select(md5(col(textCol)).as("digest"), col(idCol).as("rep"),
+          col(textCol).as("rtext"))
+        .join(agg, Seq("digest", "rep"))
+      val cg = withGs(reps, "rtext", k)
+        .select(col("digest"), explode_outer(col("gs")).as("g"))
+      val perDigest = attributionReport(cg.join(broadcast(bg), "g"),
+        "digest", minShared)
+      val members = corpus.select(md5(col(textCol)).as("digest"),
+        col(idCol).cast("long").as("doc_id"))
+      perDigest.join(members, "digest")
+        .select(col("doc_id"), col("n_evals"), col("top_shared"), col("top_eval"))
+    }
+  }
+
+  /** The shared (hit-rows → per-key report) tail of [[attribution]]:
+    * (key, eval_id) shared-gram counts, minShared floor, then the
+    * packed-BIGINT argmax per key. */
+  private def attributionReport(hits: DataFrame, keyCol: String,
+                                minShared: Long): DataFrame =
+    hits
+      .groupBy(col(keyCol), col("eval_id"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
-      .groupBy(col("doc_id"))
+      .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_evals"),
         max(col("shared") * lit(4294967296L) +
           (lit(4294967295L) - col("eval_id"))).as("pk"))
-      .selectExpr("doc_id", "n_evals",
+      .selectExpr(keyCol, "n_evals",
         "pk div 4294967296 AS top_shared",
         "4294967295 - pk % 4294967296 AS top_eval")
-  }
 
   /** (doc_id, n_shingles, g) per distinct gram of each doc of `df`,
     * with `idExpr` naming the id column to carry.

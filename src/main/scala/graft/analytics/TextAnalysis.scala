@@ -168,7 +168,14 @@ object TextAnalysis {
     * terms by a broadcast-able keep set. */
   def postings(df: DataFrame, idCol: String, textCol: String,
                shingleN: Int = 3, minDf: Long = 2,
-               maxDf: Long = 8): DataFrame = {
+               maxDf: Long = 8): DataFrame =
+    if (Dedup.noVerbatimDups(df, textCol, textCol))
+      postingsDirect(df, idCol, textCol, shingleN, minDf, maxDf)
+    else postingsCollapsed(df, idCol, textCol, shingleN, minDf, maxDf)
+
+  private[graft] def postingsDirect(df: DataFrame, idCol: String,
+                                    textCol: String, shingleN: Int,
+                                    minDf: Long, maxDf: Long): DataFrame = {
     val terms = graft.plans.InputWidth.widen(df)
       .select(col(idCol).as("doc"),
         explode(array_distinct(
@@ -176,6 +183,40 @@ object TextAnalysis {
     val keep = terms.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf && col("df") <= maxDf)
     terms.join(keep, "term")
+      .groupBy("term", "df")
+      .agg(sort_array(collect_set(col("doc"))).as("postings"))
+      .select(col("term"), col("df"), col("postings"))
+  }
+
+  /** Digest-collapsed postings for replicated corpora (the Dedup
+    * family's adaptive move): shingling and the df aggregate run once
+    * per DISTINCT text — df recovers exactly as the member-weight sum
+    * (identical texts contain identical term sets) — and only
+    * QUALIFYING terms expand back through the digest→member map.
+    * On mirror-heavy data the expansion side is tiny twice over: rare
+    * terms are by definition carried by few distinct texts, and a
+    * term replicated across the whole mirror set has df ≫ maxDf and
+    * never reaches the expansion. Bit-identical to the direct path
+    * (spec-pinned). */
+  private[graft] def postingsCollapsed(df: DataFrame, idCol: String,
+                                       textCol: String, shingleN: Int,
+                                       minDf: Long, maxDf: Long): DataFrame = {
+    val agg = df
+      .select(md5(col(textCol)).as("digest"), col(idCol).as("m_id"))
+      .groupBy("digest")
+      .agg(min(col("m_id")).as("rep"), count(lit(1)).as("weight"))
+    val reps = df
+      .select(md5(col(textCol)).as("digest"), col(idCol).as("rep"),
+        col(textCol).as("rtext"))
+      .join(agg, Seq("digest", "rep"))
+    val rterms = reps.select(col("digest"), col("weight"),
+      explode(array_distinct(
+        Dedup.shingles(Dedup.words(col("rtext")), shingleN))).as("term"))
+    val keep = rterms.groupBy("term").agg(sum(col("weight")).as("df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    val members = df.select(md5(col(textCol)).as("digest"), col(idCol).as("doc"))
+    rterms.select(col("digest"), col("term")).join(keep, "term")
+      .join(members, "digest")
       .groupBy("term", "df")
       .agg(sort_array(collect_set(col("doc"))).as("postings"))
       .select(col("term"), col("df"), col("postings"))

@@ -154,6 +154,15 @@ object AnalyticsQueries {
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)),
 
+    // Per-group centroid outliers over embeddings (groups = vec_id%5):
+    // integer-exact distances, top-3 farthest per group — the cheap
+    // mislabeled/garbage triage signal.
+    "q89_centroid_outliers" -> ((s, dir) =>
+      graft.analytics.Clustering.groupOutliers(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") % 5, topK = 3)
+        .orderBy("grp", "rnk")),
+
     // Vocabulary coverage / OOV rate: top-20 corpus vocabulary by
     // frequency (ties lexicographic), per-lang out-of-vocabulary
     // token rate in integer ppm — the tokenizer-coverage signal a
@@ -1315,6 +1324,24 @@ object AnalyticsQueries {
          |l AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
          |SELECT comp, count(*) AS n_docs, max(node) AS max_doc
          |FROM l GROUP BY comp ORDER BY comp""".stripMargin,
+
+    "q89_centroid_outliers" ->
+      """WITH q AS (SELECT vec_id, vec_id % 5 AS grp,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |d AS (SELECT grp, i,
+        |        CAST(floor(CAST(sum(qv[i]) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS c
+        |      FROM q, unnest(generate_series(1, 64)) t(i) GROUP BY grp, i),
+        |cent AS (SELECT grp, list(c ORDER BY i) AS cv FROM d GROUP BY grp),
+        |s AS (SELECT q.vec_id, q.grp,
+        |        list_reduce(list_transform(generate_series(1, 64),
+        |          i -> (qv[i] - cv[i]) * (qv[i] - cv[i])), (a,b) -> a + b) AS dist
+        |      FROM q JOIN cent ON cent.grp = q.grp),
+        |r AS (SELECT grp, vec_id, dist,
+        |        row_number() OVER (PARTITION BY grp ORDER BY dist DESC, vec_id) AS rnk
+        |      FROM s)
+        |SELECT grp, rnk, vec_id AS id, dist FROM r WHERE rnk <= 3
+        |ORDER BY grp, rnk""".stripMargin,
 
     "q87_oov_rate" ->
       s"""WITH toks AS (SELECT lang, unnest($wordsSql) AS w FROM documents),

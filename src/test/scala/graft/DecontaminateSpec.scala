@@ -96,6 +96,23 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("attribution: collapsed corpus path is identical per member to the direct path") {
+    import spark.implicits._
+    val base = Seq((1L, "a b c d e f"), (2L, "a b c x p q r"), (3L, "m n o p"))
+    val corpus = (0 until 4).flatMap(r => base.map { case (i, t) => (i + r * 10, t) })
+      .toDF("doc_id", "text") // replicated -> collapsed path
+    val unique = base.toDF("doc_id", "text") // unique -> direct path
+    val bench = Seq((100L, "a b c d e x1 p q r")).toDF("doc_id", "text")
+    def aset(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val collapsed = aset(Decontaminate.attribution(corpus, bench, "doc_id", "text", 3, 2L))
+    // every replica of a text must carry the SAME report as its original
+    val direct = aset(Decontaminate.attribution(unique, bench, "doc_id", "text", 3, 2L))
+    for ((id, n, ts, te) <- direct; r <- 0 until 4)
+      assert(collapsed.contains((id + r * 10, n, ts, te)))
+    assert(collapsed.size === direct.size * 4)
+  }
+
   test("dupSpanStats: df counts member docs, shingle-less docs absent") {
     import spark.implicits._
     import graft.analytics.Decontaminate

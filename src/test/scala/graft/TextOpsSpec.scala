@@ -123,6 +123,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out === Set(("b c", 2L, Seq(1L, 3L))))
   }
 
+  test("postings: digest-collapsed path is bit-identical to the direct path on a replicated corpus") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "x y z w"), (4L, "x y q"))
+    // 3 verbatim replicas with shifted ids (the gen_scale shape)
+    val docs = (0 until 3).flatMap(r => base.map { case (i, t) => (i + r * 100, t) })
+      .toDF("doc_id", "text")
+    def pset(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val d = TextAnalysis.postingsDirect(docs, "doc_id", "text", 2, 2, 6)
+    val c = TextAnalysis.postingsCollapsed(docs, "doc_id", "text", 2, 2, 6)
+    assert(pset(d) === pset(c))
+    assert(pset(d).nonEmpty) // "a b" df=6 qualifies under maxDf=6
+  }
+
   test("collocations: integer PMI ratio with fixed division order; minCount floors") {
     import spark.implicits._
     // corpus: "p q" always together (high assoc), "r" everywhere (low)
