@@ -154,6 +154,42 @@ object AnalyticsQueries {
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)),
 
+    // THE FULL CLEANING RECIPE composed end-to-end — exact-dup keep ∘
+    // near-dup best-quality-rep keep ∘ integer quality gate ∘
+    // decontamination drop → per-lang corpus summary. Every stage is
+    // independently hash-verified (q20/q50+q85/q27+q72/q53); the
+    // composition adds only id-list joins (broadcast under AQE at
+    // corpus-fraction selectivity). This is the query a training-data
+    // team actually ships.
+    "q90_clean_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 13 =!= 0)
+      val bench = docs.where(col("doc_id") % 13 === 0)
+      val keep1 = Dedup.exactDedup(corpus, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val comps = Dedup.nearDupComponents(corpus, "doc_id", "text", "source")
+      val q = TextAnalysis.qualityScore(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("comp").orderBy(col("quality").desc, col("node"))
+      val drop2 = comps
+        .join(q.select(col("doc_id").as("node"), col("quality")), "node")
+        .withColumn("rn", row_number().over(w)).where(col("rn") > 1)
+        .select(col("node").as("doc_id"))
+      val drop4 = graft.analytics.Decontaminate
+        .ngramHits(corpus, bench, "doc_id", "text", 4)
+        .where(col("contamination") >= 0.5).select(col("doc_id"))
+      corpus.join(keep1, "doc_id")
+        .join(drop2, Seq("doc_id"), "left_anti")
+        .join(q, "doc_id")
+        .where(col("n_tokens") >= 10 && col("quality") > 0.1)
+        .join(drop4, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("total_chars"))
+        .orderBy("lang")
+    }),
+
     // Per-group centroid outliers over embeddings (groups = vec_id%5):
     // integer-exact distances, top-3 farthest per group — the cheap
     // mislabeled/garbage triage signal.
@@ -1324,6 +1360,66 @@ object AnalyticsQueries {
          |l AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
          |SELECT comp, count(*) AS n_docs, max(node) AS max_doc
          |FROM l GROUP BY comp ORDER BY comp""".stripMargin,
+
+    // Every leg cloned from its own verified oracle (k1 = q20, the
+    // corpus-restricted pair closure = q50/q64, quality = q27,
+    // contamination = q62); the final SELECT is the composition.
+    "q90_clean_pipeline" ->
+      s"""WITH RECURSIVE
+         |cdocs AS (SELECT doc_id, lang, source, n_chars, text FROM documents WHERE doc_id % 13 <> 0),
+         |k1 AS (SELECT min(doc_id) AS doc_id FROM cdocs GROUP BY md5(text)),
+         |w2 AS (SELECT source, doc_id, unnest(list_distinct($wordsSql)) AS wd FROM cdocs),
+         |sig AS (SELECT source, doc_id,
+         |    concat(CAST(min(${chunk("wd", 0)}) AS VARCHAR), '_', CAST(min(${chunk("wd", 1)}) AS VARCHAR)) AS bandA,
+         |    concat(CAST(min(${chunk("wd", 2)}) AS VARCHAR), '_', CAST(min(${chunk("wd", 3)}) AS VARCHAR)) AS bandB
+         |  FROM w2 GROUP BY source, doc_id),
+         |p AS (
+         |  SELECT l.source, l.doc_id AS a, r.doc_id AS b FROM sig l JOIN sig r
+         |    ON l.source = r.source AND l.bandA = r.bandA AND l.doc_id < r.doc_id
+         |  UNION
+         |  SELECT l.source, l.doc_id, r.doc_id FROM sig l JOIN sig r
+         |    ON l.source = r.source AND l.bandB = r.bandB AND l.doc_id < r.doc_id),
+         |u AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+         |v AS (SELECT DISTINCT x AS node FROM u),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM v
+         |  UNION
+         |  SELECT u.x, reach.r FROM u JOIN reach ON u.y = reach.node
+         |  WHERE reach.r < u.x),
+         |l AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+         |qw AS (SELECT doc_id, text, $wordsSql AS ws FROM cdocs),
+         |qm AS (SELECT doc_id, len(ws) AS n_tokens, length(text) AS n_chars_m,
+         |        len(list_filter(ws, x -> x IN ('the','and','of','to','in','is','that','for'))) AS n_stop
+         |      FROM qw),
+         |qq AS (SELECT doc_id, n_tokens,
+         |        (CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE)) * 0.5 +
+         |        (CAST(n_tokens AS DOUBLE) / CAST(n_chars_m + 1 AS DOUBLE)) * 0.5 AS quality
+         |      FROM qm),
+         |j2 AS (SELECT l.comp, l.node, qq.quality FROM l JOIN qq ON qq.doc_id = l.node),
+         |d2 AS (SELECT node AS doc_id FROM (
+         |        SELECT node, row_number() OVER (PARTITION BY comp ORDER BY quality DESC, node) AS rn
+         |        FROM j2) x WHERE rn > 1),
+         |w4 AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh4 AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+         |         THEN list_distinct(list_transform(generate_series(1, len(ws)-3),
+         |              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         |         ELSE CAST([] AS VARCHAR[]) END AS shs FROM w4),
+         |grams AS (SELECT doc_id, unnest(shs) AS g FROM sh4),
+         |bgr AS (SELECT g FROM grams WHERE doc_id % 13 = 0 GROUP BY g),
+         |cgr AS (SELECT doc_id, g FROM grams WHERE doc_id % 13 <> 0),
+         |nsh AS (SELECT doc_id, count(*) AS n_shingles FROM cgr GROUP BY doc_id),
+         |hits AS (SELECT c.doc_id, count(*) AS n_hits FROM cgr c JOIN bgr b USING (g) GROUP BY c.doc_id),
+         |bad AS (SELECT h.doc_id FROM hits h JOIN nsh n USING (doc_id)
+         |        WHERE CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= 0.5)
+         |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+         |FROM cdocs d
+         |JOIN k1 USING (doc_id)
+         |JOIN qq ON qq.doc_id = d.doc_id
+         |LEFT JOIN d2 ON d2.doc_id = d.doc_id
+         |LEFT JOIN bad ON bad.doc_id = d.doc_id
+         |WHERE d2.doc_id IS NULL AND bad.doc_id IS NULL
+         |  AND qq.n_tokens >= 10 AND qq.quality > 0.1
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q89_centroid_outliers" ->
       """WITH q AS (SELECT vec_id, vec_id % 5 AS grp,

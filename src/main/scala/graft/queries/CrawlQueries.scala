@@ -140,6 +140,31 @@ object CrawlQueries {
         .orderBy("key")
     }),
 
+    // Politeness drain plan: how long each host's due queue takes to
+    // drain at its robots crawl-delay — the planning query behind
+    // FetchItemQueues' per-key delay (`fetch/FetchStage.scala:31`,
+    // reference `FetcherBolt` queue delays + robots Crawl-delay).
+    // Crawl-delay comes from the REAL parser over the q84 rule table;
+    // hosts without a delay directive fall back to the 1 s default
+    // (reference fetcher.server.delay).
+    "q91_drain_plan" -> ((s, dir) => {
+      val due = statusView(s, dir).where(col("status") === "DISCOVERED")
+        .groupBy("key").agg(count(lit(1)).as("n_due"))
+      val parseDelay = udf((body: String) =>
+        graft.fetch.RobotRules.parse(body, "graft-crawler").crawlDelayMs)
+      due
+        .withColumn("h", regexp_extract(col("key"), "host([0-9]+)", 1).cast("int"))
+        .withColumn("robots_txt", expr(
+          """CASE h % 3
+               WHEN 0 THEN 'User-agent: *\nDisallow: /private\nAllow: /private/ok\nCrawl-delay: 2'
+               WHEN 1 THEN 'User-agent: *\nDisallow:\n'
+               ELSE 'User-agent: graft\nDisallow: /tmp\n\nUser-agent: *\nDisallow: /'
+             END"""))
+        .withColumn("delay_ms", coalesce(parseDelay(col("robots_txt")), lit(1000L)))
+        .selectExpr("key", "n_due", "delay_ms", "n_due * delay_ms AS drain_ms")
+        .orderBy("key")
+    }),
+
     // Batch robots.txt evaluation over a frontier — the REAL parser
     // (`fetch/RobotRules.parse`: group selection, specific-agent
     // override, longest-prefix match, Allow-beats-Disallow on ties,
@@ -267,6 +292,16 @@ object CrawlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_drain_plan" ->
+      s"""WITH sv AS (${Tables.statusViewSql}),
+         |d AS (SELECT key, count(*) AS n_due FROM sv WHERE status = 'DISCOVERED' GROUP BY key),
+         |x AS (SELECT key, n_due,
+         |        CAST(regexp_extract(key, 'host([0-9]+)', 1) AS INT) % 3 AS r FROM d)
+         |SELECT key, n_due,
+         |  CAST(CASE r WHEN 0 THEN 2000 ELSE 1000 END AS BIGINT) AS delay_ms,
+         |  CAST(n_due * (CASE r WHEN 0 THEN 2000 ELSE 1000 END) AS BIGINT) AS drain_ms
+         |FROM x ORDER BY key""".stripMargin,
+
     // Decision logic inlined per the three constructed rule shapes —
     // the oracle verifies the ENGINE's longest-match/allow-override/
     // specific-group semantics against an independent derivation.
