@@ -240,19 +240,39 @@ object TextAnalysis {
     * [[LinkGraph.pagerank]]'s scale. */
   def collocations(df: DataFrame, textCol: String, scale: Long = 1000000L,
                    minCount: Long = 5): DataFrame = {
-    val toks = graft.plans.InputWidth.widen(df)
-      .select(Dedup.words(col(textCol)).as("ws"))
-    toks.cache()
+    // ADAPTIVE on the duplication probe: unigram and bigram counts are
+    // pure functions of the text, so on a replicated corpus both
+    // aggregations run once per DISTINCT text with counts recovered as
+    // member-weight sums — bit-identical (spec-pinned), and the two
+    // corpus scans become two distinct-text scans. NOTHING corpus-sized
+    // is cached (an earlier draft cached the token arrays and OOM'd at
+    // 5 M docs — at 100 TB the corpus is never a cache resident): only
+    // the VOCABULARY-sized unigram table caches, pinning one tiny
+    // table across its three uses (nTotal + both broadcast joins).
+    val toks =
+      if (Dedup.noVerbatimDups(df, textCol, textCol))
+        graft.plans.InputWidth.widen(df)
+          .select(lit(1L).as("weight"), Dedup.words(col(textCol)).as("ws"))
+      else {
+        val agg = df
+          .select(md5(col(textCol)).as("digest"))
+          .groupBy("digest").agg(count(lit(1)).as("weight"))
+        df.select(md5(col(textCol)).as("digest"), col(textCol).as("rtext"))
+          .dropDuplicates("digest")
+          .join(agg, "digest")
+          .select(col("weight"), Dedup.words(col("rtext")).as("ws"))
+      }
+    val uni = toks.select(col("weight"), explode(col("ws")).as("w"))
+      .groupBy("w").agg(sum(col("weight")).as("c"))
+    uni.cache()
     try {
-      val uni = toks.select(explode(col("ws")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
       val nTotal = uni.agg(coalesce(sum("c"), lit(0L)).as("n")).first().getLong(0)
       require(scale > 0 && nTotal <= Long.MaxValue / scale,
         s"collocations fixed-point overflow: N=$nTotal * scale=$scale exceeds " +
           "Long range; lower `scale`")
       val bi = toks
-        .select(explode(Dedup.shingles(col("ws"), 2)).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("cxy"))
+        .select(col("weight"), explode(Dedup.shingles(col("ws"), 2)).as("bigram"))
+        .groupBy("bigram").agg(sum(col("weight")).as("cxy"))
         .where(col("cxy") >= minCount)
         .withColumn("x", split(col("bigram"), " ").getItem(0))
         .withColumn("y", split(col("bigram"), " ").getItem(1))
@@ -260,6 +280,6 @@ object TextAnalysis {
         .join(broadcast(uni.select(col("w").as("y"), col("c").as("cy"))), "y")
         .select(col("bigram"), col("cxy"),
           expr(s"((cxy * $scale) div cx) * $nTotal div cy").as("assoc"))
-    } finally toks.unpersist()
+    } finally uni.unpersist()
   }
 }

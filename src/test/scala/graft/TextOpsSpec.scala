@@ -155,6 +155,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out("r r") == ((15L, 1125000L)))
   }
 
+  test("collocations: replicated corpus routes the collapse; counts scale, assoc is invariant") {
+    import spark.implicits._
+    val base = (0 until 5).map(i => (i.toLong, "p q r r r r"))
+    val rep = (0 until 3).flatMap(r => base.map { case (i, t) => (i + r * 100, t) })
+      .toDF("doc_id", "text") // verbatim replicas -> collapsed path
+    val out = TextAnalysis.collocations(rep, "text",
+        scale = 1000000L, minCount = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // counts are member-weight sums (3x the single-copy corpus);
+    // assoc is invariant under uniform replication (floor(ka/kb) =
+    // floor(a/b)) — same fixed points as the unreplicated corpus
+    assert(out("p q") == ((15L, 6000000L)))
+    assert(out("q r") == ((15L, 1500000L)))
+    assert(out("r r") == ((45L, 1125000L)))
+  }
+
   /** Plain-Scala min-hop BFS reference. */
   private def bfsRef(edgeList: Seq[(String, String)], seeds: Seq[String],
                      maxDepth: Int): Map[String, Int] = {
