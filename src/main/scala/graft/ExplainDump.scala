@@ -110,7 +110,7 @@ object ExplainDump {
     "q89_centroid_outliers" ->
       "Per-group centroid outliers: ONE dim-explode aggregation (map-side partials; working set = groups × dims fixed-width rows) builds the centroid table, which broadcasts back; distances are a codegen'd zip_with/aggregate over quantized longs (map-only), and the top-k per group is a window over scored rows. Exact-integer geometry (the kmeans argument): float means are reduction-order-dependent, so quantization is what lets a SQL oracle verify the outlier CHOICE at any parallelism.",
     "q81_collocations" ->
-      "Integer-PMI collocations: two token-stream aggregations (unigram, bigram) with map-side partials; the unigram count table is VOCABULARY-sized and pinned broadcast on both joins, so nothing corpus-sized shuffles except the bigram aggregate itself. assoc = ((c_xy·S) div c_x)·N div c_y in a fixed floor-division order — engine-exact fixed point whose ordering IS true PMI ordering (log is monotone), which is what lets a SQL oracle hash-verify an association miner. The 1-row N aggregate is collected once (bounded-driver-set contract).",
+      "Integer-PMI collocations, ADAPTIVE on the duplication probe: both token aggregations (unigram, bigram) are pure functions of the text, so a replicated corpus computes them once per DISTINCT text with counts as member-weight sums (bit-identical — floor division is invariant under uniform count scaling, spec-pinned; sf100 5 M docs 16.5 → 11.3 s). NOTHING corpus-sized is cached (an earlier draft cached the token arrays and OOM'd at 5 M docs): only the VOCABULARY-sized unigram table caches, pinned broadcast on both joins, so nothing corpus-sized shuffles except the bigram aggregate itself — map-side partials. assoc = ((c_xy·S) div c_x)·N div c_y in a fixed floor-division order — engine-exact, and its ordering IS true PMI ordering (log is monotone). The 1-row N aggregate is collected once (bounded-driver-set contract).",
     "q87_oov_rate" ->
       "Vocabulary coverage: ONE token aggregation (map-side partials) builds the frequency table, TakeOrdered trims it to the top-V vocabulary (per-partition heaps, never a global sort), the vocabulary broadcasts, and the OOV decision is a broadcast left join + integer aggregate over the token stream — the corpus shuffles once (the count), everything else is map-only. oov_ppm is integer floor division: engine-exact.",
     "q88_warc_roundtrip" ->
