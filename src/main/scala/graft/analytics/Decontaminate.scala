@@ -186,7 +186,7 @@ object Decontaminate {
     // to members — bit-identical per member (spec-pinned), shuffle
     // mass priced by distinct texts (57 → a few seconds at a
     // 100×-replicated sf10 shape).
-    if (Dedup.noVerbatimDups(corpus, textCol, textCol)) {
+    if (Dedup.mostlyUnique(corpus, textCol, textCol)) {
       val cg = withGs(graft.plans.InputWidth.widen(
           corpus.select(col(idCol), col(textCol))), textCol, k)
         .select(col(idCol).cast("long").as("doc_id"),

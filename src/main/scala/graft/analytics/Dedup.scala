@@ -307,6 +307,30 @@ object Dedup {
     r.getLong(0) == r.getLong(1)
   }
 
+  /** Duplication-RATIO probe: true when at least `threshold` of the
+    * worded (group, text) rows are distinct. For operators whose
+    * direct and collapsed pipelines are bit-identical AND whose
+    * collapse costs a fixed overhead (join-back + member expansion)
+    * rather than averting a quadratic blowup — postings,
+    * collocations, attribution — a NEARLY-unique corpus should take
+    * the direct path: 8 duplicate texts in 5 000 don't pay for two
+    * extra joins (measured: q80 2.2 → 6.0 s mis-routed). The PAIR
+    * generators keep the exact [[noVerbatimDups]] probe: there a few
+    * hundred copies of one text is a ×10⁴ pair blowup, so any
+    * duplication at all justifies the collapse. Same one-scan
+    * xxhash64 count-distinct; same conservative direction (a
+    * collision undercounts distincts and can only mis-route toward
+    * the collapsed path, which is correct on any input). */
+  private[graft] def mostlyUnique(df: DataFrame, textCol: String,
+                                  groupCol: String,
+                                  threshold: Double = 0.95): Boolean = {
+    val r = df.where(trim(col(textCol)) =!= "")
+      .agg(count(lit(1)),
+        count_distinct(xxhash64(col(groupCol), col(textCol))))
+      .first()
+    r.getLong(0) == 0L || r.getLong(1).toDouble >= threshold * r.getLong(0)
+  }
+
   /** LSH candidate pairs from unigram MinHash, banded 2×2 (band A =
     * (h1,h2), band B = (h3,h4)); docs sharing either band within the
     * same `groupCol` become candidates. Returns distinct (a, b) pairs,

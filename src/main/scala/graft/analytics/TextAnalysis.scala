@@ -169,7 +169,7 @@ object TextAnalysis {
   def postings(df: DataFrame, idCol: String, textCol: String,
                shingleN: Int = 3, minDf: Long = 2,
                maxDf: Long = 8): DataFrame =
-    if (Dedup.noVerbatimDups(df, textCol, textCol))
+    if (Dedup.mostlyUnique(df, textCol, textCol))
       postingsDirect(df, idCol, textCol, shingleN, minDf, maxDf)
     else postingsCollapsed(df, idCol, textCol, shingleN, minDf, maxDf)
 
@@ -250,7 +250,7 @@ object TextAnalysis {
     // the VOCABULARY-sized unigram table caches, pinning one tiny
     // table across its three uses (nTotal + both broadcast joins).
     val toks =
-      if (Dedup.noVerbatimDups(df, textCol, textCol))
+      if (Dedup.mostlyUnique(df, textCol, textCol))
         graft.plans.InputWidth.widen(df)
           .select(lit(1L).as("weight"), Dedup.words(col(textCol)).as("ws"))
       else {
