@@ -140,6 +140,17 @@ object CrawlQueries {
         .orderBy("key")
     }),
 
+    // Fetch-budget apportionment: 1000 fetch slots split across hosts
+    // ∝ due-queue sizes by the largest-remainder method — exact
+    // integer quotas, Σquota = budget (HybridSpout per-queue refill /
+    // URLBuffer throttling as a planning query).
+    "q92_budget_quota" -> ((s, dir) => {
+      val due = statusView(s, dir).where(col("status") === "DISCOVERED")
+        .groupBy("key").agg(count(lit(1)).as("n_due"))
+      graft.frontier.Budget.allocate(due, "key", "n_due", 1000L)
+        .orderBy("key")
+    }),
+
     // Politeness drain plan: how long each host's due queue takes to
     // drain at its robots crawl-delay — the planning query behind
     // FetchItemQueues' per-key delay (`fetch/FetchStage.scala:31`,
@@ -292,6 +303,19 @@ object CrawlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q92_budget_quota" ->
+      s"""WITH sv AS (${Tables.statusViewSql}),
+         |d AS (SELECT key, count(*) AS n_due FROM sv WHERE status = 'DISCOVERED' GROUP BY key),
+         |t AS (SELECT CAST(sum(n_due) AS BIGINT) AS total FROM d),
+         |a AS (SELECT key, n_due, (1000 * n_due) // total AS base,
+         |        (1000 * n_due) % total AS rem FROM d, t),
+         |lo AS (SELECT 1000 - CAST(sum(base) AS BIGINT) AS leftover FROM a),
+         |r AS (SELECT key, n_due, base, row_number() OVER (ORDER BY rem DESC, key) AS rn FROM a)
+         |SELECT key, n_due,
+         |  CAST(least(base + CASE WHEN rn <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END,
+         |             n_due) AS BIGINT) AS quota
+         |FROM r ORDER BY key""".stripMargin,
+
     "q91_drain_plan" ->
       s"""WITH sv AS (${Tables.statusViewSql}),
          |d AS (SELECT key, count(*) AS n_due FROM sv WHERE status = 'DISCOVERED' GROUP BY key),

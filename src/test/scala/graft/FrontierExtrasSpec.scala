@@ -23,6 +23,26 @@ class FrontierExtrasSpec extends AnyFunSuite {
   private val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
   private val t1 = Timestamp.valueOf("2024-01-02 00:00:00")
 
+  test("Budget.allocate: largest-remainder quotas sum to the budget; caps and zero-total") {
+    import spark.implicits._
+    val due = Seq(("h1", 3L), ("h2", 5L), ("h3", 9L)).toDF("key", "n_due")
+    // total 17, B=10: base (1,2,5) sum 8, remainders (13,16,5) ->
+    // leftover 2 goes to h2 (16) and h1 (13)
+    val q = graft.frontier.Budget.allocate(due, "key", "n_due", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(q == Map("h1" -> 2L, "h2" -> 3L, "h3" -> 5L))
+    assert(q.values.sum == 10L)
+    // B > total: every host capped at its own queue depth
+    val full = graft.frontier.Budget.allocate(due, "key", "n_due", 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(full == Map("h1" -> 3L, "h2" -> 5L, "h3" -> 9L))
+    // zero-size queues: no division by zero, all-zero quotas
+    val empty = Seq(("h1", 0L), ("h2", 0L)).toDF("key", "n_due")
+    val z = graft.frontier.Budget.allocate(empty, "key", "n_due", 10L)
+      .collect().map(_.getLong(2))
+    assert(z.forall(_ == 0L))
+  }
+
   private def store(rows: (String, String)*): FrontierStore = {
     import spark.implicits._
     val st = new FrontierStore(Files.createTempDirectory("frontier").toString)
