@@ -100,6 +100,28 @@ class CrawlE2ESpec extends AnyFunSuite {
     assert(stats.map(_.docs).sum >= 4)
   }
 
+  test("per-cycle change metrics: SnapshotDiff over the frontier between crawl cycles") {
+    val dir = siteDir
+    val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
+    CrawlTopology.seed(spark, store, Seq(s"file://$dir/index.html"), chain)
+    val before = store.read(spark).select("url", "status")
+    before.cache(); before.count() // freeze the pre-cycle snapshot
+    CrawlTopology.crawlOnce(spark, store, new ProtocolFactory(), chain,
+      crawlDelayMs = 0, respectRobots = false)
+    val after = store.read(spark).select("url", "status")
+    val delta = graft.operators.SnapshotDiff
+      .diff(before, after, Seq("url"), Seq("status"))
+      .collect().map(r => (r.getString(0), r.getAs[String]("change"))).toMap
+    before.unpersist()
+    // the seed was fetched this cycle: CHANGED DISCOVERED -> FETCHED
+    assert(delta(s"file://$dir/index.html") == "CHANGED")
+    // its outlinks are new frontier rows: ADDED (and nothing REMOVED —
+    // the status merge never deletes)
+    assert(delta(s"file://$dir/a.html") == "ADDED")
+    assert(delta(s"file://$dir/b.html") == "ADDED")
+    assert(!delta.values.exists(_ == "REMOVED"))
+  }
+
   test("sitemap + feed branches discover their entries") {
     val dir = siteDir
     val store = new FrontierStore(Files.createTempDirectory("frontier").toString)
