@@ -105,6 +105,8 @@ object ExplainDump {
       "Posting-list materialization, ADAPTIVE on the duplication probe: the COUNT-ONLY first pass bounds memory (fixed-width HashAggregate with map-side partials — no list grows during it), the df-qualified keep set is rare-term-sized and broadcasts under AQE, and only qualifying (term, doc) rows re-aggregate into sort_array'd collect_sets, each bounded by maxDf ids. On a replicated corpus, shingling and the df aggregate run once per DISTINCT text (df = member-weight sum) and only qualifying terms expand through the digest→member map — 57 → 6.4 s at a 100×-replicated sf10, bit-identical (spec-pinned). An unbounded postings build wants doc-partitioned index segments (how real engines shard); under the df cap the aggregate state is provably bounded instead.",
     "q90_clean_pipeline" ->
       "The full cleaning recipe composed — exact-dup keep ∘ near-dup best-quality-rep keep ∘ integer quality gate ∘ decontamination drop: the corpus scans once per leg-shape its parent operators already pinned (digest agg, adaptive CC pair search, one-pass quality natives, pinned eval-gram broadcast), and the COMPOSITION itself adds only doc-id keep/drop list joins — corpus-fraction-sized, broadcast under AQE. This is the q62 contract at full width: five independently hash-verified stages, zero new exchange classes, one shipped query.",
+    "q93_dedup_savings" ->
+      "Dedup-savings report: rides q50's adaptive CC (digest collapse, guarded local solve) and adds only two CLUSTER-MASS-sized aggregations (per-comp count → size histogram) — the estimate costs no more than the clustering it prices, and at 100 TB the report rows are the histogram of cluster sizes, i.e. tiny.",
     "q92_budget_quota" ->
       "Fetch-budget apportionment (largest-remainder): the frontier reduces to the per-host QUEUE TABLE first (one shuffle over status-filtered rows), then total and leftover ride back as 1-row broadcasts and the remainder ranking is one window over HOST rows — dim-table-sized by design, never the frontier. Exact integer quotas (Σquota = budget when it fits), deterministic ties — a SQL oracle verifies an apportionment operator.",
     "q91_drain_plan" ->

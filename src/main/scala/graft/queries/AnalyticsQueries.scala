@@ -154,6 +154,20 @@ object AnalyticsQueries {
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)),
 
+    // Dedup-savings report: cluster-size histogram of the near-dup
+    // components with docs-kept/docs-dropped per size class — the
+    // "what will dedup buy us" estimate every pipeline runs BEFORE
+    // committing to the full pass. Rides q50's verified closure; the
+    // report is two cluster-mass-sized aggregations.
+    "q93_dedup_savings" -> ((s, dir) =>
+      Dedup.nearDupComponents(t(s, dir, "documents"), "doc_id", "text", "source")
+        .groupBy("comp").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .selectExpr("csize", "n_clusters",
+          "csize * n_clusters AS n_docs",
+          "(csize - 1) * n_clusters AS n_dropped")
+        .orderBy("csize")),
+
     // THE FULL CLEANING RECIPE composed end-to-end — exact-dup keep ∘
     // near-dup best-quality-rep keep ∘ integer quality gate ∘
     // decontamination drop → per-lang corpus summary. Every stage is
@@ -1360,6 +1374,22 @@ object AnalyticsQueries {
          |l AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
          |SELECT comp, count(*) AS n_docs, max(node) AS max_doc
          |FROM l GROUP BY comp ORDER BY comp""".stripMargin,
+
+    "q93_dedup_savings" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+         |u AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+         |v AS (SELECT DISTINCT x AS node FROM u),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM v
+         |  UNION
+         |  SELECT u.x, reach.r FROM u JOIN reach ON u.y = reach.node
+         |  WHERE reach.r < u.x),
+         |l AS (SELECT node, min(r) AS comp FROM reach GROUP BY node),
+         |cs AS (SELECT comp, count(*) AS csize FROM l GROUP BY comp)
+         |SELECT csize, count(*) AS n_clusters,
+         |  CAST(csize * count(*) AS BIGINT) AS n_docs,
+         |  CAST((csize - 1) * count(*) AS BIGINT) AS n_dropped
+         |FROM cs GROUP BY csize ORDER BY csize""".stripMargin,
 
     // Every leg cloned from its own verified oracle (k1 = q20, the
     // corpus-restricted pair closure = q50/q64, quality = q27,
