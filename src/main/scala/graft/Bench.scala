@@ -136,11 +136,15 @@ object Bench {
     println(line)
     // also land the line in a file: the driver's captured-stdout tail
     // has truncated the JSON twice running — the artifact must survive.
-    // Path from env (SPARK_GRAFT_BENCH_OUT) with a cwd-relative
-    // fallback, and best-effort: an unwritable cwd must not turn a
-    // finished benchmark into a failure after the results printed.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (only.isDefined) "bench_subset.json" else "bench_out.json")
+    // Path from env (SPARK_GRAFT_BENCH_OUT) with a fallback OUTSIDE
+    // the worktree (tmpdir): a scratch file inside the repo makes the
+    // NEXT bench in a series report a -dirty sha. Best-effort: an
+    // unwritable path must not turn a finished benchmark into a
+    // failure after the results printed.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      s"$base/${if (only.isDefined) "graft_bench_subset.json" else "graft_bench_out.json"}"
+    })
     try
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

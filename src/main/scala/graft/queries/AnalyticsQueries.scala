@@ -329,9 +329,14 @@ object AnalyticsQueries {
     // indexer bolts delegate to OpenSearch/Solr. Count-only first
     // pass bounds memory; qualifying terms re-aggregate with
     // sort_array'd collect_set.
+    // The posting list is emitted as a comma-joined string rather than
+    // an ARRAY<BIGINT>: the value is identical (ordered id list) but a
+    // scalar column stays hashable in pandas-style canonicalizers.
     "q80_postings" -> ((s, dir) =>
       TextAnalysis.postings(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, minDf = 2, maxDf = 8)
+        .withColumn("postings",
+          array_join(transform(col("postings"), _.cast("string")), ","))
         .orderBy(col("df").desc, col("term")).limit(200)),
 
     // Collocation mining by integer-exact PMI ratio ordering:
@@ -1065,11 +1070,14 @@ object AnalyticsQueries {
     // reassign, summarize. Every step is integer arithmetic or an exact
     // double op (power-of-two scale, floor of a correctly-rounded
     // quotient with 1/n ≫ ulp margin), so the hash compare verifies the
-    // whole fixed point.
+    // whole fixed point. The outer CAST on the sum matters: DuckDB
+    // sums BIGINT into HUGEINT, which pandas/arrow renders as float64
+    // (1 → 1.0) — numerically equal to Spark's int64 but a different
+    // canonical string, hence a hash mismatch with identical values.
     "q56_kmeans" ->
       s"""WITH $lloydCte
          |SELECT cluster, count(*) AS n,
-         |       sum(CAST(floor(CAST(dist AS DOUBLE) / 16777216.0) AS BIGINT)) AS inertia_s
+         |       CAST(sum(CAST(floor(CAST(dist AS DOUBLE) / 16777216.0) AS BIGINT)) AS BIGINT) AS inertia_s
          |FROM m2 GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // The final Lloyd assignments themselves — the id-level surface
@@ -1588,7 +1596,8 @@ object AnalyticsQueries {
          |       FROM w, unnest(generate_series(1, len(ws)-2)) t(i)),
          |p AS (SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
          |      FROM tg GROUP BY term HAVING count(*) BETWEEN 2 AND 8)
-         |SELECT term, df, postings FROM p ORDER BY df DESC, term LIMIT 200""".stripMargin,
+         |SELECT term, df, array_to_string(postings, ',') AS postings
+         |FROM p ORDER BY df DESC, term LIMIT 200""".stripMargin,
 
     "q81_collocations" ->
       s"""WITH w AS (SELECT $wordsSql AS ws FROM documents),

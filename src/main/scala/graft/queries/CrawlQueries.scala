@@ -254,7 +254,10 @@ object CrawlQueries {
         .where(col("kind") === "outlink")
         .groupBy(col("target_url"))
         .agg(count(lit(1)).as("n_refs"),
-          sort_array(collect_set(col("anchor"))).as("anchors"))
+          // pipe-joined sorted distinct anchors: same value as the
+          // ARRAY<STRING>, but scalar so driver-side canonicalizers
+          // (pandas sort/hash) can handle the column.
+          array_join(sort_array(collect_set(col("anchor"))), "|").as("anchors"))
         .orderBy("target_url")
     }),
 
@@ -353,7 +356,7 @@ object CrawlQueries {
         |    || CAST(doc_id % 50 AS VARCHAR) AS target_url,
         |    lang || ' link' AS anchor FROM documents)
         |SELECT target_url, count(*) AS n_refs,
-        |  list(DISTINCT anchor ORDER BY anchor) AS anchors
+        |  array_to_string(list(DISTINCT anchor ORDER BY anchor), '|') AS anchors
         |FROM x GROUP BY target_url ORDER BY target_url""".stripMargin,
 
     "q79_snapshot_diff" -> {
