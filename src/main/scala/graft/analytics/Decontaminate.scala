@@ -216,18 +216,30 @@ object Decontaminate {
     * (key, eval_id) shared-gram counts, minShared floor, then the
     * packed-BIGINT argmax per key. */
   private def attributionReport(hits: DataFrame, keyCol: String,
-                                minShared: Long): DataFrame =
+                                minShared: Long): DataFrame = {
+    // The packing requires 0 <= eval_id < 2^32 and shared < 2^31 —
+    // enforced, not just documented: a violating row raises instead of
+    // silently corrupting top_shared/top_eval via sign overflow or
+    // eval-id wraparound. The CaseWhen keeps the assert off the happy
+    // path (branches evaluate lazily in codegen).
+    val packOk = col("eval_id").between(0L, 4294967295L) &&
+      col("shared") < lit(2147483648L)
+    val packed = when(packOk,
+        col("shared") * lit(4294967296L) + (lit(4294967295L) - col("eval_id")))
+      .otherwise(expr("CAST(assert_true(false, concat('attribution pack overflow: " +
+        "needs 0 <= eval_id < 2^32 and shared < 2^31, got eval_id=', " +
+        "CAST(eval_id AS STRING), ' shared=', CAST(shared AS STRING))) AS BIGINT)"))
     hits
       .groupBy(col(keyCol), col("eval_id"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_evals"),
-        max(col("shared") * lit(4294967296L) +
-          (lit(4294967295L) - col("eval_id"))).as("pk"))
+        max(packed).as("pk"))
       .selectExpr(keyCol, "n_evals",
         "pk div 4294967296 AS top_shared",
         "4294967295 - pk % 4294967296 AS top_eval")
+  }
 
   /** (doc_id, n_shingles, g) per distinct gram of each doc of `df`,
     * with `idExpr` naming the id column to carry.

@@ -32,15 +32,23 @@ object Budget {
                budget: Long): DataFrame = {
     require(budget >= 0, s"negative budget: $budget")
     val a = due.select(col(keyCol).as("key"), col(nCol).cast("long").as("n"))
-    // 1-row total; overflow guard: budget * n must fit a BIGINT
+    // 1-row total
     val tot = a.agg(coalesce(sum("n"), lit(0L)).as("total"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col("key"))
+    // REAL overflow guard: budget * n must fit a BIGINT or quotas
+    // silently wrap negative. assert_true raises on the violating row;
+    // the IF keeps the guard inside codegen (CaseWhen branches are
+    // lazy, so the assert only evaluates when the bound is breached).
+    val maxSafeN = if (budget == 0L) Long.MaxValue else Long.MaxValue / budget
+    val prod = s"IF(n <= ${maxSafeN}L, $budget * n, " +
+      s"CAST(assert_true(false, concat('Budget.allocate overflow: $budget * ', " +
+      s"CAST(n AS STRING), ' exceeds BIGINT')) AS BIGINT))"
     val based = a.crossJoin(tot)
       .withColumn("base", when(col("total") === 0L, 0L)
-        .otherwise(expr(s"$budget * n div total")))
+        .otherwise(expr(s"($prod) div total")))
       .withColumn("rem", when(col("total") === 0L, 0L)
-        .otherwise(expr(s"($budget * n) % total")))
+        .otherwise(expr(s"($prod) % total")))
     val leftover = based.agg((lit(budget) - coalesce(sum("base"), lit(budget)))
       .as("leftover"))
     based.crossJoin(leftover)

@@ -241,15 +241,12 @@ object AnalyticsQueries {
     // surface under the oracle gate, not just a spec.
     "q88_warc_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val out = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_q88_" + Integer.toHexString(dir.hashCode))
-      // reruns must not append a second copy of every record
-      if (java.nio.file.Files.isDirectory(out)) {
-        val files = java.nio.file.Files.list(out)
-        try files.forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally files.close()
-      }
+      // fresh scratch dir per invocation: a shared name keyed off
+      // dir.hashCode let two concurrent runs (or a 32-bit collision
+      // between dataset paths) delete each other's shards between
+      // write and read. createTempDirectory is unique by contract, so
+      // reruns can't double-append and runs can't interleave.
+      val out = java.nio.file.Files.createTempDirectory("graft_q88_")
       val content = docs.select(
         concat(lit("https://"), col("source"), lit(".example.com/d/"),
           col("doc_id").cast("string")).as("url"),

@@ -302,10 +302,269 @@ object CrawlQueries {
           (col("event_id") % 5 * 100 + 200).cast("int"))
         .select(col("event_id"), CrawlFunctions.statusFromHttpCode(col("code")).as("status"))
         .groupBy("status").agg(count(lit(1)).as("n"))
-        .orderBy("status"))
+        .orderBy("status")),
+
+    // ONE FULL CRAWL CYCLE against the REAL FrontierStore — the §2.7
+    // state machine under the oracle gate, not just specs: seed merge
+    // (NOT-MATCHED inserts, DISCOVERED due-now scheduling), frontier
+    // selection (AggregationSpout's top-keys + per-key top-K ladder,
+    // `AggregationSpout.java:110-166`), a deterministic fetch
+    // simulation, and the result merge — non-DISCOVERED overrides,
+    // existing state beats re-discovery, FETCH_ERROR counting, and
+    // DefaultScheduler re-scheduling (`AbstractStatusUpdaterBolt
+    // .java:139-242`, `DefaultScheduler.java:56-97`). `now` stamps are
+    // pinned so every next_fetch_date is a pure function of the input;
+    // the store lives in a fresh scratch dir per invocation.
+    "q94_crawl_cycle" -> ((s, dir) => {
+      import java.sql.Timestamp
+      val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+      val t1 = Timestamp.valueOf("2026-01-01 01:00:00")
+      val t2 = Timestamp.valueOf("2026-01-01 02:00:00")
+      val store = new graft.frontier.FrontierStore(
+        java.nio.file.Files.createTempDirectory("graft_q94_").toString)
+      val emptyMd = lit(null).cast("map<string,array<string>>")
+      // cycle 0: seed a third of the derived frontier as discoveries
+      store.merge(s, statusView(s, dir).where(col("event_id") % 3 === 0)
+        .select(col("url"), lit(graft.model.Status.Discovered).as("status"),
+          emptyMd.as("metadata")), t0)
+      // cycle 1: select due work, simulate fetch outcomes by page id
+      val batch = store.selectBatch(s, t1, perBucket = 8, maxKeys = 10, limit = 50)
+      val d = regexp_extract(col("url"), "page/([0-9]+)", 1).cast("long")
+      val results = batch.select(col("url"),
+        when(d % 5 === 3, graft.model.Status.FetchError)
+          .when(d % 5 === 4, graft.model.Status.Redirection)
+          .otherwise(graft.model.Status.Fetched).as("status"),
+        emptyMd.as("metadata"))
+      // fetched pages discover one child; redirections re-discover
+      // themselves (the self-loop dedup case); a sparse slice of the
+      // whole seed set is re-discovered (existing row must win and
+      // KEEP its schedule)
+      val children = results.where(col("status") === graft.model.Status.Fetched)
+        .select(concat(col("url"), lit("/out/1")).as("url"),
+          lit(graft.model.Status.Discovered).as("status"), emptyMd.as("metadata"))
+      val selfRedisc = results.where(col("status") === graft.model.Status.Redirection)
+        .select(col("url"), lit(graft.model.Status.Discovered).as("status"),
+          emptyMd.as("metadata"))
+      val sparseRedisc = statusView(s, dir).where(col("event_id") % 9 === 0)
+        .select(col("url"), lit(graft.model.Status.Discovered).as("status"),
+          emptyMd.as("metadata"))
+      store.merge(s,
+        results.unionByName(children).unionByName(selfRedisc).unionByName(sparseRedisc), t2)
+      store.read(s)
+        .groupBy(col("key"), col("status"))
+        .agg(count(lit(1)).as("n"),
+          min(col("next_fetch_date")).as("min_next"),
+          max(col("next_fetch_date")).as("max_next"))
+        .orderBy("key", "status")
+    }),
+
+    // Sitemap/feed discovery THROUGH THE REAL PARSE STAGE (the §2.4
+    // q83 pattern applied to SiteMapParserBolt/FeedParserBolt,
+    // `SiteMapParserBolt.java:96-254`, `FeedParserBolt.java:72-161`):
+    // synthesized sitemapindex (%10==0), RSS feed (%10==5) and urlset
+    // (rest) documents run content sniffing, XML parsing, sitemap
+    // image-extension extraction, the URL filter chain and metadata
+    // transfer; the emitted outlinks aggregate into a per-target
+    // inventory with sub-sitemap / feed / image-extension counts read
+    // back off the outlink metadata the stage attached.
+    "q95_sitemap_inventory" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def mod(n: Int, off: Int = 0) = ((col("doc_id") + off) % n).cast("string")
+      val urlsetTarget = (j: Int) =>
+        concat(lit("https://h"), mod(20), lit(".example.com/s/"), mod(50, j))
+      val urlEntry = (j: Int) => concat(lit("<url><loc>"), urlsetTarget(j), lit("</loc>"),
+        if (j == 0) lit("<image:image><image:loc>https://img.example.com/i.png</image:loc></image:image>")
+        else lit(""), lit("</url>"))
+      val urlset = concat(
+        lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\" " +
+          "xmlns:image=\"http://www.google.com/schemas/sitemap-image/1.1\">"),
+        urlEntry(0), urlEntry(1), urlEntry(2), lit("</urlset>"))
+      val smindex = concat(
+        lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        lit("<sitemap><loc>https://"), col("source"), lit(".example.com/sm/"),
+        col("doc_id").cast("string"), lit("/a.xml</loc></sitemap>"),
+        lit("<sitemap><loc>https://"), col("source"), lit(".example.com/sm/"),
+        col("doc_id").cast("string"), lit("/b.xml</loc></sitemap></sitemapindex>"))
+      val feedTarget = (j: Int) =>
+        concat(lit("https://h"), mod(20), lit(".example.com/f/"), mod(50, j))
+      val feed = concat(
+        lit("<rss version=\"2.0\"><channel>"),
+        lit("<item><link>"), feedTarget(0), lit("</link><title>"), col("lang"),
+        lit(" post</title></item>"),
+        lit("<item><link>"), feedTarget(1), lit("</link><title>"), col("lang"),
+        lit(" more</title></item></channel></rss>"))
+      val body = when(col("doc_id") % 10 === 0, smindex)
+        .when(col("doc_id") % 10 === 5, feed)
+        .otherwise(urlset)
+      val fetched = docs.select(
+        concat(lit("https://"), col("source"), lit(".example.com/sitemap/"),
+          col("doc_id").cast("string"), lit(".xml")).as("url"),
+        encode(body, "UTF-8").as("content"),
+        lit("application/xml").as("content_type"),
+        lit(null).cast("map<string,array<string>>").as("metadata"),
+        lit(graft.model.Status.Fetched).as("status"))
+      graft.parse.ParseStage.parse(fetched)
+        .where(col("kind") === "outlink")
+        .groupBy(col("target_url"))
+        .agg(count(lit(1)).as("n_refs"),
+          sum(when(element_at(col("metadata"), "isSitemap").isNotNull, 1L)
+            .otherwise(0L)).as("n_sub"),
+          sum(when(element_at(col("metadata"), "isFeed").isNotNull, 1L)
+            .otherwise(0L)).as("n_feed"),
+          sum(when(element_at(col("metadata"), "sitemap.image").isNotNull, 1L)
+            .otherwise(0L)).as("n_img"),
+          array_join(sort_array(collect_set(col("anchor"))), "|").as("anchors"))
+        .orderBy("target_url")
+    }),
+
+    // AdaptiveScheduler THROUGH THE MERGE (`AdaptiveScheduler.java:
+    // 140-318`): two fetch rounds against an adaptive store. Round 1
+    // fetches every URL with a content signature (no stored signature
+    // yet ⇒ "changed" ⇒ interval shrinks from the 1440-min default to
+    // 720). Round 2 drives all three change-detection paths: same
+    // signature (grow ×1.5 → 1080), changed signature (shrink ×0.5 →
+    // 360), and HTTP 304 with no body signature (grow → 1080). The
+    // stored fetchInterval metadata and the next_fetch_date the store
+    // computed are the verified surface.
+    "q96_adaptive_merge" -> ((s, dir) => {
+      import java.sql.Timestamp
+      val t0 = Timestamp.valueOf("2026-02-01 00:00:00")
+      val t1 = Timestamp.valueOf("2026-02-02 00:00:00")
+      val store = new graft.frontier.FrontierStore(
+        java.nio.file.Files.createTempDirectory("graft_q96_").toString,
+        adaptive = Some(graft.frontier.AdaptiveScheduler()))
+      val docs = t(s, dir, "documents").where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"),
+          concat(lit("https://a"), (col("doc_id") % 10).cast("string"),
+            lit(".example.com/x/"), col("doc_id").cast("string")).as("url"))
+      val sig1 = concat(lit("s"), col("doc_id").cast("string"))
+      store.merge(s, docs.select(col("url"),
+        lit(graft.model.Status.Fetched).as("status"),
+        map(lit("signature"), array(sig1)).as("metadata")), t0)
+      val sig2 = when(col("doc_id") % 3 === 0, sig1)
+        .otherwise(concat(sig1, lit("x")))
+      store.merge(s, docs.select(col("url"),
+        lit(graft.model.Status.Fetched).as("status"),
+        when(col("doc_id") % 3 === 2,
+            map(lit("fetch.statusCode"), array(lit("304"))))
+          .otherwise(map(lit("signature"), array(sig2))).as("metadata")), t1)
+      store.read(s)
+        .select((regexp_extract(col("url"), "x/([0-9]+)", 1).cast("long") % 3)
+            .as("sig_class"),
+          element_at(col("metadata"), "fetchInterval").getItem(0)
+            .cast("int").as("interval_mins"),
+          col("next_fetch_date"))
+        .groupBy("sig_class", "interval_mins", "next_fetch_date")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("sig_class", "interval_mins", "next_fetch_date")
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    // The whole cycle re-derived relationally: seed state (all
+    // DISCOVERED, due at t0), the selection ladder (top-10 keys by
+    // earliest due date then key, per-key top-8 by (due, url), global
+    // limit 50 in (key_min, key, rn) order — all due dates tie at t0
+    // so the ladder reduces to lexicographic ranks), the fetch
+    // simulation, and the merge precedence ladder: incoming
+    // non-DISCOVERED (rank 0) > existing (rank 1) > incoming
+    // DISCOVERED (rank 2); FETCH_ERROR sums error counts (< 3 here,
+    // no escalation); survivors keep their stored schedule, fresh
+    // results re-schedule per DefaultScheduler at t2.
+    "q94_crawl_cycle" ->
+      s"""WITH sv AS (${Tables.statusViewSql}),
+         |f0 AS (SELECT url, key FROM sv WHERE event_id % 3 = 0),
+         |tk AS (SELECT key FROM (
+         |    SELECT key, row_number() OVER (ORDER BY key) AS kr
+         |    FROM (SELECT DISTINCT key FROM f0) dk) rk WHERE kr <= 10),
+         |rk AS (SELECT f0.url, f0.key,
+         |        row_number() OVER (PARTITION BY f0.key ORDER BY f0.url) AS rn
+         |       FROM f0 JOIN tk USING (key)),
+         |batch AS (SELECT url, key FROM (
+         |    SELECT url, key, row_number() OVER (ORDER BY key, rn) AS gr
+         |    FROM rk WHERE rn <= 8) g WHERE gr <= 50),
+         |res AS (SELECT url, key,
+         |         CASE CAST(regexp_extract(url, 'page/([0-9]+)', 1) AS BIGINT) % 5
+         |           WHEN 3 THEN 'FETCH_ERROR' WHEN 4 THEN 'REDIRECTION'
+         |           ELSE 'FETCHED' END AS status
+         |        FROM batch),
+         |inc AS (SELECT url, key, status FROM res
+         |        UNION ALL SELECT url || '/out/1', key, 'DISCOVERED' FROM res WHERE status = 'FETCHED'
+         |        UNION ALL SELECT url, key, 'DISCOVERED' FROM res WHERE status = 'REDIRECTION'
+         |        UNION ALL SELECT url, key, 'DISCOVERED' FROM sv WHERE event_id % 9 = 0),
+         |allr AS (SELECT url, key, 'DISCOVERED' AS status,
+         |           TIMESTAMP '2026-01-01 00:00:00' AS next_fetch_date,
+         |           0 AS ec, 0 AS incoming FROM f0
+         |         UNION ALL
+         |         SELECT url, key, status, NULL,
+         |           CASE WHEN status = 'FETCH_ERROR' THEN 1 ELSE 0 END, 1 FROM inc),
+         |m AS (SELECT *, row_number() OVER (PARTITION BY url ORDER BY
+         |        CASE WHEN incoming = 1 AND status <> 'DISCOVERED' THEN 0
+         |             WHEN incoming = 0 THEN 1 ELSE 2 END, status) AS rn,
+         |        sum(ec) OVER (PARTITION BY url) AS te FROM allr),
+         |srv AS (SELECT url, key,
+         |         CASE WHEN status = 'FETCH_ERROR' AND te >= 3 THEN 'ERROR'
+         |              ELSE status END AS status,
+         |         next_fetch_date FROM m WHERE rn = 1),
+         |sched AS (SELECT url, key, status,
+         |    COALESCE(next_fetch_date, CASE status
+         |      WHEN 'FETCHED'     THEN TIMESTAMP '2026-01-01 02:00:00' + INTERVAL 1440 MINUTE
+         |      WHEN 'REDIRECTION' THEN TIMESTAMP '2026-01-01 02:00:00' + INTERVAL 1440 MINUTE
+         |      WHEN 'FETCH_ERROR' THEN TIMESTAMP '2026-01-01 02:00:00' + INTERVAL 120 MINUTE
+         |      WHEN 'ERROR'       THEN NULL
+         |      ELSE TIMESTAMP '2026-01-01 02:00:00' END) AS next_fetch_date
+         |  FROM srv)
+         |SELECT key, status, count(*) AS n,
+         |  min(next_fetch_date) AS min_next, max(next_fetch_date) AS max_next
+         |FROM sched GROUP BY key, status ORDER BY key, status""".stripMargin,
+
+    // What the parse stage must discover, re-derived from the
+    // generator arithmetic: urlset docs emit 3 entries (first carries
+    // an image extension), index docs emit 2 sub-sitemaps (flagged
+    // isSitemap), feed docs emit 2 titled items (flagged isFeed).
+    "q95_sitemap_inventory" ->
+      """WITH d AS (SELECT doc_id, lang, source FROM documents),
+        |u AS (SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/s/' ||
+        |        CAST((doc_id + j) % 50 AS VARCHAR) AS target_url,
+        |        '' AS anchor, 0 AS is_sub, 0 AS is_feed,
+        |        CASE WHEN j = 0 THEN 1 ELSE 0 END AS has_img
+        |      FROM d, unnest([0, 1, 2]) t(j) WHERE doc_id % 10 NOT IN (0, 5)),
+        |i AS (SELECT 'https://' || source || '.example.com/sm/' ||
+        |        CAST(doc_id AS VARCHAR) || sx AS target_url,
+        |        '' AS anchor, 1 AS is_sub, 0 AS is_feed, 0 AS has_img
+        |      FROM d, unnest(['/a.xml', '/b.xml']) t(sx) WHERE doc_id % 10 = 0),
+        |f AS (SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/f/' ||
+        |        CAST((doc_id + j) % 50 AS VARCHAR) AS target_url,
+        |        lang || CASE WHEN j = 0 THEN ' post' ELSE ' more' END AS anchor,
+        |        0 AS is_sub, 1 AS is_feed, 0 AS has_img
+        |      FROM d, unnest([0, 1]) t(j) WHERE doc_id % 10 = 5),
+        |a AS (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM f)
+        |SELECT target_url, count(*) AS n_refs,
+        |  CAST(sum(is_sub) AS BIGINT) AS n_sub,
+        |  CAST(sum(is_feed) AS BIGINT) AS n_feed,
+        |  CAST(sum(has_img) AS BIGINT) AS n_img,
+        |  array_to_string(list(DISTINCT anchor ORDER BY anchor), '|') AS anchors
+        |FROM a GROUP BY target_url ORDER BY target_url""".stripMargin,
+
+    // The adaptive ladder as arithmetic: round 1 has no stored
+    // signature (⇒ changed): greatest(1440·0.5, 60) = 720. Round 2:
+    // unchanged/304 grow least(720·1.5, 10080) = 1080; changed shrinks
+    // greatest(720·0.5, 60) = 360; next_fetch_date = t1 + interval.
+    "q96_adaptive_merge" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 0),
+        |c AS (SELECT doc_id % 3 AS sig_class,
+        |        CAST(CASE WHEN doc_id % 3 = 1
+        |             THEN greatest(greatest(1440 * 0.5, 60) * 0.5, 60)
+        |             ELSE least(greatest(1440 * 0.5, 60) * 1.5, 10080) END AS INT)
+        |          AS interval_mins
+        |      FROM d)
+        |SELECT sig_class, interval_mins,
+        |  TIMESTAMP '2026-02-02 00:00:00' + interval_mins * INTERVAL 1 MINUTE
+        |    AS next_fetch_date,
+        |  count(*) AS n
+        |FROM c GROUP BY sig_class, interval_mins
+        |ORDER BY sig_class, interval_mins, next_fetch_date""".stripMargin,
+
     "q92_budget_quota" ->
       s"""WITH sv AS (${Tables.statusViewSql}),
          |d AS (SELECT key, count(*) AS n_due FROM sv WHERE status = 'DISCOVERED' GROUP BY key),

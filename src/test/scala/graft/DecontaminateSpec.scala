@@ -96,6 +96,20 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(!out.contains(3L))
   }
 
+  test("attribution: eval_id outside the packable range raises instead of corrupting the argmax") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    // eval_id = 2^32 violates the packed-BIGINT precondition — the
+    // guard must raise loudly, not wrap into a bogus top_eval
+    val bench = Seq((4294967296L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Decontaminate.attribution(corpus, bench, "doc_id", "text", 3, 2L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("attribution pack overflow")), s"unexpected error: $e")
+  }
+
   test("attribution: collapsed corpus path is identical per member to the direct path") {
     import spark.implicits._
     val base = Seq((1L, "a b c d e f"), (2L, "a b c x p q r"), (3L, "m n o p"))

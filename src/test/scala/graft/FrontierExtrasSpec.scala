@@ -43,6 +43,24 @@ class FrontierExtrasSpec extends AnyFunSuite {
     assert(z.forall(_ == 0L))
   }
 
+  test("Budget.allocate: budget × n overflowing BIGINT raises instead of wrapping") {
+    import spark.implicits._
+    // budget * n = 2^62 * 8 wraps a BIGINT; the guard must raise, not
+    // hand out negative quotas
+    val due = Seq(("h1", 8L), ("h2", 1L)).toDF("key", "n_due")
+    val e = intercept[Exception] {
+      graft.frontier.Budget.allocate(due, "key", "n_due", 1L << 62)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("overflow")), s"unexpected error: $e")
+    // same magnitudes below the bound still allocate fine
+    val ok = graft.frontier.Budget.allocate(due, "key", "n_due", Long.MaxValue / 8)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ok == Map("h1" -> 8L, "h2" -> 1L))
+  }
+
   private def store(rows: (String, String)*): FrontierStore = {
     import spark.implicits._
     val st = new FrontierStore(Files.createTempDirectory("frontier").toString)
