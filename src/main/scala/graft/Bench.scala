@@ -141,14 +141,20 @@ object Bench {
     // NEXT bench in a series report a -dirty sha. Best-effort: an
     // unwritable path must not turn a finished benchmark into a
     // failure after the results printed.
+    // The fallback name embeds the pid so concurrent bench runs on a
+    // shared host never clobber each other, and the chosen path is
+    // printed (stderr — stdout must stay one JSON line) so whoever
+    // collects the artifact knows exactly which file this run wrote.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
       val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-      s"$base/${if (only.isDefined) "graft_bench_subset.json" else "graft_bench_out.json"}"
+      val pid = ProcessHandle.current().pid()
+      s"$base/${if (only.isDefined) "graft_bench_subset" else "graft_bench_out"}_$pid.json"
     })
-    try
+    try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch {
+      System.err.println(s"bench: artifact written to $outPath")
+    } catch {
       case e: Exception =>
         System.err.println(s"bench: could not write $outPath: $e (results are on stdout)")
     }

@@ -129,6 +129,18 @@ object ExplainDump {
       "Anchor inventory through the REAL parse stage: the whole fetch-output → parse path (charset decode, HtmlParser with nofollow semantics, URL filter chain, metadata transfer, outlink cap) runs as ONE mapPartitions over the scan — per-document work, embarrassingly parallel, no shuffle until the per-target aggregation (map-side partial count + collect_set bounded by the anchor vocabulary). 100 TB of HTML parses map-only; the inventory exchange carries aggregated target rows.",
     "q82_incremental_recount" ->
       "Incremental recompute — the snapshot-diff operator consumed as a DELTA FILTER: the two corpus versions full-outer-join once on doc_id (null-safe text compare classifies ADDED/CHANGED), and the token counter — a native one-pass expression — runs ONLY over the delta rows, never the unchanged corpus. At 100 TB with a percent-level change rate this is the composition that turns a full re-run into a delta-sized one; the final aggregate is integer-only (count + token sums), map-side partial.",
+    "q94_crawl_cycle" ->
+      "One full crawl cycle against the real FrontierStore: each merge shuffles ONCE on url_sha256 (the window dedup ladder) and rewrites ONLY the buckets its updates hash into — a micro-batch touching 2% of hosts rewrites 2% of the table; the selection ladder is a host-count-sized key aggregate + broadcast topKeys join (never a global window over URL rows), and the due-date filter prunes parquet files by next_fetch_date min/max stats before anything shuffles. The final plan is the per-(key,status) summary over the store read.",
+    "q95_sitemap_inventory" ->
+      "Sitemap/feed discovery through the REAL parse stage: content sniffing, XML parse, extension extraction, filter chain and metadata transfer run as ONE mapPartitions over the scan — per-document, embarrassingly parallel; the only exchange is the per-target inventory aggregate (map-side partial count + bounded collect_set). 100 TB of sitemaps parse map-only.",
+    "q96_adaptive_merge" ->
+      "AdaptiveScheduler through the merge: the stored signature/interval ride the merge's ONE url_sha256 shuffle as window-carried columns (old_sig/old_interval over the same partition), so change detection adds ZERO exchanges to the upsert; interval arithmetic is exact (greatest/least over minutes), which is why a SQL oracle can hash the stored schedule.",
+    "q97_refill_cursor" ->
+      "HybridSpout refill (keyset pagination): the cursor is one row per ACTIVE QUEUE — dim-table-sized by contract — and broadcasts; the due filter prunes not-due parquet files at the scan, and the strictly-after pagination predicate is applied BELOW the single per-key window shuffle, so each poll moves only rows past the cursor, never the queue history. Pagination beats OFFSET at scale because the skip never re-reads.",
+    "q98_priority_select" ->
+      "PriorityURLBuffer key ordering through the selection ladder: the (key, priority) acks frame is one row per active key and broadcasts onto the host-count-sized key aggregate — re-prioritizing queues costs a dim-join, the frontier itself only shuffles in the per-key top-K window over the ≤ maxKeys SURVIVING keys. Changing poll order at 10⁷ hosts never touches URL rows outside the selected keys.",
+    "q99_error_deletions" ->
+      "Error escalation into the deletion stream: the error-count ladder rides the merge's one url_sha256 shuffle (sum-over-window + threshold CASE — no extra exchange), and deletions() is a status-filtered scan of the store (map-only). The tombstone feed an index sink consumes costs one filtered scan, not a table diff.",
     "q49_pagerank" ->
       "Fixed-point PageRank, ADAPTIVE like q50's CC: a host-level link graph is tiny even when the corpus is not (10⁸ pages → 10⁵ hosts), so when the distinct edge list fits on the driver the SAME BIGINT recurrence runs locally (floor divisions + integer sums are order-independent → bit-identical by construction, spec-pinned; works for any node type since no ordering is needed) and the final plan is a LocalTableScan. Big graphs run 3 materialized distributed rounds: each round is the `round body` plan below — rank⋈edges join + dst aggregation, a |V|-row anti-join aggregate for the dangling mass cross-joined back as a 1-row broadcast — checkpointed on the UnsafeRow path (Iterate.checkpoint) so round N+1 scans a LogicalRDD instead of re-deriving round N; the final plan is just the sort over the last checkpoint. Edges are cached pre-partitioned/pre-sorted on src, so per-round only the |V|-row rank side moves. BIGINT div-before-sum keeps ranks order-independent (engine-exact).",
     "q50_neardup_components" ->

@@ -40,10 +40,13 @@ object Budget {
     // silently wrap negative. assert_true raises on the violating row;
     // the IF keeps the guard inside codegen (CaseWhen branches are
     // lazy, so the assert only evaluates when the bound is breached).
+    // Negative due counts are invalid input (a queue cannot hold a
+    // negative number of URLs) and would also wrap budget*n for
+    // extreme values, so the guard is two-sided: 0 <= n <= maxSafeN.
     val maxSafeN = if (budget == 0L) Long.MaxValue else Long.MaxValue / budget
-    val prod = s"IF(n <= ${maxSafeN}L, $budget * n, " +
-      s"CAST(assert_true(false, concat('Budget.allocate overflow: $budget * ', " +
-      s"CAST(n AS STRING), ' exceeds BIGINT')) AS BIGINT))"
+    val prod = s"IF(n BETWEEN 0 AND ${maxSafeN}L, $budget * n, " +
+      s"CAST(assert_true(false, concat('Budget.allocate overflow/invalid due count ', " +
+      s"CAST(n AS STRING), ': must be in [0, ${maxSafeN}] for budget $budget')) AS BIGINT))"
     val based = a.crossJoin(tot)
       .withColumn("base", when(col("total") === 0L, 0L)
         .otherwise(expr(s"($prod) div total")))

@@ -30,7 +30,8 @@ import graft.model.Status
   *  - existing row + incoming DISCOVERED ⇒ keep existing (dedup cache);
   *  - incoming non-DISCOVERED overrides (fresh fetch result);
   *  - FETCH_ERROR increments `fetch.error.count`; ≥ maxFetchErrors ⇒ ERROR;
-  *  - scheduler sets `next_fetch_date`; ERROR ⇒ never (null).
+  *  - scheduler sets `next_fetch_date`; ERROR ⇒ the 44640-min backoff
+  *    (DefaultScheduler.java's error default; -1 would mean never/null).
   */
 final class FrontierStore(val root: String, numBuckets: Int = 64,
                           maxFetchErrors: Int = 3,

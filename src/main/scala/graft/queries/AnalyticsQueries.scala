@@ -244,9 +244,10 @@ object AnalyticsQueries {
       // fresh scratch dir per invocation: a shared name keyed off
       // dir.hashCode let two concurrent runs (or a 32-bit collision
       // between dataset paths) delete each other's shards between
-      // write and read. createTempDirectory is unique by contract, so
-      // reruns can't double-append and runs can't interleave.
-      val out = java.nio.file.Files.createTempDirectory("graft_q88_")
+      // write and read. Scratch.dir is unique per call (so reruns
+      // can't double-append and runs can't interleave) and the whole
+      // scratch root is deleted on JVM exit — no tmpdir leak.
+      val out = graft.tools.Scratch.dir("graft_q88_")
       val content = docs.select(
         concat(lit("https://"), col("source"), lit(".example.com/d/"),
           col("doc_id").cast("string")).as("url"),

@@ -321,7 +321,7 @@ object CrawlQueries {
       val t1 = Timestamp.valueOf("2026-01-01 01:00:00")
       val t2 = Timestamp.valueOf("2026-01-01 02:00:00")
       val store = new graft.frontier.FrontierStore(
-        java.nio.file.Files.createTempDirectory("graft_q94_").toString)
+        graft.tools.Scratch.dir("graft_q94_").toString)
       val emptyMd = lit(null).cast("map<string,array<string>>")
       // cycle 0: seed a third of the derived frontier as discoveries
       store.merge(s, statusView(s, dir).where(col("event_id") % 3 === 0)
@@ -431,7 +431,7 @@ object CrawlQueries {
       val t0 = Timestamp.valueOf("2026-02-01 00:00:00")
       val t1 = Timestamp.valueOf("2026-02-02 00:00:00")
       val store = new graft.frontier.FrontierStore(
-        java.nio.file.Files.createTempDirectory("graft_q96_").toString,
+        graft.tools.Scratch.dir("graft_q96_").toString,
         adaptive = Some(graft.frontier.AdaptiveScheduler()))
       val docs = t(s, dir, "documents").where(col("doc_id") % 11 === 0)
         .select(col("doc_id"),
@@ -457,6 +457,105 @@ object CrawlQueries {
         .groupBy("sig_class", "interval_mins", "next_fetch_date")
         .agg(count(lit(1)).as("n"))
         .orderBy("sig_class", "interval_mins", "next_fetch_date")
+    }),
+
+    // HybridSpout's per-queue REFILL against the real store
+    // (`external/opensearch/.../HybridSpout.java:53,146-216`): keyset
+    // pagination — each queue hands back its last-seen due date and the
+    // store returns the next `perKey` due URLs STRICTLY after it. Two
+    // fetch rounds at different times give every host two due-date
+    // cohorts (doc_id%20 decorrelates the round split from the %10
+    // host split); even-host cursors sit exactly ON the first cohort's
+    // due date (strict > must exclude it — the no-duplicate-emission
+    // property pagination exists for), odd-host cursors start from
+    // scratch and page through both cohorts.
+    "q97_refill_cursor" -> ((s, dir) => {
+      import java.sql.Timestamp
+      val t0 = Timestamp.valueOf("2026-03-01 00:00:00")
+      val t1 = Timestamp.valueOf("2026-03-01 06:00:00")
+      val now = Timestamp.valueOf("2026-03-03 12:00:00")
+      val store = new graft.frontier.FrontierStore(
+        graft.tools.Scratch.dir("graft_q97_").toString)
+      val emptyMd = lit(null).cast("map<string,array<string>>")
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://q"), (col("doc_id") % 10).cast("string"),
+          lit(".example.com/r/"), col("doc_id").cast("string")).as("url"))
+      def fetched(d: DataFrame) = d.select(col("url"),
+        lit(graft.model.Status.Fetched).as("status"), emptyMd.as("metadata"))
+      store.merge(s, fetched(docs.where(col("doc_id") % 20 < 10)), t0)
+      store.merge(s, fetched(docs.where(col("doc_id") % 20 >= 10)), t1)
+      val cursor = s.range(10).select(
+        concat(lit("q"), col("id").cast("string"), lit(".example.com")).as("key"),
+        when(col("id") % 2 === 0, lit(Timestamp.valueOf("2026-03-02 00:00:00")))
+          .otherwise(lit(t0)).cast("timestamp_ntz").as("last_seen"))
+      store.refill(s, cursor, now, perKey = 4)
+        .select(col("key"), col("url"), col("next_fetch_date"))
+        .orderBy("key", "url")
+    }),
+
+    // PriorityURLBuffer's acks-resorted key order through the real
+    // selection ladder (`persistence/urlbuffer/PriorityURLBuffer.java:
+    // 40,97-106`): a (key, priority) frame — recent ack counts in the
+    // reference — reorders which queues selectBatch polls first. All
+    // due dates tie, so WITHOUT the priority frame key order would be
+    // lexicographic; the oracle proves the priority ladder (desc, ties
+    // by key) actually picked the top-5 keys, then the per-key top-6 /
+    // global-25 truncation ran in (key, rn) order as documented.
+    "q98_priority_select" -> ((s, dir) => {
+      import java.sql.Timestamp
+      val t0 = Timestamp.valueOf("2026-04-01 00:00:00")
+      val t1 = Timestamp.valueOf("2026-04-02 00:00:00")
+      val store = new graft.frontier.FrontierStore(
+        graft.tools.Scratch.dir("graft_q98_").toString)
+      val docs = t(s, dir, "documents").select(
+        concat(lit("https://q"), (col("doc_id") % 10).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("url"))
+      store.merge(s, docs.select(col("url"),
+        lit(graft.model.Status.Discovered).as("status"),
+        lit(null).cast("map<string,array<string>>").as("metadata")), t0)
+      val pr = s.range(10).select(
+        concat(lit("q"), col("id").cast("string"), lit(".example.com")).as("key"),
+        ((col("id") * 3) % 7).as("priority"))
+      store.selectBatch(s, t1, perBucket = 6, maxKeys = 5, limit = 25,
+          keyPriority = Some(pr))
+        .select(col("key"), col("url"), col("next_fetch_date"))
+        .orderBy("key", "url")
+    }),
+
+    // Error escalation INTO the deletion stream (`AbstractStatusUpdater
+    // Bolt.java:139-242,269-272`, `DeletionBolt.java:58`): three merge
+    // rounds drive the error-count ladder — class 0 fails all three
+    // rounds (count 3 ≥ maxFetchErrors ⇒ ERROR, rescheduled at the
+    // reference's 44640-min/31-day error backoff),
+    // class 1 fails twice then succeeds (a FETCH resets the count to 0),
+    // class 2 fails once and is left alone (count 1, retry at t0+2h).
+    // `deletions()` must emit exactly the ERROR rows — the doc ids an
+    // index sink tombstones — verified via the to_delete flag.
+    "q99_error_deletions" -> ((s, dir) => {
+      import java.sql.Timestamp
+      val t0 = Timestamp.valueOf("2026-05-01 00:00:00")
+      val t1 = Timestamp.valueOf("2026-05-01 12:00:00")
+      val t2 = Timestamp.valueOf("2026-05-02 00:00:00")
+      val store = new graft.frontier.FrontierStore(
+        graft.tools.Scratch.dir("graft_q99_").toString)
+      val emptyMd = lit(null).cast("map<string,array<string>>")
+      val docs = t(s, dir, "documents").where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(lit("https://e"), (col("doc_id") % 10).cast("string"),
+            lit(".example.com/d/"), col("doc_id").cast("string")).as("url"))
+      def res(d: DataFrame, st: String) = d.select(col("url"),
+        lit(st).as("status"), emptyMd.as("metadata"))
+      import graft.model.Status
+      store.merge(s, res(docs, Status.FetchError), t0)
+      store.merge(s, res(docs.where(col("doc_id") % 3 =!= 2), Status.FetchError), t1)
+      store.merge(s,
+        res(docs.where(col("doc_id") % 3 === 0), Status.FetchError)
+          .unionByName(res(docs.where(col("doc_id") % 3 === 1), Status.Fetched)), t2)
+      val del = store.deletions(s).select(col("url"), lit(1).as("to_delete"))
+      store.read(s).join(del, Seq("url"), "left")
+        .select(col("url"), col("status"), col("error_count"),
+          col("next_fetch_date"), coalesce(col("to_delete"), lit(0)).as("to_delete"))
+        .orderBy("url")
     })
   )
 
@@ -511,7 +610,7 @@ object CrawlQueries {
          |      WHEN 'FETCHED'     THEN TIMESTAMP '2026-01-01 02:00:00' + INTERVAL 1440 MINUTE
          |      WHEN 'REDIRECTION' THEN TIMESTAMP '2026-01-01 02:00:00' + INTERVAL 1440 MINUTE
          |      WHEN 'FETCH_ERROR' THEN TIMESTAMP '2026-01-01 02:00:00' + INTERVAL 120 MINUTE
-         |      WHEN 'ERROR'       THEN NULL
+         |      WHEN 'ERROR'       THEN TIMESTAMP '2026-01-01 02:00:00' + INTERVAL 44640 MINUTE
          |      ELSE TIMESTAMP '2026-01-01 02:00:00' END) AS next_fetch_date
          |  FROM srv)
          |SELECT key, status, count(*) AS n,
@@ -564,6 +663,70 @@ object CrawlQueries {
         |  count(*) AS n
         |FROM c GROUP BY sig_class, interval_mins
         |ORDER BY sig_class, interval_mins, next_fetch_date""".stripMargin,
+
+    // Keyset pagination re-derived: both fetch rounds schedule
+    // now+1440min (round 1 due 03-02 00:00, round 2 due 03-02 06:00);
+    // the cursor filter is STRICTLY after last_seen, then per-key
+    // top-4 by (due, url).
+    "q97_refill_cursor" ->
+      """WITH d AS (SELECT
+        |    'https://q' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/r/' ||
+        |      CAST(doc_id AS VARCHAR) AS url,
+        |    'q' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS key,
+        |    CASE WHEN doc_id % 20 < 10 THEN TIMESTAMP '2026-03-02 00:00:00'
+        |         ELSE TIMESTAMP '2026-03-02 06:00:00' END AS next_fetch_date
+        |  FROM documents),
+        |c AS (SELECT 'q' || CAST(i AS VARCHAR) || '.example.com' AS key,
+        |    CASE WHEN i % 2 = 0 THEN TIMESTAMP '2026-03-02 00:00:00'
+        |         ELSE TIMESTAMP '2026-03-01 00:00:00' END AS last_seen
+        |  FROM range(10) t(i)),
+        |r AS (SELECT d.key AS key, url, next_fetch_date,
+        |    row_number() OVER (PARTITION BY d.key ORDER BY next_fetch_date, url) AS rn
+        |  FROM d JOIN c ON d.key = c.key WHERE next_fetch_date > last_seen)
+        |SELECT key, url, next_fetch_date FROM r WHERE rn <= 4 ORDER BY key, url""".stripMargin,
+
+    // The priority ladder re-derived: top-5 keys by (priority DESC,
+    // key), per-key top-6 by url (all due dates tie at the seed t0),
+    // global limit 25 in (key, rn) order.
+    "q98_priority_select" ->
+      """WITH d AS (SELECT
+        |    'https://q' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/p/' ||
+        |      CAST(doc_id AS VARCHAR) AS url,
+        |    'q' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' AS key
+        |  FROM documents),
+        |p AS (SELECT 'q' || CAST(i AS VARCHAR) || '.example.com' AS key,
+        |    (i * 3) % 7 AS pr FROM range(10) t(i)),
+        |tk AS (SELECT key FROM (
+        |    SELECT key, row_number() OVER (ORDER BY pr DESC, key) AS kr FROM p) x
+        |  WHERE kr <= 5),
+        |r AS (SELECT key, url,
+        |    row_number() OVER (PARTITION BY key ORDER BY url) AS rn
+        |  FROM d JOIN tk USING (key)),
+        |g AS (SELECT key, url, rn, row_number() OVER (ORDER BY key, rn) AS gr
+        |  FROM r WHERE rn <= 6)
+        |SELECT key, url, TIMESTAMP '2026-04-01 00:00:00' AS next_fetch_date
+        |FROM g WHERE gr <= 25 ORDER BY key, url""".stripMargin,
+
+    // The escalation ladder as arithmetic: class 0 accumulates 3
+    // errors (⇒ ERROR, rescheduled at the 44640-min error backoff,
+    // tombstoned), class 1's final FETCH resets the count and
+    // reschedules at t2+1440, class 2 holds its round-1 state
+    // (count 1, retry t0+120).
+    "q99_error_deletions" ->
+      """WITH d AS (SELECT doc_id % 3 AS cls,
+        |    'https://e' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/d/' ||
+        |      CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT url,
+        |  CASE cls WHEN 0 THEN 'ERROR' WHEN 1 THEN 'FETCHED'
+        |       ELSE 'FETCH_ERROR' END AS status,
+        |  CAST(CASE cls WHEN 0 THEN 3 WHEN 1 THEN 0 ELSE 1 END AS INT) AS error_count,
+        |  CASE cls WHEN 0 THEN TIMESTAMP '2026-05-02 00:00:00' + INTERVAL 44640 MINUTE
+        |       WHEN 1 THEN TIMESTAMP '2026-05-02 00:00:00' + INTERVAL 1440 MINUTE
+        |       ELSE TIMESTAMP '2026-05-01 00:00:00' + INTERVAL 120 MINUTE
+        |  END AS next_fetch_date,
+        |  CAST(CASE cls WHEN 0 THEN 1 ELSE 0 END AS INT) AS to_delete
+        |FROM d ORDER BY url""".stripMargin,
 
     "q92_budget_quota" ->
       s"""WITH sv AS (${Tables.statusViewSql}),

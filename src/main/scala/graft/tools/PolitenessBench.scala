@@ -34,7 +34,7 @@ object PolitenessBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val dir = Files.createTempDirectory("polite_corpus")
+    val dir = Scratch.dir("polite_corpus")
     val urls = (0 until hosts).flatMap { h =>
       val hostDir = dir.resolve(s"host$h")
       Files.createDirectories(hostDir)

@@ -1,0 +1,32 @@
+package graft.tools
+
+import java.nio.file.{Files, Path}
+
+/** Per-process scratch directories for queries that must round-trip
+  * through a real on-disk store (q88 WARC, q94/q96 FrontierStore).
+  *
+  * `createTempDirectory` alone leaks a full WARC copy / frontier
+  * parquet store per invocation: lazy DataFrame evaluation means the
+  * caller cannot delete the dir when it returns (the scan happens at
+  * action time), so every correctness run left shards in the tmpdir.
+  * Instead all scratch dirs nest under ONE per-process root that a
+  * single JVM shutdown hook deletes recursively — uniqueness per
+  * invocation is preserved (no cross-run interleaving, no
+  * double-append on rerun), and the process cleans up after itself.
+  */
+object Scratch {
+  private lazy val root: Path = {
+    val r = Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(r.toFile)))
+    r
+  }
+
+  /** A fresh unique directory under the process scratch root. */
+  def dir(prefix: String): Path = Files.createTempDirectory(root, prefix)
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
+}

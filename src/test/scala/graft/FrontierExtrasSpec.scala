@@ -55,6 +55,13 @@ class FrontierExtrasSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("overflow")), s"unexpected error: $e")
+    // negative due counts are invalid input and must also raise (an
+    // unguarded negative n can wrap budget * n just the same)
+    val neg = Seq(("h1", -3L), ("h2", 1L)).toDF("key", "n_due")
+    val en = intercept[Exception] {
+      graft.frontier.Budget.allocate(neg, "key", "n_due", 100L).collect()
+    }
+    assert(msgs(en).exists(_.contains("overflow")), s"unexpected error: $en")
     // same magnitudes below the bound still allocate fine
     val ok = graft.frontier.Budget.allocate(due, "key", "n_due", Long.MaxValue / 8)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
