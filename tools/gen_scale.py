@@ -43,7 +43,10 @@ def main(src, dst, n, only=None):
         if only and name not in only:
             continue
         t = pq.read_table(f"{src}/{name}.parquet")
-        replicas = []
+        # stream replica-by-replica: concatenating N replicas first
+        # holds N copies in memory (~60 GB for lineitem at N=1000)
+        writer = pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema)
+        total = 0
         for i in range(n):
             r = t
             if i > 0:
@@ -53,10 +56,10 @@ def main(src, dst, n, only=None):
                     shifted = pc.cast(
                         pc.add(pc.cast(r.column(idx), pa.int64()), i * step), typ)
                     r = r.set_column(idx, r.schema.field(idx), shifted)
-            replicas.append(r)
-        out = pa.concat_tables(replicas)
-        pq.write_table(out, f"{dst}/{name}.parquet")
-        print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+            writer.write_table(r)
+            total += r.num_rows
+        writer.close()
+        print(f"{name}: {t.num_rows} -> {total} rows")
 
 
 if __name__ == "__main__":
