@@ -139,6 +139,8 @@ object ExplainDump {
       "HybridSpout refill (keyset pagination): the cursor is one row per ACTIVE QUEUE — dim-table-sized by contract — and broadcasts; the due filter prunes not-due parquet files at the scan, and the strictly-after pagination predicate is applied BELOW the single per-key window shuffle, so each poll moves only rows past the cursor, never the queue history. Pagination beats OFFSET at scale because the skip never re-reads.",
     "q98_priority_select" ->
       "PriorityURLBuffer key ordering through the selection ladder: the (key, priority) acks frame is one row per active key and broadcasts onto the host-count-sized key aggregate — re-prioritizing queues costs a dim-join, the frontier itself only shuffles in the per-key top-K window over the ≤ maxKeys SURVIVING keys. Changing poll order at 10⁷ hosts never touches URL rows outside the selected keys.",
+    "q100_content_cache" ->
+      "Content-cache check through the REAL ContentStore: the crawl BATCH is the bounded side (frontier selection limit) so its digests broadcast into a left-semi join against the store — never the store's digest set into the batch — and the store scan is pre-pruned to the batch's ≤256 shard partitions, so the newest-capture window runs over the semi-joined sliver only. At 100 TB of captured content a cache check prices by the BATCH, not the store.",
     "q99_error_deletions" ->
       "Error escalation into the deletion stream: the error-count ladder rides the merge's one url_sha256 shuffle (sum-over-window + threshold CASE — no extra exchange), and deletions() is a status-filtered scan of the store (map-only). The tombstone feed an index sink consumes costs one filtered scan, not a table diff.",
     "q49_pagerank" ->

@@ -556,6 +556,42 @@ object CrawlQueries {
         .select(col("url"), col("status"), col("error_count"),
           col("next_fetch_date"), coalesce(col("to_delete"), lit(0)).as("to_delete"))
         .orderBy("url")
+    }),
+
+    // Content-cache round-trip THROUGH THE REAL ContentStore — the S3
+    // cache-bolt surface (`external/aws/.../s3/S3Cacher.java:38`,
+    // `S3CacheChecker.java:42`) under the oracle gate: two capture
+    // rounds (the second supersedes a quarter of the digests with v2
+    // bodies), then `split` checks a fetch batch against the store
+    // with a freshness horizon that admits ONLY the round-2 captures —
+    // hits must carry the NEWEST body (append-only supersede) and
+    // stale/never-captured URLs must come back as misses to re-fetch.
+    "q100_content_cache" -> ((s, dir) => {
+      import java.sql.Timestamp
+      val t0 = Timestamp.valueOf("2026-06-01 00:00:00")
+      val t1 = Timestamp.valueOf("2026-06-02 00:00:00")
+      val asOf = Timestamp.valueOf("2026-06-02 01:00:00")
+      val cs = new graft.fetch.ContentStore(
+        graft.tools.Scratch.dir("graft_q100_").toString)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        concat(lit("https://c"), (col("doc_id") % 10).cast("string"),
+          lit(".example.com/a/"), col("doc_id").cast("string")).as("url"))
+      cs.store(docs.where(col("doc_id") % 2 === 0).select(col("url"),
+        encode(col("text"), "UTF-8").as("content"),
+        lit(t0).cast("timestamp_ntz").as("fetch_time")))
+      cs.store(docs.where(col("doc_id") % 4 === 0).select(col("url"),
+        encode(concat(col("text"), lit("v2")), "UTF-8").as("content"),
+        lit(t1).cast("timestamp_ntz").as("fetch_time")))
+      val batch = docs.where(col("doc_id") % 3 === 0).select(col("url"))
+      // 2 h horizon at asOf: round-1 captures (25 h old) are stale
+      val (hits, misses) = cs.split(s, batch,
+        maxAgeMs = Some(2L * 3600 * 1000), asOfMs = asOf.getTime)
+      hits.select(col("url"), lit("hit").as("kind"),
+          md5(col("content")).as("digest"), col("cached_at"))
+        .unionByName(misses.select(col("url"), lit("miss").as("kind"),
+          lit(null).cast("string").as("digest"),
+          lit(null).cast("timestamp_ntz").as("cached_at")))
+        .orderBy("url")
     })
   )
 
@@ -726,6 +762,20 @@ object CrawlQueries {
         |       ELSE TIMESTAMP '2026-05-01 00:00:00' + INTERVAL 120 MINUTE
         |  END AS next_fetch_date,
         |  CAST(CASE cls WHEN 0 THEN 1 ELSE 0 END AS INT) AS to_delete
+        |FROM d ORDER BY url""".stripMargin,
+
+    // The cache decision re-derived: batch = doc_id%3=0; only round-2
+    // captures (doc_id%4=0, body text||'v2', cached at t1) are inside
+    // the 2 h freshness horizon — everything else misses.
+    "q100_content_cache" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    'https://c' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/a/' ||
+        |      CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT url,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'hit' ELSE 'miss' END AS kind,
+        |  CASE WHEN doc_id % 4 = 0 THEN md5(text || 'v2') END AS digest,
+        |  CASE WHEN doc_id % 4 = 0 THEN TIMESTAMP '2026-06-02 00:00:00' END AS cached_at
         |FROM d ORDER BY url""".stripMargin,
 
     "q92_budget_quota" ->
