@@ -611,13 +611,19 @@ object AnalyticsQueries {
     // to encode and never shuffled). Approximate by design, bit-exact
     // as a function of the inputs — the oracle reproduces codebooks,
     // codes, and distances integer-for-integer.
-    // Query set %1000 — the q25 brute-force convention: PQ without IVF
-    // is still a full code scan per query (its virtue is MEMORY, not
-    // FLOPs), so the exhaustive baseline keeps a bounded query set;
-    // q66 (bucket-pruned) carries the larger %100 set.
+    // Query set %1000 AND id-capped: an ANN system serves a BOUNDED
+    // query batch against a growing corpus, so the benchmark must not
+    // grow queries with SF — the fraction alone made the scan cost
+    // corpus × queries = O(SF²) (measured: 2 000 queries × 2 M codes =
+    // 4 B scored pairs, 2 023 s at sf100). The id cap pins the SAME
+    // query set at every replicated SF (replica ids shift by 10⁸) and
+    // is a no-op at the gate SFs, where every vec_id < 2·10⁵; PQ's
+    // virtue is MEMORY (codes not floats), and with the batch bounded
+    // its scan is linear in the corpus.
     "q65_pq_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.pqTopK(e, e.where(col("vec_id") % 1000 === 0),
+      Similarity.pqTopK(e,
+          e.where(col("vec_id") % 1000 === 0 && col("vec_id") < 200000),
           "vec_id", "embedding")
         .orderBy("q_id", "rnk")
     }),
@@ -626,9 +632,13 @@ object AnalyticsQueries {
     // compressed scorer — one map-only corpus pass derives bucket AND
     // codes, the probe set broadcasts, candidates are LUT-scored codes
     // in probed buckets only. The production ANN shape at 100 TB.
+    // Same bounded-batch contract as q65 (the %100 fraction alone cost
+    // 20 000 queries × ~94 k bucket candidates = 1.9 B pairs, 1 322 s
+    // at sf100); id cap is a no-op at the gate SFs.
     "q66_ivfpq_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfPqTopK(e, e.where(col("vec_id") % 100 === 0),
+      Similarity.ivfPqTopK(e,
+          e.where(col("vec_id") % 100 === 0 && col("vec_id") < 200000),
           "vec_id", "embedding")
         .orderBy("q_id", "rnk")
     }),
@@ -869,7 +879,7 @@ object AnalyticsQueries {
 
   /** The per-subspace PQ chain (mirror of [[Similarity.pqCodebooks]] /
     * `pqTopK` at the default geometry: m=8 subspaces × 8 dims, 16
-    * codes, 2 Lloyd rounds, queries = vec_id % qmod = 0): each subspace
+    * codes, 2 Lloyd rounds, queries = vec_id % qmod = 0 AND vec_id < 200000, the bounded query batch - see q65): each subspace
     * runs the same exact-integer Lloyd rounds as [[lloydCte]] over its
     * slice, then codes join back per id and the query LUTs supply the
     * summed approximate distance. Generated by a loop so all eight
@@ -909,7 +919,7 @@ object AnalyticsQueries {
          |          FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rk FROM a2_$s)
          |          WHERE rk = 1),
          |lut_$s AS MATERIALIZED (SELECT q.id AS q_id, c.j, ${sq("q.v", "c.cv")} AS d
-         |           FROM sub$s q CROSS JOIN c1_$s c WHERE q.id % $qmod = 0)""".stripMargin
+         |           FROM sub$s q CROSS JOIN c1_$s c WHERE q.id % $qmod = 0 AND q.id < 200000)""".stripMargin
     }.mkString(",\n")
     val codeJoins = (1 until m).map(s => s"JOIN m2_$s USING (id)").mkString(" ")
     s"""qv AS MATERIALIZED (
@@ -924,7 +934,7 @@ object AnalyticsQueries {
     * scored from the LUTs — the exhaustive compressed scan. */
   private def pqScoredCte(qmod: Int): String =
     s"""${pqChainsCte(qmod)},
-       |qids AS MATERIALIZED (SELECT id AS q_id FROM qv WHERE id % $qmod = 0),
+       |qids AS MATERIALIZED (SELECT id AS q_id FROM qv WHERE id % $qmod = 0 AND id < 200000),
        |scored AS MATERIALIZED (
        |  SELECT q.q_id, codes.id AS c_id, $pqDistSumSql AS adist
        |  FROM qids q CROSS JOIN codes
@@ -957,7 +967,7 @@ object AnalyticsQueries {
        |  FROM cnv, js),
        |cbk AS MATERIALIZED (SELECT c_id, CAST(sum(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS INT) AS bucket
        |        FROM cproj GROUP BY c_id),
-       |qnv AS MATERIALIZED (SELECT c_id AS q_id, cv AS qnv FROM cnv WHERE c_id % 100 = 0),
+       |qnv AS MATERIALIZED (SELECT c_id AS q_id, cv AS qnv FROM cnv WHERE c_id % 100 = 0 AND c_id < 200000),
        |qproj AS MATERIALIZED (SELECT q_id, j,
        |    list_reduce(list_transform(generate_series(1, 64),
        |      i -> qnv[i] * ${signCase("CAST(j AS VARCHAR)", "CAST(i AS VARCHAR)")}), (a,b) -> a + b) AS proj
