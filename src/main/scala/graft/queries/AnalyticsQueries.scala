@@ -357,10 +357,15 @@ object AnalyticsQueries {
         .orderBy(col("overlap").desc, col("a"), col("b"))
         .limit(100)),
 
-    // Brute-force cosine top-5 neighbors for 0.1% query sample.
+    // Brute-force cosine top-5 neighbors — the exhaustive correctness
+    // baseline for the ANN family, over the same BOUNDED query batch
+    // as q65/q66 (id-capped: a query batch is fixed-size by contract,
+    // the corpus grows; the fraction alone made this O(SF²) — 1 043 s
+    // at sf100. Cap is a no-op at the gate SFs).
     "q25_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.cosineTopK(e, e.where(col("vec_id") % 1000 === 0),
+      Similarity.cosineTopK(e,
+          e.where(col("vec_id") % 1000 === 0 && col("vec_id") < 200000),
           "vec_id", "embedding", 5)
         .orderBy("q_id", "rnk")
     }),
@@ -383,7 +388,8 @@ object AnalyticsQueries {
     // deterministic, so the oracle mirrors it exactly in SQL.
     "q38_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e, e.where(col("vec_id") % 500 === 0),
+      Similarity.ivfTopK(e,
+          e.where(col("vec_id") % 500 === 0 && col("vec_id") < 200000),
           "vec_id", "embedding", 64, 6, 5, 3)
         .orderBy("q_id", "rnk")
     }),
@@ -1640,7 +1646,7 @@ object AnalyticsQueries {
       """WITH nq AS (
         |  SELECT vec_id AS q_id, embedding AS v,
         |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nrm
-        |  FROM embeddings WHERE vec_id % 1000 = 0),
+        |  FROM embeddings WHERE vec_id % 1000 = 0 AND vec_id < 200000),
         |q AS (SELECT q_id, list_transform(v, x -> CAST(x AS DOUBLE) / nrm) AS q_vec FROM nq),
         |nc AS (
         |  SELECT vec_id AS c_id, embedding AS v,
@@ -1697,7 +1703,7 @@ object AnalyticsQueries {
       s"""WITH nq0 AS (
          |  SELECT vec_id AS q_id, embedding AS v,
          |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS nrm
-         |  FROM embeddings WHERE vec_id % 500 = 0),
+         |  FROM embeddings WHERE vec_id % 500 = 0 AND vec_id < 200000),
          |q AS (SELECT q_id, list_transform(v, x -> CAST(x AS DOUBLE) / nrm) AS qv FROM nq0),
          |nc0 AS (
          |  SELECT vec_id AS c_id, embedding AS v,
