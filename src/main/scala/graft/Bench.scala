@@ -1,7 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** A dirty tree means the compiled classes may not match the stamped
+    * sha — and a concurrent `sbt compile` can rewrite
+    * target/scala-2.13/classes under a running bench JVM mid-suite
+    * (observed: 10 silently errored store-backed queries in a
+    * `-dirty` sf100 run). Refuse to start unless explicitly
+    * overridden, so a broken artifact can't be produced by accident.
+    * Pure decision function (spec-tested); the caller supplies the
+    * git state and the override env. */
+  def refuseDirty(dirty: Boolean, allowDirtyEnv: Option[String]): Boolean =
+    dirty && !allowDirtyEnv.contains("1")
+
+  private def gitPorcelainDirty(): Boolean =
+    try {
+      val p = new ProcessBuilder("git", "status", "--porcelain").start()
+      val s = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+      p.waitFor()
+      s.nonEmpty
+    } catch { case _: Exception => false }
+
   def main(args: Array[String]): Unit = {
+    if (refuseDirty(gitPorcelainDirty(), sys.env.get("SPARK_GRAFT_ALLOW_DIRTY"))) {
+      System.err.println(
+        "bench: REFUSING to run from a dirty tree — commit (or stash) first, " +
+          "or set SPARK_GRAFT_ALLOW_DIRTY=1 to override (artifact will be stamped -dirty).")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Scale-aware shuffle sizing: start reduce stages WIDE and let AQE

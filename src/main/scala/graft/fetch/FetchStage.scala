@@ -47,6 +47,16 @@ object FetchStage {
 
   /** Fetch a batch of (url, key, metadata) rows with politeness.
     *
+    * BOUNDED-BATCH CONTRACT: each partition's (url, key, metadata)
+    * rows are materialized into per-host queues up front (the
+    * earliest-ready-first drain needs every host's queue visible to
+    * overlap politeness windows), so `batch` must be a bounded
+    * frontier selection — the shape `FrontierStore.selectBatch`
+    * produces (≤ maxBucketSize × buckets rows), NOT an unbounded
+    * stream of the whole frontier. Callers outside the selection path
+    * must cap the batch themselves; memory is O(batch rows) per
+    * partition, content bytes are emitted incrementally.
+    *
     * @param crawlDelayMs   default per-host delay (reference default 1 s,
     *                       `crawler-default.yaml:22`)
     * @param maxCrawlDelayMs robots Crawl-delay above this skips the host

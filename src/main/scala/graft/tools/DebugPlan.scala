@@ -37,6 +37,10 @@ object DebugPlan {
       case q if graft.SparkEntry.queries.contains(q) =>
         val df = graft.SparkEntry.queries(q)(spark, sfDir)
         time(s"$q run1")(df.count()); time(s"$q run2")(df.count())
+        // what the BENCH actually executes (count may eliminate sorts):
+        println("== count-plan ==")
+        println(df.groupBy().count().queryExecution.executedPlan.toString)
+        println("== result-plan ==")
         println(df.queryExecution.executedPlan.toString)
       case _ => println(s"unknown: $what")
     }

@@ -44,21 +44,23 @@ def main(src, dst, n, only=None):
             continue
         t = pq.read_table(f"{src}/{name}.parquet")
         # stream replica-by-replica: concatenating N replicas first
-        # holds N copies in memory (~60 GB for lineitem at N=1000)
-        writer = pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema)
+        # holds N copies in memory (~60 GB for lineitem at N=1000).
+        # `with` closes the writer on ANY exit path — a mid-replication
+        # failure must not leave a footerless parquet file behind for a
+        # later soak run to trip over.
         total = 0
-        for i in range(n):
-            r = t
-            if i > 0:
-                for col, step in shifts.items():
-                    idx = r.schema.get_field_index(col)
-                    typ = r.schema.field(idx).type
-                    shifted = pc.cast(
-                        pc.add(pc.cast(r.column(idx), pa.int64()), i * step), typ)
-                    r = r.set_column(idx, r.schema.field(idx), shifted)
-            writer.write_table(r)
-            total += r.num_rows
-        writer.close()
+        with pq.ParquetWriter(f"{dst}/{name}.parquet", t.schema) as writer:
+            for i in range(n):
+                r = t
+                if i > 0:
+                    for col, step in shifts.items():
+                        idx = r.schema.get_field_index(col)
+                        typ = r.schema.field(idx).type
+                        shifted = pc.cast(
+                            pc.add(pc.cast(r.column(idx), pa.int64()), i * step), typ)
+                        r = r.set_column(idx, r.schema.field(idx), shifted)
+                writer.write_table(r)
+                total += r.num_rows
         print(f"{name}: {t.num_rows} -> {total} rows")
 
 
