@@ -105,6 +105,18 @@ object Bench {
           // free result-backing checkpoints (CC labels, digest maps) so
           // repeated queries don't accumulate block-manager residents
           graft.analytics.CheckpointRegistry.releaseAll()
+          // Inter-query hygiene (untimed): shuffle files and broadcasts
+          // are only deleted when the ContextCleaner sees their driver
+          // references GC'd — and a 96 g heap under a light driver load
+          // almost never GCs, so a long suite accumulates every prior
+          // query's shuffle output on disk (tens of GB at sf100),
+          // evicting the page-cached parquet the next query needs.
+          // Observed: q08 194.9 s / q25 51.7 s IN-SUITE at sf100 vs
+          // 20.3 s / 8.9 s in isolation min-of-2 — same code, same
+          // data. An explicit GC at each query boundary lets the
+          // cleaner reclaim the dead state while the clock is stopped.
+          spark.catalog.clearCache()
+          System.gc()
           name -> t
         }.toMap
       }
