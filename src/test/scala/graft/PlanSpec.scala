@@ -67,6 +67,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q09 bounded output plans as TakeOrderedAndProject, not a global sort") {
+    // the round-12 bounded-output contract: the indexer ships one bulk
+    // batch (first 1000 by event_id), so the plan must be a per-partition
+    // top-K heap (TakeOrderedAndProject), never a full Sort of the
+    // filtered projection — the shape that cost 260 s at sf100.
+    val df = SparkEntry.queries("q09_indexer_projection")(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.linesIterator.exists(l => l.contains("Sort ") && l.contains("global=true")), plan)
+  }
+
   test("q25 cosine top-k broadcasts the query side") {
     val df = SparkEntry.queries("q25_cosine_topk")(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
