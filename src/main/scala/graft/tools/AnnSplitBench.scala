@@ -51,6 +51,16 @@ object AnnSplitBench {
     // q66 batch contract
     val q66Queries = e.where(col("vec_id") % 100 === 0 && col("vec_id") < 200000)
 
+    // untimed warmup: one full train + one encode+score per face, so the
+    // timed legs measure the warm-JVM production shape, not codegen/JIT
+    // ramp (a fresh JVM's first kmeans pass is ~5-10× its steady state)
+    locally {
+      val wb = Similarity.pqCodebooks(e, "vec_id", "embedding",
+        m = 8, subDim = 8, kCodes = 16, iters = 2)
+      Similarity.pqTopKWith(wb, e, q65Queries, "vec_id", "embedding").count()
+      Similarity.ivfPqTopKWith(wb, e, q66Queries, "vec_id", "embedding").count()
+    }
+
     // ---- q65: PQ flat ----
     var books: Array[Array[Array[Long]]] = null
     val t65train = minOf {

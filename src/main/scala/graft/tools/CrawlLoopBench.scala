@@ -13,8 +13,11 @@ import graft.streaming.CrawlTopology
 /** End-to-end crawl-LOOP throughput soak: the full standing query —
   * seed → frontier select → politeness-limited fetch (robots checked)
   * → parse → outlink discovery → URL filter chain → status merge →
-  * content store + index-once ledgers → next cycle — measured as
-  * sustained pages/sec at a realistic host count, not per-stage.
+  * content store → batch digest collapse → index-once digest/band
+  * ledgers → LIVE index sink (embedded-Derby `JdbcIndexSink`, the same
+  * code path a cluster points at a network RDBMS) → next cycle —
+  * measured as sustained pages/sec at a realistic host count, not
+  * per-stage.
   *
   * The corpus is H hosts × P pages of REAL files fetched through the
   * real `FileProtocol`; each host gets a distinct authority
@@ -22,6 +25,11 @@ import graft.streaming.CrawlTopology
   * authority exists so `partitionKeyCol`/politeness see H distinct
   * hosts, exactly like PolitenessBench). Page 0 of each host links the
   * other P−1, so all discovery flows through parse → chain → merge.
+  * Even-numbered pages (p ≥ 2) serve IDENTICAL boilerplate across all
+  * hosts — the mirrored-mass shape at crawl scale — so the batch
+  * digest collapse + cross-batch DigestLedger have real work: expected
+  * index cardinality is H seeds + H·⌈(P−1)/2⌉ unique odd pages +
+  * (P−2)/2 shared even pages, NOT the H·P fetch count.
   *
   * Politeness floor: each cycle selects `perHost` pages per host at
   * 1 s/host delay, so a cycle cannot finish faster than
@@ -64,9 +72,18 @@ object CrawlLoopBench {
         s"<html><head><title>h$h index</title></head><body>$links</body></html>"
           .getBytes("UTF-8"))
       (1 until pages).foreach { p =>
-        Files.write(hostDir.resolve(s"p$p.html"),
-          s"<html><head><title>h$h p$p</title></head><body>host $h page $p content</body></html>"
-            .getBytes("UTF-8"))
+        // even pages are byte-identical across hosts (mirrored mass);
+        // odd pages are unique — the ledgers must index evens ONCE ever
+        val body =
+          if (p % 2 == 0)
+            s"<html><head><title>shared p$p</title></head><body>shared boilerplate page $p</body></html>"
+          else {
+            // deterministic per-(host,page) token salad so odd pages are
+            // genuinely distinct under shingling (not near-dup bands)
+            val toks = (1 to 8).map(i => s"w${(h * 31 + p * 7 + i * 13) % 9973}").mkString(" ")
+            s"<html><head><title>h$h p$p</title></head><body>host $h page $p content $toks</body></html>"
+          }
+        Files.write(hostDir.resolve(s"p$p.html"), body.getBytes("UTF-8"))
       }
       s"file://host$h.example.com$hostDir/p0.html"
     }
@@ -83,6 +100,11 @@ object CrawlLoopBench {
     val contentStore = new ContentStore(Scratch.dir("crawl_loop_content").toString)
     val digests = new DigestLedger(Scratch.dir("crawl_loop_digests").toString)
     val bands = new BandLedger(Scratch.dir("crawl_loop_bands").toString)
+    // live index sink: embedded Derby via the production JdbcIndexSink —
+    // on a cluster the identical code points at a network RDBMS/bulk API
+    val jdbcUrl = s"jdbc:derby:${Scratch.dir("crawl_loop_index")}/idx;create=true"
+    val sink = new graft.index.JdbcIndexSink(jdbcUrl)
+    sink.ensureSchema()
 
     CrawlTopology.seed(spark, store, seeds, chain)
 
@@ -103,6 +125,7 @@ object CrawlLoopBench {
         crawlDelayMs = delayMs, respectRobots = true,
         selectTime = Some(adaptiveDate.queryDate()),
         contentStore = Some(contentStore),
+        indexSink = Some(sink),
         dedupContent = true, digestLedger = Some(digests),
         bandLedger = Some(bands))
       adaptiveDate.observe(st.selected, limit)
@@ -124,11 +147,26 @@ object CrawlLoopBench {
     }
     val wallSec = (System.nanoTime() - t0) / 1e9
     val mergeOverhead = cycleSecs.sum - fetchFloorSec
+    // index cardinality: proves the index-once semantics held at soak
+    // scale (expected ≈ H seeds + H·#odd unique pages + #shared evens,
+    // minus any near-dup band suppression)
+    val indexed = {
+      val conn = java.sql.DriverManager.getConnection(jdbcUrl)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery("SELECT COUNT(*) FROM content_index")
+        rs.next(); rs.getLong(1)
+      } finally conn.close()
+    }
+    val oddUnique = (1 until pages).count(_ % 2 == 1)
+    val sharedEvens = (1 until pages).count(p => p % 2 == 0)
+    val expectedMax = hosts.toLong * (1 + oddUnique) + sharedEvens
     println(f"""{"metric":"crawl_loop_throughput","hosts":$hosts,"pages_per_host":$pages,""" +
       f""""per_host_per_cycle":$perHost,"fetched":$totalFetched,"failed":$totalFailed,""" +
       f""""cycles":${cycleSecs.size},"wall_sec":$wallSec%.1f,""" +
       f""""pages_per_sec":${totalFetched / wallSec}%.1f,""" +
-      f""""politeness_floor_sec":$fetchFloorSec%.1f,"overhead_sec":$mergeOverhead%.1f}""")
+      f""""politeness_floor_sec":$fetchFloorSec%.1f,"overhead_sec":$mergeOverhead%.1f,""" +
+      f""""indexed":$indexed,"unique_digests":$expectedMax}""")
     spark.stop()
   }
 }
