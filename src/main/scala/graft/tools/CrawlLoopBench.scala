@@ -103,7 +103,10 @@ object CrawlLoopBench {
     // live index sink: embedded Derby via the production JdbcIndexSink —
     // on a cluster the identical code points at a network RDBMS/bulk API
     val jdbcUrl = s"jdbc:derby:${Scratch.dir("crawl_loop_index")}/idx;create=true"
-    val sink = new graft.index.JdbcIndexSink(jdbcUrl)
+    // create-only mode: the ledgers guarantee each digest arrives once,
+    // so the OS `indexer.create=true` semantics (insert-if-absent) are
+    // the right face — and Derby executes it ~3× faster than MERGE
+    val sink = new graft.index.JdbcIndexSink(jdbcUrl, create = true)
     sink.ensureSchema()
 
     CrawlTopology.seed(spark, store, seeds, chain)
