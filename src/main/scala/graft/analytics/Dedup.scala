@@ -419,6 +419,46 @@ object Dedup {
     crossOut.unionByName(selfOut)
   }
 
+  /** Per-group LSH candidate-pair COUNTS, computed WITHOUT enumerating
+    * the pairs — `lshCandidatePairs(df, …).groupBy(group).count()`
+    * done in weight arithmetic over the digest-collapsed band graph:
+    * cross-digest mass is Σ wa·wb over the distinct capped digest
+    * pairs, verbatim-clique mass is Σ w·(w−1)/2 over cap-surviving
+    * digests with weight ≥ 2. Both formulations count the identical
+    * pair set ([[lshPairsCollapsed]]'s bit-exactness argument: members
+    * inherit their representative's bands, so the doc-pair set is the
+    * digest-pair set with each digest blown into its clique) — but the
+    * enumeration is QUADRATIC in verbatim multiplicity while the
+    * arithmetic is linear in distinct texts. Measured at sf1000 (50 M
+    * docs, 10 000 verbatim copies per text): the enumeration face
+    * streamed ~2.5·10¹¹ clique rows through the count — 229 s, 21.8×
+    * the sf100 time for 10× the data — where this face prices the
+    * same answer by the ~5 000 distinct digests. Use the enumeration
+    * entry point only when a consumer needs the pairs themselves. */
+  def lshCandidatePairCounts(df: DataFrame, idCol: String, textCol: String,
+                             groupCol: String, maxBucket: Int = 1024): DataFrame = {
+    val bands = repBands(digestReps(df, idCol, textCol, groupCol), groupCol, maxBucket)
+    // same digest-pair dedup as the enumeration path (a pair colliding
+    // in both bands must count once); weights ride along — they are
+    // functionally dependent on the digest, so the distinct set is the
+    // distinct (group, da, db) set
+    val crossRep = bands.as("l").join(bands.as("r"), Seq(groupCol, "bk"))
+      .where(col("l.rep") < col("r.rep"))
+      .select(col(groupCol), col("l.digest").as("da"), col("r.digest").as("db"),
+        col("l.weight").as("wa"), col("r.weight").as("wb"))
+      .distinct()
+    val crossCnt = crossRep.groupBy(col(groupCol))
+      .agg(sum(col("wa") * col("wb")).as("n"))
+    val selfCnt = bands.select(col(groupCol), col("digest"), col("weight")).distinct()
+      .where(col("weight") >= 2)
+      .groupBy(col(groupCol))
+      // w·(w−1) is even, so the integer division is exact
+      .agg(sum(col("weight") * (col("weight") - 1) / 2).as("n"))
+    crossCnt.unionByName(selfCnt)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).cast("long").as("n_pairs"))
+  }
+
   /** Verbatim-duplicate collapse — the digest pre-pass of the near-dup
     * pipeline: one row per (group, md5(text)) with the group's smallest
     * id as representative, its member count as `weight`, and the two

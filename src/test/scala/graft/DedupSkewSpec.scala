@@ -41,6 +41,33 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(capped.count() === 0L) // same cluster over a tighter cap: dropped
   }
 
+  test("lshCandidatePairCounts: weight arithmetic equals the enumeration on a duplicate-heavy corpus") {
+    // 3 texts × multiplicities (7, 3, 1) across two sources, plus a
+    // near-dup pair across distinct digests — the counts face must
+    // match the enumeration face exactly (cliques AND cross pairs)
+    val docs = (
+      (1 to 7).map(i => (i.toLong, "the quick brown fox jumps over dogs", "web")) ++
+      (8 to 10).map(i => (i.toLong, "a completely different second story", "web")) ++
+      Seq((11L, "the quick brown fox jumps over dogs", "cc"),
+          (12L, "the quick brown fox jumps over cats", "web"), // near-dup of text 1
+          (13L, "unrelated singleton about lighthouses", "cc"))
+    ).toDF("doc_id", "text", "source")
+    val enumerated = Dedup.lshCandidatePairs(docs, "doc_id", "text", "source")
+      .groupBy("source").count().withColumnRenamed("count", "n_pairs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counted = Dedup.lshCandidatePairCounts(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counted === enumerated)
+    assert(counted.values.sum > 0L) // non-vacuous: cliques exist
+    // cap semantics carry over: tight cap drops the size-7 clique's mass
+    val enumCapped = Dedup.lshCandidatePairs(docs, "doc_id", "text", "source", maxBucket = 5)
+      .groupBy("source").count().withColumnRenamed("count", "n_pairs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cntCapped = Dedup.lshCandidatePairCounts(docs, "doc_id", "text", "source", maxBucket = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cntCapped === enumCapped)
+  }
+
   test("jaccardPairs: ubiquitous tokens are pruned from the join; pair count bounded") {
     // every doc shares the boilerplate tokens (df = 1000 > maxDf); only
     // the two docs sharing a RARE token may pair up
