@@ -25,6 +25,8 @@ object ExplainDump {
       "Latest-per-key as ONE codegen'd hash aggregate: the (shipdate, orderkey, linenumber) tie-break packs into a single BIGINT (numeric order = lexicographic tie-break; ranges fail-fast checked) so the aggregate is max(long) with map-side partials — partial+final HashAggregate, no Sort, no Window (a row_number window would sort all of lineitem — WindowGroupLimit trims the window's OUTPUT, not the sort — and max(struct) falls back to SortAggregate, struct buffers not being UnsafeRow-mutable). The only Sort is the trailing oracle-determinism orderBy. Scales with supplier count, not row count.",
     "q21_minhash_sig" ->
       "MinHash: ONE codegen'd pass per document (native minhash_sig expression) — no explode, no shuffle; the signature stage is a pure map over the corpus.",
+    "q22_lsh_pairs" ->
+      "LSH pair COUNTS by digest-weight arithmetic — never clique enumeration: digest collapse (fixed-width partial+final HashAggregate on (source, md5(text))) → band self-join on (source, band-key) with ReuseExchange evaluating the collapse side once → distinct digest pairs → Σ wa·wb plus Σ w·(w−1)/2 over two tiny aggregations. The member-pair expansion the enumeration face performs is QUADRATIC in verbatim multiplicity (measured 229 s at sf1000's 10 000-copy mass, 2.5·10¹¹ clique rows); this plan prices the identical answer by distinct texts — every operator after the first scan works on the ~|distinct| digest frame.",
     "q23_simhash" ->
       "SimHash: native single-pass expression per doc feeding a tiny 16-bit-histogram aggregation — the only shuffle carries ≤65536 groups.",
     "q24_jaccard_pairs" ->
