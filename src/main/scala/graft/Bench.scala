@@ -12,13 +12,44 @@ object Bench {
   def refuseDirty(dirty: Boolean, allowDirtyEnv: Option[String]): Boolean =
     dirty && !allowDirtyEnv.contains("1")
 
-  private def gitPorcelainDirty(): Boolean =
+  /** Paths whose modification can change what's in
+    * target/scala-2.13/classes — the only dirt the guard cares about. */
+  private[graft] val buildInputs = Seq("src/", "project/", "tools/", "build.sbt")
+
+  /** True iff the porcelain output names a file that affects compiled
+    * classes. The round-12 driver run was refused (rc=1, no official
+    * bench data) because the driver itself dirties the tree with
+    * round artifacts (modified LEAKCHECK.json, untracked
+    * CORRECTNESS_r*.json) before benching — artifacts that can't
+    * change the running code. Scoping the check to build inputs keeps
+    * the guard's real protection (a concurrent compile rewriting the
+    * classes dir mid-suite) while letting driver/round artifacts
+    * through. Pure (spec-tested on porcelain text). */
+  private[graft] def affectsCompiledClasses(porcelain: String): Boolean =
+    porcelain.linesIterator.exists { line =>
+      if (line.length < 4) false
+      else {
+        // porcelain v1: 2-char XY status + space + path; renames are
+        // "R  old -> new" (either side in a build dir counts). Paths
+        // with specials are "-quoted — strip quotes before matching.
+        line.drop(3).split(" -> ").exists { raw =>
+          val p = raw.stripPrefix("\"").stripSuffix("\"")
+          // dirs (trailing /) match by prefix; files match exactly —
+          // so build.sbt.bak or srcfoo.txt can never false-positive.
+          buildInputs.exists(b => if (b.endsWith("/")) p.startsWith(b) else p == b)
+        }
+      }
+    }
+
+  private def gitPorcelain(): String =
     try {
       val p = new ProcessBuilder("git", "status", "--porcelain").start()
-      val s = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+      val s = scala.io.Source.fromInputStream(p.getInputStream).mkString
       p.waitFor()
-      s.nonEmpty
-    } catch { case _: Exception => false }
+      s
+    } catch { case _: Exception => "" }
+
+  private def gitPorcelainDirty(): Boolean = affectsCompiledClasses(gitPorcelain())
 
   def main(args: Array[String]): Unit = {
     if (refuseDirty(gitPorcelainDirty(), sys.env.get("SPARK_GRAFT_ALLOW_DIRTY"))) {
@@ -161,13 +192,10 @@ object Bench {
         p.waitFor()
         if (s.nonEmpty) s else "unknown"
       } catch { case _: Exception => "unknown" }
-    val dirty =
-      try {
-        val p = new ProcessBuilder("git", "status", "--porcelain").start()
-        val s = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
-        p.waitFor()
-        if (s.nonEmpty) "-dirty" else ""
-      } catch { case _: Exception => "" }
+    // the -dirty stamp uses the same build-input scope as the guard:
+    // a driver-written round artifact (LEAKCHECK.json, BENCH_r*.json)
+    // can't change the measured code, so it must not taint the sha.
+    val dirty = if (affectsCompiledClasses(gitPorcelain())) "-dirty" else ""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"commit":"$commit$dirty"$onlyKey${errs(results :: small.toList: _*)},"queries":${js(results)},"sf":"$sfDir"$extra}"""
     println(line)

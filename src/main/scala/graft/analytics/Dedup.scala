@@ -437,6 +437,13 @@ object Dedup {
     * entry point only when a consumer needs the pairs themselves. */
   def lshCandidatePairCounts(df: DataFrame, idCol: String, textCol: String,
                              groupCol: String, maxBucket: Int = 1024): DataFrame = {
+    // Adaptive, mirroring [[lshCandidatePairs]]: on a no-verbatim-dup
+    // corpus every weight is 1, so the collapse join-back and rep
+    // expansion are identity overhead — count the direct pairs instead
+    // (bounded there: no verbatim multiplicity to square).
+    if (noVerbatimDups(df, textCol, groupCol))
+      return lshPairsDirect(df, idCol, textCol, groupCol, maxBucket)
+        .groupBy(col(groupCol)).agg(count(lit(1)).as("n_pairs"))
     val bands = repBands(digestReps(df, idCol, textCol, groupCol), groupCol, maxBucket)
     // same digest-pair dedup as the enumeration path (a pair colliding
     // in both bands must count once); weights ride along — they are
@@ -452,8 +459,11 @@ object Dedup {
     val selfCnt = bands.select(col(groupCol), col("digest"), col("weight")).distinct()
       .where(col("weight") >= 2)
       .groupBy(col(groupCol))
-      // w·(w−1) is even, so the integer division is exact
-      .agg(sum(col("weight") * (col("weight") - 1) / 2).as("n"))
+      // w·(w−1) is even so `div` (LONG integer division) is exact AND
+      // the column stays LongType end-to-end. Spark's `/` would be
+      // double division — exact only below 2^53, and it silently
+      // widens the union with crossCnt's long to double.
+      .agg(sum(expr("weight * (weight - 1) div 2")).as("n"))
     crossCnt.unionByName(selfCnt)
       .groupBy(col(groupCol))
       .agg(sum(col("n")).cast("long").as("n_pairs"))

@@ -163,13 +163,21 @@ object CrawlLoopBench {
     }
     val oddUnique = (1 until pages).count(_ % 2 == 1)
     val sharedEvens = (1 until pages).count(p => p % 2 == 0)
+    // expected MAXIMUM index cardinality BEFORE band-ledger near-dup
+    // suppression (seeds + per-host odd-unique pages + shared evens);
+    // the ledgers can only push `indexed` BELOW this, never above —
+    // so indexed > expectedMax means index-once semantics broke.
     val expectedMax = hosts.toLong * (1 + oddUnique) + sharedEvens
+    if (indexed > expectedMax)
+      System.err.println(
+        s"crawl_loop: INDEX-ONCE VIOLATION — indexed=$indexed exceeds expected_max_indexed=$expectedMax")
     println(f"""{"metric":"crawl_loop_throughput","hosts":$hosts,"pages_per_host":$pages,""" +
       f""""per_host_per_cycle":$perHost,"fetched":$totalFetched,"failed":$totalFailed,""" +
       f""""cycles":${cycleSecs.size},"wall_sec":$wallSec%.1f,""" +
       f""""pages_per_sec":${totalFetched / wallSec}%.1f,""" +
       f""""politeness_floor_sec":$fetchFloorSec%.1f,"overhead_sec":$mergeOverhead%.1f,""" +
-      f""""indexed":$indexed,"unique_digests":$expectedMax}""")
+      f""""indexed":$indexed,"expected_max_indexed":$expectedMax,""" +
+      f""""index_once_held":${indexed <= expectedMax}}""")
     spark.stop()
   }
 }

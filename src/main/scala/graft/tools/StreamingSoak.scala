@@ -45,21 +45,48 @@ object StreamingSoak {
         .option("numPartitions", 8)
         .load()
 
-    /** Run a leg: start, soak for `seconds`, stop, report. */
+    /** Run a leg: start, soak for `seconds`, stop, report.
+      * Rows are accumulated in a StreamingQueryListener, NOT read from
+      * q.recentProgress — recentProgress is a ring buffer capped at
+      * spark.sql.streaming.numRecentProgressUpdates (default 100), so
+      * a fast-batch leg completing >100 micro-batches in the window
+      * would silently drop its earliest batches and understate
+      * rows/sec. The listener sees every progress event. The snapshot
+      * is taken before stop(): rows counted match the wall measured
+      * (the event bus is async, so we settle briefly first). */
     def soak(leg: String, offered: Int, out: DataFrame,
              mode: String = "append"): Unit = {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val totalRows = new java.util.concurrent.atomic.AtomicLong(0)
+      val batches = new java.util.concurrent.atomic.AtomicLong(0)
+      @volatile var queryId: java.util.UUID = null
+      val listener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+          if (queryId != null && e.progress.id == queryId) {
+            totalRows.addAndGet(e.progress.numInputRows)
+            batches.incrementAndGet()
+          }
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
       val q = out.writeStream.format("noop").outputMode(mode)
         .option("checkpointLocation",
           Scratch.dir(s"stream_soak_$leg").toString + "/ckpt")
         .start()
+      queryId = q.id
       val t0 = System.nanoTime()
       Thread.sleep(seconds * 1000L)
-      // drain the in-flight batch so counted rows match ended work
-      val progress = q.recentProgress
-      q.stop()
+      // let the async listener bus deliver the last completed batch's
+      // progress event before snapshotting (untimed relative to rows:
+      // wall is stamped at snapshot, after the same settle)
+      Thread.sleep(500L)
+      val rows = totalRows.get()
+      val nBatches = batches.get()
       val wall = (System.nanoTime() - t0) / 1e9
-      val rows = progress.map(_.numInputRows).sum
-      println(f"""{"metric":"streaming_soak","leg":"$leg","offered_rows_per_sec":$offered,"rows":$rows,"batches":${progress.length},"wall_sec":$wall%.1f,"rows_per_sec":${rows / wall}%.0f}""")
+      q.stop()
+      spark.streams.removeListener(listener)
+      println(f"""{"metric":"streaming_soak","leg":"$leg","offered_rows_per_sec":$offered,"rows":$rows,"batches":$nBatches,"wall_sec":$wall%.1f,"rows_per_sec":${rows / wall}%.0f}""")
     }
 
     // ---- leg 1: watermarked tumbling-window status counts ----
@@ -86,6 +113,25 @@ object StreamingSoak {
       col("timestamp").as("ts"))
     soak("watermark_dedup", offered2,
       EventStreams.dedupWithinWatermark(ev2, "url", "ts", "10 seconds"))
+
+    // ---- leg 2b/2c: same dedup on the RocksDB state store ----
+    // The default HDFS-backed store is commit-bound (it rewrites the
+    // full ~1 M-key map snapshot every batch) — the measured 653 k/s
+    // ceiling. RocksDB commits incrementally; changelog checkpointing
+    // additionally moves snapshot upload off the commit path. The
+    // provider is read from the session conf at query START, so
+    // setting it here scopes it to these legs.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    soak("watermark_dedup_rocksdb", offered2,
+      EventStreams.dedupWithinWatermark(ev2, "url", "ts", "10 seconds"))
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    soak("watermark_dedup_rocksdb_changelog", offered2,
+      EventStreams.dedupWithinWatermark(ev2, "url", "ts", "10 seconds"))
+    spark.conf.unset(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     // ---- leg 3: TTL dedup cache (flatMapGroupsWithState) ----
     val offered3 = (100000 * scale).toInt

@@ -21,4 +21,37 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.refuseDirty(dirty = true, Some("true"))) // only "1" overrides
     assert(!Bench.refuseDirty(dirty = true, Some("1")))
   }
+
+  // Round-12 regression: the driver modifies LEAKCHECK.json and drops
+  // untracked CORRECTNESS_r*.json / BENCH_r*.json before benching, so a
+  // whole-tree porcelain check refused the driver's own run (rc=1 — no
+  // official bench data for the round). Only build inputs may refuse.
+  test("driver-owned round artifacts do not count as dirty") {
+    val driverTree =
+      """ M LEAKCHECK.json
+        |?? CORRECTNESS_r13.json
+        |?? BENCH_r13.json
+        |?? bench_sf10_r13.json
+        | M BASELINE.md
+        | M VERDICT.md
+        |?? PLANS.md
+        |""".stripMargin
+    assert(!Bench.affectsCompiledClasses(driverTree))
+    assert(!Bench.affectsCompiledClasses(""))
+  }
+  test("build-input dirt still refuses") {
+    assert(Bench.affectsCompiledClasses(" M src/main/scala/graft/Bench.scala\n"))
+    assert(Bench.affectsCompiledClasses("?? src/main/scala/graft/New.scala\n"))
+    assert(Bench.affectsCompiledClasses(" M build.sbt\n"))
+    assert(Bench.affectsCompiledClasses(" M project/build.properties\n"))
+    assert(Bench.affectsCompiledClasses(" M tools/gen_scale.py\n"))
+    // mixed: one artifact + one source file => dirty
+    assert(Bench.affectsCompiledClasses(" M LEAKCHECK.json\n M src/main/scala/A.scala\n"))
+    // rename INTO a build dir counts (either side)
+    assert(Bench.affectsCompiledClasses("R  notes.txt -> src/main/scala/graft/X.scala\n"))
+    // prefix must be a path component: near-miss names never match
+    assert(!Bench.affectsCompiledClasses("?? srcfoo.txt\n"))
+    assert(!Bench.affectsCompiledClasses("?? build.sbt.bak\n"))
+    assert(!Bench.affectsCompiledClasses("?? projectX/a.txt\n"))
+  }
 }

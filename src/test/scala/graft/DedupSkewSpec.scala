@@ -68,6 +68,25 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(cntCapped === enumCapped)
   }
 
+  test("lshCandidatePairCounts: unique corpus routes direct and matches the enumeration") {
+    // no verbatim duplicates at all — the adaptive route must take the
+    // direct pipeline (weights all 1) and still equal the enumeration;
+    // two near-dup docs guarantee a non-vacuous pair
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over dogs", "web"),
+      (2L, "the quick brown fox jumps over cats", "web"),
+      (3L, "a completely different second story", "web"),
+      (4L, "unrelated singleton about lighthouses", "cc")
+    ).toDF("doc_id", "text", "source")
+    val enumerated = Dedup.lshCandidatePairs(docs, "doc_id", "text", "source")
+      .groupBy("source").count().withColumnRenamed("count", "n_pairs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counted = Dedup.lshCandidatePairCounts(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counted === enumerated)
+    assert(counted.values.sum > 0L)
+  }
+
   test("jaccardPairs: ubiquitous tokens are pruned from the join; pair count bounded") {
     // every doc shares the boilerplate tokens (df = 1000 > maxDf); only
     // the two docs sharing a RARE token may pair up
