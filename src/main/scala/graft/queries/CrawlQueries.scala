@@ -431,7 +431,15 @@ object CrawlQueries {
           sum(when(element_at(col("metadata"), "sitemap.image").isNotNull, 1L)
             .otherwise(0L)).as("n_img"),
           array_join(sort_array(collect_set(col("anchor"))), "|").as("anchors"))
-        .orderBy("target_url")
+        // top-K bounds the output independent of SF: the sub-sitemap
+        // targets are doc_id-keyed (one per smindex doc — O(corpus)
+        // rows, 12 M at sf100), so an unbounded ORDER BY target_url
+        // was a full range-sort of an SF-proportional inventory. The
+        // shared urlset/feed targets carry the reference mass
+        // (n_refs ≫ 1); (n_refs DESC, target_url) is a total order,
+        // and limit-after-orderBy plans TakeOrderedAndProject — the
+        // q09 precedent.
+        .orderBy(col("n_refs").desc, col("target_url")).limit(1000)
     }),
 
     // AdaptiveScheduler THROUGH THE MERGE (`AdaptiveScheduler.java:
@@ -696,7 +704,8 @@ object CrawlQueries {
         |  CAST(sum(is_feed) AS BIGINT) AS n_feed,
         |  CAST(sum(has_img) AS BIGINT) AS n_img,
         |  array_to_string(list(DISTINCT anchor ORDER BY anchor), '|') AS anchors
-        |FROM a GROUP BY target_url ORDER BY target_url""".stripMargin,
+        |FROM a GROUP BY target_url
+        |ORDER BY n_refs DESC, target_url LIMIT 1000""".stripMargin,
 
     // The adaptive ladder as arithmetic: round 1 has no stored
     // signature (⇒ changed): greatest(1440·0.5, 60) = 720. Round 2:
