@@ -134,7 +134,7 @@ object ExplainDump {
     "q94_crawl_cycle" ->
       "One full crawl cycle against the real FrontierStore: each merge shuffles ONCE on url_sha256 (the window dedup ladder) and rewrites ONLY the buckets its updates hash into — a micro-batch touching 2% of hosts rewrites 2% of the table; the selection ladder is a host-count-sized key aggregate + broadcast topKeys join (never a global window over URL rows), and the due-date filter prunes parquet files by next_fetch_date min/max stats before anything shuffles. The final plan is the per-(key,status) summary over the store read.",
     "q95_sitemap_inventory" ->
-      "Sitemap/feed discovery through the REAL parse stage: content sniffing, XML parse, extension extraction, filter chain and metadata transfer run as ONE mapPartitions over the scan — per-document, embarrassingly parallel; the only exchange is the per-target inventory aggregate (map-side partial count + bounded collect_set). 100 TB of sitemaps parse map-only.",
+      "Sitemap/feed discovery through the REAL parse stage: content sniffing, XML parse, extension extraction, filter chain and metadata transfer run as ONE mapPartitions over the scan — per-document, embarrassingly parallel; the only exchange is the per-target inventory aggregate (map-side partial count + bounded collect_set). The presentation face is top-1000 by (n_refs DESC, target_url) — TakeOrderedAndProject, NOT a global sort: the sub-sitemap targets are doc_id-keyed (O(corpus) distinct keys, 12 M at sf100), so an unbounded ORDER BY was an SF-proportional range-sort. 100 TB of sitemaps parse map-only.",
     "q96_adaptive_merge" ->
       "AdaptiveScheduler through the merge: the stored signature/interval ride the merge's ONE url_sha256 shuffle as window-carried columns (old_sig/old_interval over the same partition), so change detection adds ZERO exchanges to the upsert; interval arithmetic is exact (greatest/least over minutes), which is why a SQL oracle can hash the stored schedule.",
     "q97_refill_cursor" ->
