@@ -93,63 +93,28 @@ object Dedup {
 
   /** MinHash signatures over k-word shingles: one row per doc with
     * `numHashes` ≤ 4 minimum-hash columns `h1..hN`, all derived from one
-    * md5 per shingle. On a (mostly) unique corpus this is a single
-    * codegen'd pass per document ([[graft.functions.MinhashChunksExpr]])
-    * — no explode, no shuffle: at 100 TB the signature stage is a pure
-    * map over the corpus.
+    * md5 per shingle. Computed in a single codegen'd pass per document
+    * ([[graft.functions.MinhashChunksExpr]]) — no explode, no shuffle:
+    * at 100 TB the signature stage is a pure map over the corpus.
     *
-    * Adaptive ([[mostlyUniqueUngrouped]]): the signature depends only
-    * on the TEXT, so on a duplicate-heavy corpus recomputing it per
-    * verbatim copy is pure waste — the q22 digest trick applies to
-    * signature GENERATION itself. The collapsed route computes one
-    * signature per distinct md5(text) (two cheap md5 corpus passes +
-    * the per-shingle hashing over only the distinct texts) and
-    * broadcasts the digest→signature map back onto the corpus.
-    * Bit-identical to the direct route (equal text ⇒ equal signature;
-    * a null-signature digest drops all its members through the inner
-    * join, exactly the per-doc sig-null filter). Measured at sf1000
-    * (50 M docs, 10 000 verbatim copies per text): 32.4 s direct →
-    * the collapsed route prices the shingle+hash work by the ~5 000
-    * distinct texts instead. */
+    * Deliberately NOT digest-collapsed (the q22 trick): measured at
+    * sf1000 (50 M docs, 10 000 verbatim copies per text — the collapse's
+    * best case), a signature-per-distinct-text route with broadcast
+    * join-back ran 60.1 s vs 32.4 s for this direct map. The arithmetic
+    * says why: one md5 per shingle means the direct pass hashes
+    * ~k×corpus bytes total, and the collapse's probe + digest + join-back
+    * passes hash the SAME corpus bytes ~3× in md5 form before saving
+    * anything — linear either way, with the collapse adding a shuffle
+    * and two joins. q22's collapse pays off because enumeration there
+    * is QUADRATIC in multiplicity; signature generation is not. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 4, shingleK: Int = 3): DataFrame = {
     require(numHashes <= 4, "one md5 yields 4 chunks")
-    def sigCols(in: DataFrame, keep: Column): DataFrame =
-      in.select(keep +: (1 to numHashes).map(i => col("sig").getItem(i - 1).as(s"h$i")): _*)
-    if (mostlyUniqueUngrouped(df, textCol))
-      sigCols(
-        graft.plans.InputWidth.widen(df).select(col(idCol),
-            graft.functions.TextHashExpressions.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
-          .where(col("sig").isNotNull),
-        col(idCol))
-    else {
-      // digest collapse (the digestReps pattern, group-free): min-id rep
-      // per distinct text, rep text fetched by a second corpus pass —
-      // the join-back side STREAMS the corpus, never widened (a
-      // round-robin repartition there would shuffle the full corpus
-      // text); when the scan is starved, repartition the rep-sized
-      // JOINED frame instead so the signature runs at full width.
-      val agg = df
-        .select(md5(col(textCol)).as("digest"), col(idCol).as("m_id"))
-        .groupBy(col("digest")).agg(min(col("m_id")).as("rep"))
-      val joined = df
-        .select(md5(col(textCol)).as("digest"), col(idCol).as("rep"),
-          col(textCol).as("rtext"))
-        .join(agg, Seq("digest", "rep"))
-      val sigIn =
-        if (graft.plans.InputWidth.isNarrow(df)) {
-          val w = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-          joined.repartition(w)
-        } else joined
-      val sigs = sigCols(
-        sigIn.select(col("digest"),
-            graft.functions.TextHashExpressions.minhashSig(col("rtext"), shingleK, numHashes).as("sig"))
-          .where(col("sig").isNotNull), // rep-sized frame: never pushed into a corpus scan
-        col("digest"))
-      df.select(col(idCol), md5(col(textCol)).as("digest"))
-        .join(sigs, Seq("digest")) // AQE broadcasts the digest→sig map
-        .select(col(idCol) +: (1 to numHashes).map(i => col(s"h$i")): _*)
-    }
+    graft.plans.InputWidth.widen(df).select(col(idCol),
+        graft.functions.TextHashExpressions.minhashSig(col(textCol), shingleK, numHashes).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col(idCol) +:
+        (1 to numHashes).map(i => col("sig").getItem(i - 1).as(s"h$i")): _*)
   }
 
   /** Connected components over candidate pairs — the clustering stage
@@ -373,19 +338,6 @@ object Dedup {
     val r = df.where(trim(col(textCol)) =!= "")
       .agg(count(lit(1)),
         count_distinct(xxhash64(col(groupCol), col(textCol))))
-      .first()
-    r.getLong(0) == 0L || r.getLong(1).toDouble >= threshold * r.getLong(0)
-  }
-
-  /** [[mostlyUnique]] without a group column — for ungrouped operators
-    * (signature generation) whose collapse keys on the text alone.
-    * Same conservative direction: an xxhash64 collision undercounts
-    * distincts and can only mis-route toward the collapsed path, which
-    * is correct on any input. */
-  private[graft] def mostlyUniqueUngrouped(df: DataFrame, textCol: String,
-                                           threshold: Double = 0.95): Boolean = {
-    val r = df.where(trim(col(textCol)) =!= "")
-      .agg(count(lit(1)), count_distinct(xxhash64(col(textCol))))
       .first()
     r.getLong(0) == 0L || r.getLong(1).toDouble >= threshold * r.getLong(0)
   }

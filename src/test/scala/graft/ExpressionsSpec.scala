@@ -93,19 +93,6 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(actual.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
     assert(actual.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L)) // 3 and 4 drop
 
-    // duplicate-heavy corpus routes through the digest collapse — the
-    // signatures must be bit-identical to the direct per-doc route
-    // (same texts replicated under fresh ids forces the collapsed path:
-    // 5 distinct texts over 25 rows)
-    val dup = (0 until 5).foldLeft(df)((acc, k) =>
-      if (k == 0) acc else acc.union(df.select(($"id" + k * 100).as("id"), $"text")))
-    assert(!Dedup.mostlyUniqueUngrouped(dup, "text"))
-    val dupActual = Dedup.minhashSignatures(dup, "id", "text", 4, 3)
-      .orderBy($"id").collect().map(_.toSeq).toSeq
-    val dupExpected = actual.map(_.toSeq).toSeq ++ (1 to 4).flatMap(k =>
-      actual.map(r => (r.getLong(0) + k * 100) +: r.toSeq.tail))
-    assert(dupActual == dupExpected.sortBy(_.head.asInstanceOf[Long]))
-
     // distinct-unigram variant (k=1): each distinct word hashed once
     val uni = df.where($"id" === 5L)
       .select(TextHashExpressions.minhashSig($"text", 1, 4, distinct = true).as("sig"))
