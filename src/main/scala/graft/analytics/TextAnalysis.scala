@@ -81,14 +81,20 @@ object TextAnalysis {
     * ASC). No float idf in the sort key, so results are bit-identical
     * across engines and partitionings.
     *
-    * Scale: the corpus is scanned and exploded ONCE — document
-    * frequency comes from a `count over (partition by term)` window on
-    * the already-aggregated (doc,term) rows, not a self-join (a join
-    * formulation makes Spark re-scan + re-explode the corpus for the
-    * df side). Partial aggregation (map-side combine) collapses
-    * repeated terms before the first shuffle; the final top-k is a
-    * per-doc `WindowGroupLimit` (rank pushed below the exchange).
-    * Three shuffles, all over aggregated rows. */
+    * Scale: NO window, NO sort of the exploded frame. An earlier
+    * formulation computed df with `count over (partition by term)` and
+    * the top-k with a `row_number` window — each window SORTS the full
+    * (doc,term) frame inside its exchange (WindowGroupLimit trims the
+    * window's output, not its sort), and at sf1000 (~10⁹ aggregated
+    * term rows) the spill exceeded the machine's free disk and killed
+    * the query. Now: tf by hash aggregate; df as a tiny per-term
+    * aggregate joined back (AQE broadcasts the vocab-sized side); the
+    * per-doc top-k as the native [[graft.functions.TopKTermsAgg]] —
+    * fixed ≤k-entry buffer per group, map-side partials, nothing
+    * larger than k ever sorted. The df branch re-scans the corpus (the
+    * two tf subtrees are separate plan branches); two cheap parallel
+    * scans beat one scan plus a full shuffle-sort of the exploded
+    * corpus at every SF measured. */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     // same tokenization as [[Dedup.words]] (the literal-single-space
     // split every oracle mirrors — see its scaladoc), but as explode +
@@ -100,12 +106,16 @@ object TextAnalysis {
         explode(split(col(textCol), " ")).as("term"))
       .where(col("term") =!= "")
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
+    // document frequency = one row per term (vocab-sized): AQE
+    // broadcasts it, so the 10⁹-row tf frame never moves for the join
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.TopKTermsAgg
+        .topKTerms(col("term"), col("tf"), col("df"), k).as("tops"))
+      .select(col(idCol), posexplode(col("tops")))
+      .select(col(idCol), (col("pos") + 1).as("rank"),
+        col("col.term").as("term"), col("col.tf").as("tf"), col("col.df").as("df"))
   }
 
   /** PII redaction: emails / IPv4s / long digit runs replaced with

@@ -471,9 +471,12 @@ object AnalyticsQueries {
     // TF-IDF-shaped top-3 distinctive terms per doc — integer-only
     // ordering (tf DESC, df ASC, term ASC): deterministic across
     // engines, no float idf in the sort key.
+    // limit(3000) bounds the face independent of SF (first 1000 docs ×
+    // k=3; (doc_id, rank) is a total order) — TakeOrderedAndProject,
+    // not a global sort of an O(corpus) result; oracle-mirrored.
     "q46_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)
-        .orderBy("doc_id", "rank")),
+        .orderBy("doc_id", "rank").limit(3000)),
 
     // PII redaction over synthesized contact strings — RE2-safe
     // patterns, map-only regexp_replace.
@@ -1929,7 +1932,7 @@ object AnalyticsQueries {
          |          ORDER BY tf DESC, df ASC, term ASC) AS INT) AS rank
          |      FROM tf JOIN dfreq USING (term))
          |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3
-         |ORDER BY doc_id, rank""".stripMargin,
+         |ORDER BY doc_id, rank LIMIT 3000""".stripMargin,
 
     "q47_pii_redact" ->
       """WITH x AS (SELECT doc_id,

@@ -35,6 +35,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.length == 6)
   }
 
+  test("topTerms: native top-k aggregate matches the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 200 docs over a 30-word vocab across 4 partitions: exercises the
+    // aggregate's partial top-k, cross-partition merge and
+    // serialize/deserialize, with plenty of tf and df ties
+    val docs = (1 to 200).map { i =>
+      val ws = (0 until 12).map(j => s"w${(i * 7 + j * j) % 30}")
+      (i.toLong, ws.mkString(" "))
+    }.toDF("doc_id", "text").repartition(4)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .where($"term" =!= "")
+    val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"term".asc)
+    val expected = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df")
+      .orderBy("doc_id", "rank").collect().map(_.toSeq).toSeq
+    val actual = TextAnalysis.topTerms(docs, "doc_id", "text", 3)
+      .orderBy("doc_id", "rank").collect().map(_.toSeq).toSeq
+    assert(actual == expected)
+    assert(actual.size == 600) // 200 docs x k=3, nothing dropped
+  }
+
   test("redactPii: emails, ips, digit runs — in that order") {
     import spark.implicits._
     val docs = Seq((1L, "mail a.b+c@x.co.uk ip 192.168.0.1 num 123456789 short 123"))
