@@ -81,35 +81,106 @@ object TextAnalysis {
     * ASC). No float idf in the sort key, so results are bit-identical
     * across engines and partitionings.
     *
-    * Scale: NO window, NO sort of the exploded frame. An earlier
-    * formulation computed df with `count over (partition by term)` and
-    * the top-k with a `row_number` window — each window SORTS the full
-    * (doc,term) frame inside its exchange (WindowGroupLimit trims the
-    * window's output, not its sort), and at sf1000 (~10⁹ aggregated
-    * term rows) the spill exceeded the machine's free disk and killed
-    * the query. Now: tf by hash aggregate; df as a tiny per-term
-    * aggregate joined back (AQE broadcasts the vocab-sized side); the
-    * per-doc top-k as the native [[graft.functions.TopKTermsAgg]] —
-    * fixed ≤k-entry buffer per group, map-side partials, nothing
-    * larger than k ever sorted. The df branch re-scans the corpus (the
-    * two tf subtrees are separate plan branches); two cheap parallel
-    * scans beat one scan plus a full shuffle-sort of the exploded
-    * corpus at every SF measured. */
-  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    // same tokenization as [[Dedup.words]] (the literal-single-space
-    // split every oracle mirrors — see its scaladoc), but as explode +
-    // relational post-filter: `Dedup.words`' higher-order `filter`
-    // lambda is CodegenFallback, and in a per-token explode that
-    // interpretation cost multiplies by corpus token count
-    val toks = graft.plans.InputWidth.widen(df)
-      .select(col(idCol),
-        explode(split(col(textCol), " ")).as("term"))
+    * Scale: NO window, NO sort, and (on any natural-language corpus)
+    * NO shuffle of the exploded frame at all. The original
+    * formulation's two windows (`count over (partition by term)` for
+    * df, `row_number` for the per-doc rank) each sort the full
+    * (doc,term) frame inside their exchange — at sf1000 (~10⁹
+    * aggregated rows) the spill exceeded the machine's free disk and
+    * killed the query; a TypedImperativeAggregate top-k fared no
+    * better, because ObjectHashAggregate's partial phase falls back to
+    * sort-based aggregation past 128 groups per task and re-sorts the
+    * same frame. The structure that actually scales exploits the two
+    * asymmetries of the problem: document frequency is VOCAB-sized
+    * (per-doc term dedup happens map-side via array_distinct before
+    * the explode, so the df aggregate's partial combine ships at most
+    * |vocab| rows per task — a tiny shuffle), and everything else —
+    * tf and the top-k rank — is DOC-LOCAL. So: aggregate df, take it
+    * to the driver (guarded: at most `maxBroadcastVocab`+1 rows are
+    * ever fetched), broadcast it, and compute tf + top-k per document
+    * in one mapPartitions over the scan. Zero shuffles of corpus-sized
+    * data, per-doc state only. A corpus whose vocabulary exceeds the
+    * guard falls back to [[topTermsShuffle]] — one hash shuffle by
+    * doc, broadcast df join, native [[graft.functions.TopKTermsAgg]].
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+               maxBroadcastVocab: Int = 10000000): DataFrame = {
+    val spark = df.sparkSession
+    // take(n+1) never materializes more than the guard on the driver
+    val vocab = documentFrequency(df, idCol, textCol)
+      .take(maxBroadcastVocab + 1)
+    if (vocab.length > maxBroadcastVocab)
+      topTermsShuffle(df, idCol, textCol, k)
+    else {
+      val bc = spark.sparkContext.broadcast(
+        vocab.map(r => r.getString(0) -> r.getLong(1)).toMap)
+      val idType = df.schema(idCol).dataType
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, idType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("tf",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("df",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      graft.plans.InputWidth.widen(df).select(col(idCol), col(textCol))
+        .mapPartitions { rows =>
+          val dfm = bc.value
+          rows.flatMap { r =>
+            val id = r.get(0)
+            val text = if (r.isNullAt(1)) null else r.getString(1)
+            if (text == null) Iterator.empty
+            else {
+              // tokenization identical to the relational split-on-" "
+              val counts = scala.collection.mutable.HashMap.empty[String, Long]
+              text.split(" ", -1).foreach(t =>
+                if (t.nonEmpty) counts.update(t, counts.getOrElse(t, 0L) + 1L))
+              counts.iterator
+                .map { case (t, n) => (t, n, dfm(t)) }.toArray
+                .sortWith { case ((at, atf, adf), (bt, btf, bdf)) =>
+                  atf > btf || (atf == btf && (adf < bdf ||
+                    (adf == bdf && at < bt)))
+                }
+                .iterator.take(k).zipWithIndex.map { case ((t, n, d), i) =>
+                  org.apache.spark.sql.Row(id, i + 1, t, n, d)
+                }
+            }
+          }
+        }(enc)
+    }
+  }
+
+  /** Per-term document frequency, computed without ever shuffling
+    * corpus-sized data: array_distinct BEFORE the explode makes the
+    * (doc,term) dedup map-side, so the count's partial combine ships
+    * at most |vocab| rows per task. */
+  private[analytics] def documentFrequency(df: DataFrame, idCol: String,
+                                           textCol: String): DataFrame =
+    graft.plans.InputWidth.widen(df)
+      .select(explode(array_distinct(split(col(textCol), " "))).as("term"))
       .where(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+  /** Huge-vocabulary fallback for [[topTerms]]: one hash shuffle of the
+    * token frame by doc (no sort — partial/final tf and the top-k
+    * aggregate then run in the same post-shuffle stage, every operator
+    * keyed on the arriving doc_id clustering), df joined via an
+    * explicit broadcast. [[graft.functions.TopKTermsAgg]] keeps a
+    * fixed ≤k buffer per group; its ObjectHashAggregate host may still
+    * sort-fall-back past the session's fallback threshold, but on
+    * doc-clustered in-stage data that spill is per-task-partition
+    * sized, not corpus-sized. */
+  private[analytics] def topTermsShuffle(df: DataFrame, idCol: String,
+                                         textCol: String, k: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .where(col("term") =!= "")
+      .repartition(col(idCol))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    // document frequency = one row per term (vocab-sized): AQE
-    // broadcasts it, so the 10⁹-row tf frame never moves for the join
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dfreq, Seq("term"))
+    tf.join(broadcast(documentFrequency(df, idCol, textCol)), Seq("term"))
       .groupBy(col(idCol))
       .agg(graft.functions.TopKTermsAgg
         .topKTerms(col("term"), col("tf"), col("df"), k).as("tops"))

@@ -60,6 +60,13 @@ class TextOpsSpec extends AnyFunSuite {
       .orderBy("doc_id", "rank").collect().map(_.toSeq).toSeq
     assert(actual == expected)
     assert(actual.size == 600) // 200 docs x k=3, nothing dropped
+    // vocab guard of 1 forces the huge-vocab shuffle fallback
+    // (repartition + broadcast df + native top-k aggregate): both
+    // routes must be bit-identical
+    val viaShuffle = TextAnalysis.topTerms(docs, "doc_id", "text", 3,
+        maxBroadcastVocab = 1)
+      .orderBy("doc_id", "rank").collect().map(_.toSeq).toSeq
+    assert(viaShuffle == expected)
   }
 
   test("redactPii: emails, ips, digit runs — in that order") {
