@@ -30,7 +30,10 @@ import graft.parse.ParseStage
 object CrawlTopology {
 
   final case class CrawlStats(selected: Long, fetched: Long, failed: Long,
-                              docs: Long, discovered: Long)
+                              docs: Long, discovered: Long,
+                              /** per-leg wall seconds, populated only
+                                * when crawlOnce ran with timeLegs */
+                              legs: Map[String, Double] = Map.empty)
 
   /** Seed the frontier from (url [, metadata]) rows — FileSpout +
     * StringTabScheme semantics (`core/.../spout/FileSpout.java:52`). */
@@ -75,14 +78,30 @@ object CrawlTopology {
                 sitemapDiscovery: Boolean = false,
                 dedupContent: Boolean = false,
                 digestLedger: Option[graft.index.DigestLedger] = None,
-                bandLedger: Option[graft.index.BandLedger] = None): (CrawlStats, DataFrame) = {
+                bandLedger: Option[graft.index.BandLedger] = None,
+                timeLegs: Boolean = false): (CrawlStats, DataFrame) = {
+    // Per-leg profiling (timeLegs=true): each pipeline leg is FORCED
+    // (cache + count) inside a timer so wall time attributes to the
+    // leg that did the work instead of to whichever downstream action
+    // happened to trigger the lazy chain. Off by default — the extra
+    // materializing actions belong in a profiling run, not the
+    // production path.
+    val legSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def leg[T](name: String)(f: => T): T =
+      if (!timeLegs) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        legSecs(name) = legSecs.getOrElse(name, 0.0) + (System.nanoTime() - t0) / 1e9
+        r
+      }
     // selection may run at an adaptive horizon (backlog digging), but
     // merges/schedules always stamp wall-clock batchTime — scheduling
     // new discoveries at a frozen horizon would make them immediately
     // due and defeat the freeze
     val batch = store.selectBatch(spark, selectTime.getOrElse(batchTime),
       perBucket, maxKeys, limit, saltBuckets = saltBuckets)
-    val selected = batch.count()
+    val selected = leg("select")(batch.count())
     if (selected == 0)
       return (CrawlStats(0, 0, 0, 0, 0), spark.emptyDataFrame)
 
@@ -109,16 +128,18 @@ object CrawlTopology {
     val fetchedLive = FetchStage.fetch(spark, toFetch, protocols,
       crawlDelayMs = crawlDelayMs, respectRobots = respectRobots,
       sitemapDiscovery = sitemapDiscovery)
+    if (timeLegs) { fetchedLive.cache(); leg("fetch")(fetchedLive.count()) }
     contentStore.foreach { cs =>
       fetchedLive.cache() // store() is an action: populate before reuse
-      cs.store(fetchedLive
+      leg("content_store")(cs.store(fetchedLive
         .where(col("status") === Status.Fetched && col("content").isNotNull)
-        .select(col("url"), col("content"), lit(batchTime).as("fetch_time")))
+        .select(col("url"), col("content"), lit(batchTime).as("fetch_time"))))
     }
     val fetched = cachedRows.map(fetchedLive.unionByName(_)).getOrElse(fetchedLive)
     fetched.cache() // two consumers: parse branch + status merge branch
     val parsed = ParseStage.parse(fetched, chain)
     parsed.cache()
+    if (timeLegs) leg("parse_chain")(parsed.count())
 
     // attach the parse signature to the page's status row so the
     // adaptive scheduler's change detection has something to compare
@@ -171,7 +192,7 @@ object CrawlTopology {
     val updates = fetchStatuses.unionByName(redirectTargets)
       .unionByName(outlinkStatuses).unionByName(parseErrors)
       .unionByName(discoveredFromFetch)
-    store.merge(spark, updates, batchTime)
+    leg("merge")(store.merge(spark, updates, batchTime))
 
     val docs = parsed.where(col("kind") === "doc")
     // live index sink (IndexerBolt + DeletionBolt wiring): index this
@@ -215,14 +236,14 @@ object CrawlTopology {
         case Some(ledger) if dedupContent =>
           val keyed = batchDeduped.withColumn("__d",
             coalesce(col("signature"), sha2(col("url"), 256)))
-          val knownSet = ledger.knownAmong(spark,
+          val knownSet = leg("digest_ledger")(ledger.knownAmong(spark,
               keyed.select(col("__d").as("digest")))
-            .collect().map(_.getString(0)).toSeq // ≤ batch size
+            .collect().map(_.getString(0)).toSeq) // ≤ batch size
           val fresh =
             if (knownSet.isEmpty) keyed
             else keyed.where(!col("__d").isin(knownSet: _*))
           fresh.cache() // consumed twice: record + index
-          ledger.record(fresh.select(col("__d").as("digest")))
+          leg("digest_ledger")(ledger.record(fresh.select(col("__d").as("digest"))))
           (fresh.drop("__d"), Some(fresh))
         case _ => (batchDeduped, None)
       }
@@ -238,9 +259,9 @@ object CrawlTopology {
       val (toIndexFinal, bandCached) = bandLedger match {
         case Some(ledger) =>
           val withBands = graft.index.BandLedger.bandKeys(toIndex, "text")
-          val knownKeys = ledger.knownAmong(spark,
+          val knownKeys = leg("band_ledger")(ledger.knownAmong(spark,
               withBands.select("bk").distinct())
-            .collect().map(_.getString(0)).toSeq // ≤ 2 × batch size
+            .collect().map(_.getString(0)).toSeq) // ≤ 2 × batch size
           val fresh =
             if (knownKeys.isEmpty) toIndex
             else {
@@ -250,25 +271,28 @@ object CrawlTopology {
               toIndex.join(broadcast(suppressedUrls), Seq("url"), "left_anti")
             }
           fresh.cache() // consumed twice: record + index
-          ledger.record(
-            graft.index.BandLedger.bandKeys(fresh, "text").select("bk"))
+          leg("band_ledger")(ledger.record(
+            graft.index.BandLedger.bandKeys(fresh, "text").select("bk")))
           (fresh, Some(fresh))
         case None => (toIndex, None)
       }
       try {
-        sink.indexBatch(indexerMapping(toIndexFinal))
-        sink.deleteBatch(updates.where(col("status") === Status.Error).select("url"))
+        leg("index_sink") {
+          sink.indexBatch(indexerMapping(toIndexFinal))
+          sink.deleteBatch(updates.where(col("status") === Status.Error).select("url"))
+        }
       } finally {
         cached.foreach(_.unpersist())
         bandCached.foreach(_.unpersist())
       }
     }
-    val stats = CrawlStats(
-      selected = selected,
-      fetched = fetched.where(col("status") === Status.Fetched).count(),
-      failed = fetched.where(col("status").isin(Status.FetchError, Status.Error)).count(),
-      docs = docs.count(),
-      discovered = outlinkStatuses.count())
+    val (nFetched, nFailed, nDocs, nDisc) = leg("stats_counts")((
+      fetched.where(col("status") === Status.Fetched).count(),
+      fetched.where(col("status").isin(Status.FetchError, Status.Error)).count(),
+      docs.count(),
+      outlinkStatuses.count()))
+    val stats = CrawlStats(selected, nFetched, nFailed, nDocs, nDisc,
+      legs = legSecs.toMap)
     fetched.unpersist()
     if (contentStore.isDefined) fetchedLive.unpersist()
     (stats, docs)
