@@ -34,13 +34,23 @@ class ContentStore(path: String) {
     org.apache.spark.sql.types.StructField("fetch_time", org.apache.spark.sql.types.TimestampNTZType),
     org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType)))
 
-  /** Append content rows (url + content bytes + fetch time). */
+  /** Append content rows (url + content bytes + fetch time).
+    *
+    * The repartition-by-shard before the write is load-bearing: a
+    * partitionBy write from W tasks creates up to W files PER SHARD
+    * (measured: ~8 192 tiny parquet files per 10 k-page crawl cycle at
+    * 32 tasks — 19.5 s of the 62 s steady-state cycle was this commit
+    * overhead, the largest single leg). Clustering rows by shard first
+    * bounds the cycle's output at one file per shard present (≤256),
+    * which is also the object-store-correct shape (bounded PUTs and
+    * listings per batch). The shuffle moved is just the batch. */
   def store(df: DataFrame): Unit =
     df.select(
         sha2(col("url"), 256).as("url_sha256"),
         substring(sha2(col("url"), 256), 1, 2).as("shard"),
         col("url"), col("content"),
         col("fetch_time").cast("timestamp_ntz").as("fetch_time"))
+      .repartition(col("shard"))
       .write.mode("append").partitionBy("shard").parquet(path)
 
   /** Raw scan of all captures (empty typed frame before the first
