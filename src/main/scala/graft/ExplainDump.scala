@@ -50,7 +50,7 @@ object ExplainDump {
     "q45_stratified_sample" ->
       "Deterministic stratified sample: the id-hash bucket predicate is a codegen'd scan filter — map-only, no RNG state, column pruning intact; the unsampled 99.9% is never materialized.",
     "q46_top_terms" ->
-      "TF-IDF-shaped top-k: ONE scan+explode (df via count-over-term window on aggregated rows, not a self-join that re-scans); partial WindowGroupLimit prunes to k per doc BELOW the final exchange.",
+      "TF-IDF-shaped top-k with ZERO corpus-sized shuffles and ZERO sorts: df is vocab-sized (array_distinct dedups (doc,term) map-side, so the df aggregate ships ≤|vocab| rows per task), broadcast to a single mapPartitions that computes tf + top-3 per doc over the scan. The previous window formulation sorted the ~10⁹-row exploded frame twice and died on disk at sf1000; a TypedImperativeAggregate middle ground re-sorted it via ObjectHashAggregate's 128-group partial fallback. Huge-vocab corpora fall back to one hash shuffle by doc + broadcast df join + the native TopKTermsAgg. Face bounded: top-3000 by (doc_id, rank) ⇒ TakeOrderedAndProject.",
     "q53_decontaminate" ->
       "Benchmark decontamination, ADAPTIVE on the dedup family's duplication probe: the eval-set gram table (distinct 4-word shingles via the native single-pass distinct_shingles expression) is PINNED broadcast — eval sets are megabytes by contract, and unhinted size estimation was observed building the exploded CORPUS side instead — and on a unique corpus the doc-level pipeline stays map-only (scan → shingle → explode_outer → BroadcastHashJoin; explode_OUTER dodges InferFiltersFromGenerate, which otherwise pushes two extra full shingle evaluations per doc into the scan) until one per-doc HashAggregate that shuffles HIT rows only. On a replicated corpus, texts first collapse to one representative per content digest (fixed-width-only HashAggregate + join-back on id = rep), overlap prices by DISTINCT texts, and per-digest results expand back to members via a broadcast join — spec-pinned bit-identical to the doc-level path.",
     "q55_dup_spans" ->
