@@ -43,9 +43,12 @@ object CoverageQueries {
             |    concat('x.', event_type), 'v',
             |    'discard', 'y') AS md""".stripMargin.replace("\n", " "))
         .select(col("event_id"),
-          array_join(array_sort(map_keys(
-            map_filter(col("md"), (k, _) =>
-              k === "depth" || k === "signature" || k.startsWith("fetch.")))), ",").as("kept"))
+          // native TransferKeysExpr: the relational spelling's
+          // map_filter λ runs per map entry through the interpreted
+          // higher-order path — it was the suite's largest sf100 row
+          graft.functions.UrlExpressions.transferKeptKeys(col("md"),
+            exact = Seq("depth", "signature"), prefixes = Seq("fetch."))
+            .as("kept"))
         .groupBy("kept").agg(count(lit(1)).as("n"))
         .orderBy("kept")),
 

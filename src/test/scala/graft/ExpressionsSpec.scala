@@ -39,6 +39,34 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(dom == "example.co.uk")
   }
 
+  test("transfer_kept_keys matches the relational map_filter formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(1L, 2L, 3L).toDF("id").selectExpr("id",
+      """map('depth', cast(id as string),
+        |    'fetch.statusCode', '200',
+        |    'fetch.loadingTime', '5',
+        |    concat('x.', cast(id as string)), 'v',
+        |    'discard', 'y',
+        |    'signature', 's') AS md""".stripMargin.replace("\n", " "))
+    val relational = df.select($"id",
+      array_join(array_sort(map_keys(map_filter($"md", (k, _) =>
+        k === "depth" || k === "signature" || k.startsWith("fetch.")))), ",")
+        .as("kept"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val native = df.select($"id",
+      UrlExpressions.transferKeptKeys($"md",
+        exact = Seq("depth", "signature"), prefixes = Seq("fetch.")).as("kept"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(native == relational)
+    assert(native.head(1) == "depth,fetch.loadingTime,fetch.statusCode,signature")
+    // nothing kept => empty string, like array_join over an empty array
+    val none = Seq(1L).toDF("id").selectExpr("id", "map('a','b') AS md")
+      .select(UrlExpressions.transferKeptKeys($"md", Seq("z"), Seq("q.")))
+      .collect().head.getString(0)
+    assert(none == "")
+  }
+
   test("SQL registration + whole-stage codegen engages") {
     UrlExpressions.register(spark)
     val out = spark.sql(
