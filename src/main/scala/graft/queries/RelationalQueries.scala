@@ -36,18 +36,28 @@ object RelationalQueries {
     // 3-way join with broadcast dims: revenue by market segment + order
     // priority. customer/orders are the small sides at scale — broadcast
     // customer (dim), shuffle-join the fact once.
+    // PARTIAL AGGREGATION BELOW THE JOIN (a decomposition Catalyst does
+    // not derive itself): the final group keys (c_mktsegment via
+    // o_custkey, o_orderpriority) are functions of the ORDER, so
+    // lineitem pre-aggregates per l_orderkey before the join — the fact
+    // shuffle carries one narrow (key, decimal-sum, count) row per
+    // order instead of every line item (~4× fewer rows, far fewer
+    // bytes). DECIMAL partial sums re-aggregate exactly (associative),
+    // so the oracle hash is unchanged.
     "q13_join_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o  = t(s, dir, "orders")
       val c  = t(s, dir, "customer")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val liAgg = li.groupBy(col("l_orderkey")).agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .as("rev_part"),
+        count(lit(1)).as("cnt_part"))
+      liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderpriority"))
-        .agg(
-          sum((col("l_extendedprice").cast("decimal(18,2)") *
-               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))).cast("double")
-            .as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg(sum(col("rev_part")).cast("double").as("revenue"),
+          sum(col("cnt_part")).as("n_items"))
         .orderBy("c_mktsegment", "o_orderpriority")
     }),
 
