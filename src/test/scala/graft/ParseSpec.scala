@@ -110,4 +110,99 @@ class ParseSpec extends AnyFunSuite {
     val p = HtmlParser.parse("<a href=", "http://e.com/")
     assert(p.links.isEmpty)
   }
+
+  test("StAX parsers match a scala.xml DOM oracle on tricky documents") {
+    import scala.xml.XML
+    // DOM re-implementation of the original parser, kept as the spec
+    // oracle for the StAX rewrite (entities, CDATA, prefixes, nesting)
+    def domSitemap(content: String): Option[Seq[SitemapParser.SitemapEntry]] =
+      scala.util.Try {
+        val root = XML.loadString(content)
+        root.label match {
+          case "urlset" =>
+            (root \ "url").flatMap { u =>
+              (u \ "loc").headOption.map(_.text.trim).filter(_.nonEmpty).map { loc =>
+                val images = (u \ "image" \ "loc").map(_.text.trim).filter(_.nonEmpty)
+                val videos = ((u \ "video" \ "content_loc") ++ (u \ "video" \ "player_loc"))
+                  .map(_.text.trim).filter(_.nonEmpty)
+                val news = (u \ "news" \ "title").map(_.text.trim).filter(_.nonEmpty)
+                val media = Seq("image" -> images, "video" -> videos, "news.title" -> news)
+                  .filter(_._2.nonEmpty).toMap
+                SitemapParser.SitemapEntry(loc, (u \ "lastmod").headOption.map(_.text.trim),
+                  isSubSitemap = false, media = media)
+              }
+            }
+          case "sitemapindex" =>
+            (root \ "sitemap").flatMap { s =>
+              (s \ "loc").headOption.map(_.text.trim).filter(_.nonEmpty)
+                .map(l => SitemapParser.SitemapEntry(l,
+                  (s \ "lastmod").headOption.map(_.text.trim), isSubSitemap = true))
+            }
+          case _ => null
+        }
+      }.toOption.flatMap(Option(_)).map(_.toSeq)
+    def domFeed(content: String): Option[Seq[FeedParser.FeedEntry]] =
+      scala.util.Try {
+        val root = XML.loadString(content)
+        root.label match {
+          case "rss" | "RDF" =>
+            (root \\ "item").flatMap { i =>
+              (i \ "link").headOption.map(_.text.trim).filter(_.nonEmpty)
+                .map(l => FeedParser.FeedEntry(l, (i \ "title").headOption.map(_.text.trim)))
+            }
+          case "feed" =>
+            (root \ "entry").flatMap { e =>
+              (e \ "link")
+                .filter(l => l.attribute("rel").map(_.text)
+                  .forall(r => r.isEmpty || r == "alternate"))
+                .flatMap(l => l.attribute("href").map(_.text.trim))
+                .headOption.filter(_.nonEmpty)
+                .map(h => FeedParser.FeedEntry(h, (e \ "title").headOption.map(_.text.trim)))
+            }
+          case _ => null
+        }
+      }.toOption.flatMap(Option(_)).map(_.toSeq)
+
+    val sitemaps = Seq(
+      // entities + CDATA + namespace prefixes + nested extensions
+      """<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9"
+        |   xmlns:image="http://www.google.com/schemas/sitemap-image/1.1"
+        |   xmlns:video="http://www.google.com/schemas/sitemap-video/1.1">
+        |  <sm:url><sm:loc>http://a.example/?x=1&amp;y=2</sm:loc>
+        |    <sm:lastmod> 2024-01-01 </sm:lastmod>
+        |    <image:image><image:loc><![CDATA[http://a.example/i.png]]></image:loc></image:image>
+        |    <video:video><video:player_loc>http://a.example/p</video:player_loc>
+        |      <video:content_loc>http://a.example/c</video:content_loc></video:video>
+        |  </sm:url>
+        |  <sm:url><sm:loc></sm:loc><sm:loc>http://dropped.example/</sm:loc></sm:url>
+        |  <sm:url><sm:loc>  http://b.example/  </sm:loc></sm:url>
+        |</sm:urlset>""".stripMargin,
+      "<sitemapindex><sitemap><loc>http://s.example/a.xml</loc><lastmod>x</lastmod></sitemap><sitemap><other/></sitemap></sitemapindex>",
+      "<urlset></urlset>",          // valid empty
+      "<html><body>no</body></html>", // wrong root
+      "<urlset><url><loc>http",     // malformed
+      "")
+    sitemaps.foreach { doc =>
+      assert(SitemapParser.parseOption(doc) == domSitemap(doc), s"sitemap doc: $doc")
+    }
+
+    val feeds = Seq(
+      "<rss><channel><item><link> http://r.example/1 </link><title>t&amp;1</title></item><item><link></link></item></channel></rss>",
+      """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"><item><link>http://rdf.example/</link></item></rdf:RDF>""",
+      // Atom: rel=self first (skipped), rel-less with empty href next
+      // (decides and drops), rel=alternate later must NOT resurrect it
+      """<feed xmlns="http://www.w3.org/2005/Atom">
+        |  <entry><link rel="self" href="http://api.example/self"/>
+        |    <link href="http://atom.example/ok"/><title>ok</title></entry>
+        |  <entry><link rel="edit" href="http://api.example/e"/>
+        |    <link href=""/><link rel="alternate" href="http://late.example/"/></entry>
+        |  <entry><link rel="alternate" href=" http://alt.example/ "/></entry>
+        |</feed>""".stripMargin,
+      "<feed><entry><content><link href='http://nested.example/'/></content></entry></feed>",
+      "<div>not a feed</div>",
+      "<rss><channel><item><link>x")
+    feeds.foreach { doc =>
+      assert(FeedParser.parseOption(doc) == domFeed(doc), s"feed doc: $doc")
+    }
+  }
 }
