@@ -20,7 +20,9 @@ object ExplainDump {
     "q08_merge_dedup" ->
       "Merge-dedup ladder: single shuffle on sha256(url); everything else map-side.",
     "q13_join_revenue" ->
-      "Fact-dim joins: customer broadcast (BroadcastHashJoin), lineitem⋈orders shuffle once on the join key; AQE picks the final shape.",
+      "Fact-dim joins with PARTIAL AGGREGATION BELOW THE JOIN (a decomposition Catalyst does not derive): the final group keys are order-functional, so lineitem pre-aggregates (decimal partial-sum, count) per l_orderkey before joining orders — the fact shuffle carries one narrow row per order instead of every line item (measured 46.6→30.8 s at sf100; the rest is the scan). customer broadcasts; AQE picks the final join shape.",
+    "q18_metadata_transfer" ->
+      "MetadataTransfer key projection as ONE native codegen'd expression (TransferKeysExpr — whitelist exact keys + prefix globs, sort, join folded into a single per-row call). The relational spelling evaluated its map_filter lambda per MAP ENTRY through the interpreted higher-order-function path: 51 s at sf100, the suite's largest row; the native form is 4.9 s. Map-only + one tiny aggregate exchange.",
     "q15_latest_per_supplier" ->
       "Latest-per-key as ONE codegen'd hash aggregate: the (shipdate, orderkey, linenumber) tie-break packs into a single BIGINT (numeric order = lexicographic tie-break; ranges fail-fast checked) so the aggregate is max(long) with map-side partials — partial+final HashAggregate, no Sort, no Window (a row_number window would sort all of lineitem — WindowGroupLimit trims the window's OUTPUT, not the sort — and max(struct) falls back to SortAggregate, struct buffers not being UnsafeRow-mutable). The only Sort is the trailing oracle-determinism orderBy. Scales with supplier count, not row count.",
     "q21_minhash_sig" ->
