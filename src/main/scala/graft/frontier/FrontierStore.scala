@@ -92,7 +92,14 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     * generation and swap the manifest pointer atomically. */
   private def writeDelta(df: DataFrame, touched: Set[Int]): Unit = {
     val gen = s"delta_$nextGeneration"
-    df.write.partitionBy("bucket").mode("overwrite").parquet(s"$root/$gen")
+    // cluster by bucket before the partitionBy write: a partitionBy
+    // write from W tasks creates up to W files PER BUCKET (≈2 000 tiny
+    // files per delta at 32 tasks × 64 buckets — the ContentStore
+    // finding applied to the frontier), and every subsequent select
+    // pays the listing/open cost. One shuffle of the delta bounds the
+    // generation at one file per touched bucket.
+    df.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$root/$gen")
     val updated = manifest ++ touched.map(_ -> gen)
     val tmp = Paths.get(root, "_CURRENT.tmp")
     Files.createDirectories(Paths.get(root))
