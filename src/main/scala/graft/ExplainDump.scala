@@ -122,7 +122,7 @@ object ExplainDump {
     "q87_oov_rate" ->
       "Vocabulary coverage: ONE token aggregation (map-side partials) builds the frequency table, TakeOrdered trims it to the top-V vocabulary (per-partition heaps, never a global sort), the vocabulary broadcasts, and the OOV decision is a broadcast left join + integer aggregate over the token stream — the corpus shuffles once (the count), everything else is map-only. oov_ppm is integer floor division: engine-exact.",
     "q88_warc_roundtrip" ->
-      "WARC round-trip through the REAL sink and source: foreachPartition writes gzipped WARC shards (warcinfo + HTTP response records — one file per partition, attempt-id-named so speculative retries can't interleave), the binaryFile source reads them back through the record + HTTP parsers as ONE mapPartitions (map-only; shard-parallel, which is how 100 TB of WARC actually parallelizes — per-FILE, the WARC format having no intra-file split points without an index), and the recovered bodies hash byte-exact against the originals. The only exchange is the presentation sort.",
+      "WARC round-trip through the REAL sink and source: foreachPartition writes gzipped WARC shards (warcinfo + HTTP response records — one file per partition, attempt-id-named so speculative retries can't interleave; shard count follows the core count, gzip being single-threaded per shard), the binaryFile source reads them back through the record + HTTP parsers as ONE mapPartitions (map-only; shard-parallel, which is how 100 TB of WARC actually parallelizes — per-FILE, the WARC format having no intra-file split points without an index). The face verifies EVERY recovered body byte-exactly via per-source order-insensitive md5-prefix sums — one output row per source, no O(corpus) sort (measured 31.7→12.5 s at sf100). The only exchange is the tiny per-source aggregate.",
     "q84_robots_batch" ->
       "Batch robots evaluation — parse per HOST, match per URL (the reference caches parsed rules per host for the same asymmetry): the real RobotRules parser runs as a UDF over the host-count-sized rules table ONLY (20 rows here; 10⁵-10⁷ hosts at web scale — still dim-table-sized), the parsed allow/disallow arrays broadcast onto the frontier, and the per-URL longest-match decision is codegen'd column algebra (filter + aggregate over the rule arrays) — no UDF, no parse, no regex on the billion-row side. One broadcast join + one count aggregate; the frontier never shuffles.",
     "q85_cluster_best_rep" ->
