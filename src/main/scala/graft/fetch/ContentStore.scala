@@ -43,15 +43,25 @@ class ContentStore(path: String) {
     * overhead, the largest single leg). Clustering rows by shard first
     * bounds the cycle's output at one file per shard present (≤256),
     * which is also the object-store-correct shape (bounded PUTs and
-    * listings per batch). The shuffle moved is just the batch. */
-  def store(df: DataFrame): Unit =
+    * listings per batch). The shuffle moved is just the batch.
+    *
+    * The partition count is PINNED (min(256, cluster parallelism)):
+    * an unpinned `repartition(col)` lets AQE coalesce a small batch to
+    * ONE task, which then writes all ~256 shard files serially at
+    * ~13 ms of parquet-writer setup each — measured 3.4 s vs 0.5 s for
+    * the same 50 k-row append. Pinning keeps the write parallel while
+    * each shard still hashes to exactly one task (≤1 file/shard). */
+  def store(df: DataFrame): Unit = {
+    val parts = math.min(256,
+      df.sparkSession.sparkContext.defaultParallelism).max(1)
     df.select(
         sha2(col("url"), 256).as("url_sha256"),
         substring(sha2(col("url"), 256), 1, 2).as("shard"),
         col("url"), col("content"),
         col("fetch_time").cast("timestamp_ntz").as("fetch_time"))
-      .repartition(col("shard"))
+      .repartition(parts, col("shard"))
       .write.mode("append").partitionBy("shard").parquet(path)
+  }
 
   /** Raw scan of all captures (empty typed frame before the first
     * write; filesystem probe goes through the Hadoop FS API so hdfs://

@@ -97,8 +97,15 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     // files per delta at 32 tasks × 64 buckets — the ContentStore
     // finding applied to the frontier), and every subsequent select
     // pays the listing/open cost. One shuffle of the delta bounds the
-    // generation at one file per touched bucket.
-    df.repartition(col("bucket"))
+    // generation at one file per touched bucket. The count is PINNED
+    // (min(buckets, parallelism)): an unpinned repartition(col) lets
+    // AQE coalesce a small delta to ONE task that writes every bucket
+    // file serially (~13 ms parquet-writer setup each — the
+    // ContentStore measurement); pinning keeps the write parallel
+    // while each bucket still hashes to exactly one task.
+    df.repartition(
+        math.min(numBuckets, df.sparkSession.sparkContext.defaultParallelism).max(1),
+        col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$root/$gen")
     val updated = manifest ++ touched.map(_ -> gen)
     val tmp = Paths.get(root, "_CURRENT.tmp")
