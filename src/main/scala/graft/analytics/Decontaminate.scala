@@ -135,13 +135,39 @@ object Decontaminate {
 
   /** (g, bench_id = min owning benchmark id) per distinct eval-set
     * gram. Small by contract — callers broadcast it. */
+  /** (gram → min benchmark id) table. ADAPTIVE on verbatim-duplicate
+    * eval mass: a replicated benchmark table (the gen_scale shape —
+    * same texts, shifted ids) otherwise explodes one gram row per
+    * COPY into the group-by exchange (measured at sf1000: the q53
+    * bench side is ~3.8 M rows of ~5 k distinct texts — a tens-of-GB
+    * gram shuffle that spilled the suite to 26.7× for 10× data), so
+    * with duplicates present the bench collapses to one representative
+    * per content digest BEFORE shingling and grams are priced by
+    * DISTINCT texts. Identical output by construction: every doc
+    * containing gram g belongs to a digest whose representative also
+    * contains g, and that digest's bench_id is the min member id — so
+    * min over reps = min over all members, gram by gram. On a
+    * dup-free benchmark the collapse is pure overhead and the direct
+    * explode runs. */
   private def benchGrams(bench: DataFrame, idCol: String, textCol: String,
-                         k: Int): DataFrame =
-    bench.select(
+                         k: Int): DataFrame = {
+    val perDoc =
+      if (Dedup.noVerbatimDups(bench, textCol, textCol))
+        bench.select(col(idCol).cast("long").as("bench_id"), col(textCol))
+      else {
+        val mins = bench
+          .select(col(idCol).cast("long").as("doc_id"), md5(col(textCol)).as("digest"))
+          .groupBy("digest").agg(min("doc_id").as("bench_id"))
+        bench.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+          .join(mins, col("doc_id") === col("bench_id"))
+          .select(col("bench_id"), col(textCol))
+      }
+    perDoc.select(
         explode_outer(graft.functions.TextHashExpressions
           .distinctShingles(col(textCol), k)).as("g"),
-        col(idCol).cast("long").as("doc_id"))
-      .groupBy("g").agg(min("doc_id").as("bench_id"))
+        col("bench_id"))
+      .groupBy("g").agg(min("bench_id").as("bench_id"))
+  }
 
   /** Contamination ATTRIBUTION: for each corpus doc sharing at least
     * `minShared` distinct k-grams with some eval doc, report WHICH
