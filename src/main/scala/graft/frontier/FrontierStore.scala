@@ -189,15 +189,8 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
 
     // Precedence within the merge batch and against existing rows:
     // non-DISCOVERED incoming > existing > DISCOVERED incoming, then
-    // recency. Encoded as a sort key consumed by min_by inside ONE
-    // HASH aggregate — the whole WHEN MATCHED/NOT MATCHED ladder is a
-    // groupBy(url_sha256), not a sort window. The hash shape matters
-    // at scale: partial (map-side) aggregation collapses duplicate
-    // DISCOVERED rows for the same URL *before* the shuffle, so a
-    // viral URL discovered by millions of pages ships one row per map
-    // task instead of millions into one reducer (the window spelling
-    // shuffled every duplicate and sorted it in a single partition —
-    // a guaranteed hot key on exactly the rows crawls duplicate most).
+    // recency. Encoded as a sort rank inside one window — a single
+    // shuffle implements the whole WHEN MATCHED/NOT MATCHED ladder.
     val rank =
       when(col("incoming") === 1 && col("status") =!= Status.Discovered, 0)
         .when(col("incoming") === 0, 1)
@@ -206,38 +199,30 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     // (the exactly-once argument rests on idempotent replay): among
     // duplicate DISCOVERED rows the shallowest discovery wins (its
     // outlinks have the most depth budget left), then a content hash
-    // of the metadata as a total order of last resort. Nulls are
-    // mapped to the type's minimum so struct comparison reproduces the
-    // window's ASC NULLS FIRST exactly; any residual tie implies the
-    // competing rows are bytewise identical (same url via the sha key,
-    // status/depth/metadata-hash in the key, error_count a function of
-    // status), so min_by's pick is unique in value even when not in
-    // row identity.
+    // of the metadata as a total order of last resort.
     val depthC = graft.model.MetadataOps.mdFirst(col("metadata"), "depth").cast("int")
-    val ord = struct(
-      rank.as("r"), col("status").as("s"),
-      coalesce(depthC, lit(Int.MinValue)).as("d"),
-      coalesce(xxhash64(to_json(col("metadata"))), lit(Long.MinValue)).as("h"))
-    val payload = struct(
-      col("url"), col("status"), col("next_fetch_date"), col("key"),
-      col("bucket"), col("metadata"), col("error_count"), col("incoming"))
+    val w = Window.partitionBy(col("url_sha256"))
+      .orderBy(rank, col("status"), depthC.asc_nulls_first,
+        xxhash64(to_json(col("metadata"))))
+
+    val wAll = Window.partitionBy(col("url_sha256"))
     val unioned = existing.unionByName(incoming)
-      .groupBy(col("url_sha256"))
-      .agg(
-        min_by(payload, ord).as("best"),
-        // carry the error history: sum error counts across merged rows,
-        // capped escalation handled below
-        sum(col("error_count")).as("total_errors"),
-        // previous signature/interval for the adaptive scheduler
-        // (AdaptiveScheduler.java:140-318) — carried beside the agg so
-        // the surviving row can compare against what the store held
+      .withColumn("rn", row_number().over(w))
+      // carry the error history: sum error counts across merged rows,
+      // capped escalation handled below
+      .withColumn("total_errors", sum(col("error_count")).over(wAll))
+      // previous signature/interval for the adaptive scheduler
+      // (AdaptiveScheduler.java:140-318) — window-carried so the
+      // surviving row can compare against what the store held
+      .withColumn("old_sig",
         max(when(col("incoming") === 0,
-          graft.model.MetadataOps.mdFirst(col("metadata"), "signature"))).as("old_sig"),
+          graft.model.MetadataOps.mdFirst(col("metadata"), "signature"))).over(wAll))
+      .withColumn("old_interval",
         max(when(col("incoming") === 0,
           graft.model.MetadataOps.mdFirst(col("metadata"), "fetchInterval").cast("double")))
-          .as("old_interval"))
-      .select(col("url_sha256"), col("best.*"),
-        col("total_errors"), col("old_sig"), col("old_interval"))
+          .over(wAll))
+      .where(col("rn") === 1)
+      .drop("rn")
 
     val escalated = unioned
       .withColumn("error_count",

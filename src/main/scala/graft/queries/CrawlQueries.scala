@@ -108,16 +108,11 @@ object CrawlQueries {
     // the production merge path (`FrontierStore.merge`) prices by
     // touched buckets and never runs this full-view window.
     "q08_merge_dedup" -> ((s, dir) => {
-      // first-writer-wins dedup as a HASH aggregate: min_by picks the
-      // earliest (next_fetch_date, event_id) row's status per URL key —
-      // same answer as the row_number window, but with map-side partial
-      // aggregation (duplicates collapse before the shuffle) and no
-      // per-partition sort. event_id is unique, so the pick is total.
       val v = statusView(s, dir)
         .withColumn("url_sha256", CrawlFunctions.urlSha256(col("url")))
-      v.groupBy(col("url_sha256"))
-        .agg(min_by(col("status"),
-          struct(col("next_fetch_date"), col("event_id"))).as("status"))
+      val w = Window.partitionBy(col("url_sha256")).orderBy(col("next_fetch_date"), col("event_id"))
+      v.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
         .groupBy(col("status")).agg(count(lit(1)).as("n"))
         .orderBy("status")
     }),
