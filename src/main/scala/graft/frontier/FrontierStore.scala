@@ -191,6 +191,13 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     // non-DISCOVERED incoming > existing > DISCOVERED incoming, then
     // recency. Encoded as a sort rank inside one window — a single
     // shuffle implements the whole WHEN MATCHED/NOT MATCHED ladder.
+    // Measured dead end (round 14, sf100 isolation min-of-2): folding
+    // the ladder into one groupBy(url_sha256).agg(min_by(payload, ord),
+    // sum, max, max) is 7× SLOWER (q94 266 s vs 36.5 s) — struct agg
+    // buffers aren't UnsafeRow-mutable, so both aggregation phases
+    // fall back to SortAggregate, and with ~unique url keys the
+    // map-side partial collapses nothing. The window shape is the
+    // right one here.
     val rank =
       when(col("incoming") === 1 && col("status") =!= Status.Discovered, 0)
         .when(col("incoming") === 0, 1)
