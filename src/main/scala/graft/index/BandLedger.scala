@@ -52,12 +52,20 @@ class BandLedger(path: String) {
   }
 
   /** Append band keys (idempotent for readers — membership is a set
-    * question). */
-  def record(bandKeys: DataFrame): Unit =
+    * question).
+    *
+    * Clustered by shard before the partitionBy write (the ContentStore
+    * finding — see [[DigestLedger.record]]): bounds each append at one
+    * file per shard present instead of one per (task × shard). */
+  def record(bandKeys: DataFrame): Unit = {
+    val parts = math.min(256,
+      bandKeys.sparkSession.sparkContext.defaultParallelism).max(1)
     bandKeys.select(col("bk"),
         substring(md5(col("bk")), 1, 2).as("shard"))
       .distinct()
+      .repartition(parts, col("shard"))
       .write.mode("append").partitionBy("shard").parquet(path)
+  }
 }
 
 object BandLedger {

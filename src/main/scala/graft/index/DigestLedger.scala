@@ -53,10 +53,21 @@ class DigestLedger(path: String) {
   }
 
   /** Append digests (idempotent for readers — membership is a set
-    * question, duplicate rows across appends are harmless). */
-  def record(digests: DataFrame): Unit =
+    * question, duplicate rows across appends are harmless).
+    *
+    * Clustered by shard before the partitionBy write (the ContentStore
+    * finding): an unclustered write from W tasks creates up to W files
+    * PER SHARD per cycle, and every later cycle's [[knownAmong]] pays
+    * the listing/open cost of the accumulated pile. The count is
+    * pinned so AQE can't coalesce a small batch to one task that
+    * writes all ~256 shard files serially. */
+  def record(digests: DataFrame): Unit = {
+    val parts = math.min(256,
+      digests.sparkSession.sparkContext.defaultParallelism).max(1)
     digests.select(col("digest"),
         substring(col("digest"), 1, 2).as("shard"))
       .distinct()
+      .repartition(parts, col("shard"))
       .write.mode("append").partitionBy("shard").parquet(path)
+  }
 }
