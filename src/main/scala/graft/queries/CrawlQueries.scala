@@ -108,8 +108,13 @@ object CrawlQueries {
     // the production merge path (`FrontierStore.merge`) prices by
     // touched buckets and never runs this full-view window.
     "q08_merge_dedup" -> ((s, dir) => {
+      // The dedup key is the 32-BYTE sha256 digest, not its 64-char hex
+      // rendering: the key is most of the shuffled row here, and hex
+      // doubles its width — measured at sf1000 (1 B rows) the hex-keyed
+      // window exhausted this host's scratch disk where the binary key
+      // fits. Same equivalence classes, same counts.
       val v = statusView(s, dir)
-        .withColumn("url_sha256", CrawlFunctions.urlSha256(col("url")))
+        .withColumn("url_sha256", unhex(CrawlFunctions.urlSha256(col("url"))))
       val w = Window.partitionBy(col("url_sha256")).orderBy(col("next_fetch_date"), col("event_id"))
       v.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
