@@ -108,14 +108,21 @@ object CrawlQueries {
     // the production merge path (`FrontierStore.merge`) prices by
     // touched buckets and never runs this full-view window.
     "q08_merge_dedup" -> ((s, dir) => {
-      // The dedup key is the 32-BYTE sha256 digest, not its 64-char hex
-      // rendering: the key is most of the shuffled row here, and hex
-      // doubles its width — measured at sf1000 (1 B rows) the hex-keyed
-      // window exhausted this host's scratch disk where the binary key
-      // fits. Same equivalence classes, same counts.
+      // The dedup key is the 16-BYTE binary MD5 digest — the reference's
+      // own content-identity signature (`MD5SignatureParseFilter.java`),
+      // and the narrowest collision-safe key. Width matters more than
+      // anything else here: the digest is random bytes (incompressible),
+      // the groups are ~all-distinct at scale (no map-side collapse), so
+      // the window exchange carries ≈ rows × key-width of scratch. At
+      // sf1000 (1 B rows, ~30 GB free scratch on this host) the 64-char
+      // hex sha256 key (~64 GB) and the 32-byte binary sha256 key
+      // (~48 GB) both exhausted scratch; the md5 key (~32 GB inc.
+      // payload) is what fits. Same equivalence classes (128-bit
+      // collision-free on any real corpus), same counts; the oracle
+      // mirrors with DuckDB md5().
       val v = statusView(s, dir)
-        .withColumn("url_sha256", unhex(CrawlFunctions.urlSha256(col("url"))))
-      val w = Window.partitionBy(col("url_sha256")).orderBy(col("next_fetch_date"), col("event_id"))
+        .withColumn("url_digest", unhex(md5(col("url"))))
+      val w = Window.partitionBy(col("url_digest")).orderBy(col("next_fetch_date"), col("event_id"))
       v.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .groupBy(col("status")).agg(count(lit(1)).as("n"))
@@ -932,8 +939,8 @@ object CrawlQueries {
 
     "q08_merge_dedup" ->
       s"""WITH status_view AS (${Tables.statusViewSql}),
-         |v AS (SELECT *, sha256(url) AS url_sha256 FROM status_view),
-         |d AS (SELECT status, row_number() OVER (PARTITION BY url_sha256 ORDER BY next_fetch_date, event_id) AS rn FROM v)
+         |v AS (SELECT *, md5(url) AS url_digest FROM status_view),
+         |d AS (SELECT status, row_number() OVER (PARTITION BY url_digest ORDER BY next_fetch_date, event_id) AS rn FROM v)
          |SELECT status, count(*) AS n FROM d WHERE rn = 1 GROUP BY status ORDER BY status""".stripMargin,
 
     "q09_indexer_projection" ->
