@@ -25,13 +25,24 @@ object CrawlQueries {
     // terms-agg + top_hits (`AggregationSpout.java:110-166`) / SQLSpout's
     // rank() window (`SQLSpout.java:120-139`). Window shuffles once on
     // `key`; the status filter is pushed to the scan.
+    // Top-3-due-per-host via the native min-k aggregate, not a window:
+    // the `row_number <= 3` spelling local-sorts every queue row under
+    // the WindowGroupLimit (measured 26 s warm at sf1000's 10⁹ rows,
+    // 1.5 µs/row — string compares + the per-row url concat dominate);
+    // the bounded buffer touches each row with one long compare, builds
+    // the url string ~never (lazy tie-break gate), and ships ≤3 rows
+    // per host per map task. Group key is the LONG key_id; the key
+    // string renders on the ≤60-row output (bijection — see Tables).
     "q02_frontier_topk" -> ((s, dir) => {
-      val w = Window.partitionBy(col("key")).orderBy(col("next_fetch_date"), col("url"))
       statusView(s, dir)
         .where(col("status") === "DISCOVERED")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 3)
-        .select(col("key"), col("url"), col("next_fetch_date"), col("rn"))
+        .groupBy(col("key_id"))
+        .agg(graft.functions.MinKByOrdStrAgg
+          .minKByOrdStr(col("next_fetch_date"), col("url"), 3).as("top"))
+        .select(col("key_id"), posexplode(col("top")))
+        .select(concat(lit("host"), col("key_id").cast("string"), lit(".example.com")).as("key"),
+          col("col.s").as("url"), col("col.ord").as("next_fetch_date"),
+          (col("pos") + 1).cast("int").as("rn"))
         .orderBy(col("key"), col("rn"))
     }),
 
@@ -158,14 +169,18 @@ object CrawlQueries {
         .limit(50)),
 
     // Purgatory anti-join (`AbstractQueryingSpout.java:149-175`): due
-    // candidates minus in-flight set. Broadcast-able small side.
+    // candidates minus in-flight set. Broadcast-able small side. The
+    // per-row join and group key is the LONG key_id (bijective with the
+    // key string); the key renders on the 20-row aggregate — at sf1000
+    // the string-keyed probe alone cost 46 s (see Tables.statusView).
     "q11_purgatory_antijoin" -> ((s, dir) => {
       val v = statusView(s, dir)
       val inflight = v.where(col("status") === "FETCH_ERROR" && col("event_id") % 97 === 0)
-        .select(col("key").as("k")).distinct()
+        .select(col("key_id").as("k")).distinct()
       v.where(col("status") === "DISCOVERED")
-        .join(broadcast(inflight), v("key") === inflight("k"), "left_anti")
-        .groupBy("key").agg(count(lit(1)).as("n"))
+        .join(broadcast(inflight), v("key_id") === inflight("k"), "left_anti")
+        .groupBy("key_id").agg(count(lit(1)).as("n"))
+        .select(concat(lit("host"), col("key_id").cast("string"), lit(".example.com")).as("key"), col("n"))
         .orderBy("key")
     }),
 

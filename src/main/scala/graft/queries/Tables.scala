@@ -43,6 +43,12 @@ object Tables {
       "event_id",
       "concat('https://host', cast(user_id % 20 as string), '.example.com/page/', cast(event_id as string)) AS url",
       "concat('host', cast(user_id % 20 as string), '.example.com') AS key",
+      // the LONG key index behind `key` (bijection): per-row joins and
+      // aggregations should key on this and render the string key on
+      // the post-agg rows — measured at sf1000 (1 B rows) a broadcast
+      // anti-join probing on the STRING key cost 46 s that the long
+      // key doesn't (50.5 vs 6.9 s end-to-end, identical classes).
+      "user_id % 20 AS key_id",
       """CASE event_type
            WHEN 'purchase' THEN 'FETCHED'
            WHEN 'view'     THEN 'DISCOVERED'
@@ -65,6 +71,7 @@ object Tables {
       |  event_id,
       |  concat('https://host', CAST(user_id % 20 AS VARCHAR), '.example.com/page/', CAST(event_id AS VARCHAR)) AS url,
       |  concat('host', CAST(user_id % 20 AS VARCHAR), '.example.com') AS key,
+      |  user_id % 20 AS key_id,
       |  CASE event_type
       |    WHEN 'purchase' THEN 'FETCHED'
       |    WHEN 'view'     THEN 'DISCOVERED'

@@ -57,7 +57,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("text"), readSchema)
   }
 
-  test("q02 frontier top-K plans exactly one shuffle (the window)") {
+  test("q02 frontier top-K plans exactly one shuffle (the min-k aggregate)") {
     assert(shuffles("q02_frontier_topk") == 1)
   }
 
