@@ -102,13 +102,21 @@ class ContentStore(path: String) {
             maxAgeMs: Option[Long] = None,
             asOfMs: Long = System.currentTimeMillis()): (DataFrame, DataFrame) = {
     val keyed = batch.withColumn("url_sha256", sha2(col("url"), 256))
-    // the batch is bounded by the frontier selection limit: collecting
-    // its ≤256 distinct shard prefixes is driver-cheap and turns the
-    // store scan into a partition-pruned read
+    // collecting the batch's distinct shard prefixes is driver-cheap at
+    // ANY batch size (≤256 two-hex-char strings) and turns the store
+    // scan into a partition-pruned read
     val shards = keyed.select(substring(col("url_sha256"), 1, 2).as("s"))
       .distinct().collect().map(_.getString(0))
+    // NO broadcast hints: a production fetch batch is bounded by the
+    // frontier selection limit and AQE broadcasts it from its RUNTIME
+    // size anyway, but a hint makes the plan die on oversized batches
+    // (measured at sf1000: hinting the 16.7 M-url batch collected
+    // >1 GB of digests to the driver — maxResultSize abort — and the
+    // hits hint would have broadcast full content BODIES). Unhinted,
+    // the same code serves both: broadcast when small, shuffle join
+    // when someone replays a corpus through the cache check.
     val sliver = raw(spark).where(col("shard").isin(shards.toSeq: _*))
-      .join(broadcast(keyed.select(col("url_sha256"))), Seq("url_sha256"), "left_semi")
+      .join(keyed.select(col("url_sha256")), Seq("url_sha256"), "left_semi")
     val freshEnough = maxAgeMs match {
       case Some(age) => newestPerDigest(sliver).where(
         col("fetch_time") >= lit(new java.sql.Timestamp(asOfMs - age)).cast("timestamp_ntz"))
@@ -116,8 +124,8 @@ class ContentStore(path: String) {
     }
     val cached = freshEnough.select(
       col("url_sha256"), col("content"), col("fetch_time").as("cached_at"))
-    val hits = keyed.join(broadcast(cached), Seq("url_sha256"))
-    val misses = keyed.join(broadcast(cached.select(col("url_sha256"))),
+    val hits = keyed.join(cached, Seq("url_sha256"))
+    val misses = keyed.join(cached.select(col("url_sha256")),
       Seq("url_sha256"), "left_anti")
     (hits, misses)
   }
