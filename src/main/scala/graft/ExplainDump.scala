@@ -16,9 +16,9 @@ object ExplainDump {
     "q01_pricing_summary" ->
       "Scan-heavy agg: shipdate filter + 6-column pruning reach the parquet scan (PushedFilters/ReadSchema); partial_sum map-side, one tiny shuffle.",
     "q02_frontier_topk" ->
-      "The frontier query: status filter pushed to scan, ONE hash shuffle (window partitionBy key); the trailing sort is oracle-determinism only.",
+      "Top-3-due-per-host as the native MIN-K AGGREGATE (MinKByOrdStrAgg), not a window: the row_number spelling local-sorts every queue row under the WindowGroupLimit (26 s warm at sf1000's 10⁹ rows); the bounded ≤k buffer costs one long compare per row, evaluates the url string lazily (the concat ~never runs), and ships ≤3 rows per host per map task through the single hash shuffle. 20.7 s at sf1000, sub-linear.",
     "q08_merge_dedup" ->
-      "Merge-dedup ladder: single shuffle on sha256(url); everything else map-side.",
+      "Merge-dedup ladder: single shuffle on the 16-byte binary md5(url) — the groups are ~all-distinct at scale so NOTHING collapses map-side and the exchange carries ≈ rows × key-width; key width is the only lever (64-char hex sha256 and 32-byte binary sha256 both exhausted this host's scratch at sf1000's 1 B rows; md5 fits). Everything else map-side.",
     "q13_join_revenue" ->
       "Fact-dim joins with PARTIAL AGGREGATION BELOW THE JOIN (a decomposition Catalyst does not derive): the final group keys are order-functional, so lineitem pre-aggregates (decimal partial-sum, count) per l_orderkey before joining orders — the fact shuffle carries one narrow row per order instead of every line item (measured 46.6→30.8 s at sf100; the rest is the scan). customer broadcasts; AQE picks the final join shape.",
     "q18_metadata_transfer" ->
