@@ -70,6 +70,19 @@ class MinKAggSpec extends AnyFunSuite {
     assertSame(df, 5)
   }
 
+  test("matches window past ObjectHashAggregate's group fallback (>128 groups)") {
+    import spark.implicits._
+    // ObjectHashAggregate falls back to sort-based aggregation after
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128)
+    // distinct groups per partition — the buffer must survive the
+    // sort-based path's serialize/deserialize round-trips too
+    val rows = (0 until 6000).map { i =>
+      ((i % 500).toLong, (i * 31 % 13).toLong, "v" + (i * 7 % 19))
+    }
+    val df = rows.toDF("g", "o", "s").repartition(3)
+    assertSame(df, 2)
+  }
+
   test("timestamp_ntz order column keeps its logical type") {
     import spark.implicits._
     val df = Seq(
