@@ -58,6 +58,14 @@ object Bench {
           "or set SPARK_GRAFT_ALLOW_DIRTY=1 to override (artifact will be stamped -dirty).")
       sys.exit(2)
     }
+    // disk preflight (VERDICT r13 ask #4): a 99%-full host produced two
+    // disk-pressure-shaped defects in r13 — refuse with a named reason
+    // instead of benching into scratch exhaustion.
+    try Disk.preflight("bench") catch {
+      case e: IllegalStateException =>
+        System.err.println(e.getMessage)
+        sys.exit(3)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Scale-aware shuffle sizing: start reduce stages WIDE and let AQE
@@ -117,6 +125,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
+    // per-failed-query reason (class + truncated message) — an artifact
+    // row `errors:["q94_crawl_cycle"]` with no message cost round 13 an
+    // adjudication (VERDICT ask #5); the reason rides in the artifact.
+    val errorDetails = scala.collection.mutable.Map.empty[String, String]
     def runSuite(dir: String): Map[String, Double] = {
       val qs = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
@@ -130,6 +142,9 @@ object Bench {
             try { fn(spark, dir).count(); true }
             catch { case e: Throwable =>
               System.err.println(s"bench: $name FAILED: ${e.getMessage}")
+              val reason = (e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("(no message)")).take(300)
+              errorDetails.getOrElseUpdate(name, reason)
               false
             }
           val t = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
@@ -196,33 +211,56 @@ object Bench {
     // a driver-written round artifact (LEAKCHECK.json, BENCH_r*.json)
     // can't change the measured code, so it must not taint the sha.
     val dirty = if (affectsCompiledClasses(gitPorcelain())) "-dirty" else ""
+    val freeGb = f"${Disk.freeGb()}%.1f"
+    val details =
+      if (errorDetails.isEmpty) ""
+      else s""","error_details":${errorDetails.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":\"" + v.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+          case '\r' => "\\r"; case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+        } + "\""
+      }.mkString("{", ",", "}")}"""
+    // FULL line (per-query map, sf0.01 pass, error details) — artifact
+    // file + stderr only. The driver's stdout tail capture truncated
+    // this ~5 KB object two rounds running (BENCH parsed:null), so the
+    // full map must never be the line the driver parses.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"commit":"$commit$dirty"$onlyKey${errs(results :: small.toList: _*)},"queries":${js(results)},"sf":"$sfDir"$extra}"""
-    println(line)
-    // also land the line in a file: the driver's captured-stdout tail
-    // has truncated the JSON twice running — the artifact must survive.
-    // Path from env (SPARK_GRAFT_BENCH_OUT) with a fallback OUTSIDE
-    // the worktree (tmpdir): a scratch file inside the repo makes the
-    // NEXT bench in a series report a -dirty sha. Best-effort: an
-    // unwritable path must not turn a finished benchmark into a
-    // failure after the results printed.
-    // The fallback name embeds the pid so concurrent bench runs on a
-    // shared host never clobber each other, and the chosen path is
-    // printed (stderr — stdout must stay one JSON line) so whoever
-    // collects the artifact knows exactly which file this run wrote.
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb$onlyKey${errs(results :: small.toList: _*)}$details,"queries":${js(results)},"sf":"$sfDir"$extra}"""
+    // land the full line in a file. Path from env (SPARK_GRAFT_BENCH_OUT)
+    // with a fallback OUTSIDE the worktree (tmpdir): a scratch file
+    // inside the repo makes the NEXT bench in a series report a -dirty
+    // sha. Best-effort: an unwritable path must not turn a finished
+    // benchmark into a failure after the results printed. The fallback
+    // name embeds the pid so concurrent bench runs never clobber each
+    // other.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
       val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
       val pid = ProcessHandle.current().pid()
       s"$base/${if (only.isDefined) "graft_bench_subset" else "graft_bench_out"}_$pid.json"
     })
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"bench: artifact written to $outPath")
-    } catch {
-      case e: Exception =>
-        System.err.println(s"bench: could not write $outPath: $e (results are on stdout)")
-    }
+    val wrote =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"bench: full artifact written to $outPath")
+        true
+      } catch {
+        case e: Exception =>
+          System.err.println(s"bench: could not write $outPath: $e (full line follows on stderr)")
+          false
+      }
+    System.err.println(line)
+    // COMPACT final stdout line (VERDICT r13 ask #3): small enough
+    // (~250 B) that the driver's tail capture always contains one
+    // complete JSON object — total, query count, errors, provenance,
+    // and the artifact path holding the per-query map. If the artifact
+    // file could not be written, fall back to the full line so the
+    // per-query data is never lost entirely.
+    val nOk = results.values.count(!_.isNaN)
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb$onlyKey${errs(results :: small.toList: _*)},"artifact":"$outPath","sf":"$sfDir"}"""
+    println(if (wrote) compact else line)
     spark.stop()
   }
 }

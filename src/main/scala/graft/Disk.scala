@@ -1,0 +1,36 @@
+package graft
+
+/** Free-disk preflight (VERDICT r13 ask #4): both of round 13's defects
+  * (the q88 hash flake, the q94 sf300 error) happened on a host at 99%
+  * disk — store-backed faces shuffle and write scratch, and a full disk
+  * turns into silent corruption or an unexplained task death instead of
+  * a named failure. Every long-running entrypoint (Bench, Verify) and
+  * every scratch allocation preflights free space and refuses LOUDLY
+  * below the threshold, and every bench artifact records `disk_free_gb`
+  * so an artifact measured under disk pressure is self-evident.
+  */
+object Disk {
+  /** GB free (usable by this process) on the filesystem holding `path`. */
+  def freeGb(path: String = sys.props.getOrElse("java.io.tmpdir", "/tmp")): Double =
+    new java.io.File(path).getUsableSpace / 1e9
+
+  /** Threshold: env-overridable; 5 GB default covers the gate SFs —
+    * large-SF campaigns should raise it (e.g. 40 at sf300). */
+  def minFreeGb: Double =
+    sys.env.get("SPARK_GRAFT_MIN_FREE_GB").flatMap(_.toDoubleOption).getOrElse(5.0)
+
+  /** Pure decision (spec-tested): refuse iff below threshold. */
+  def belowThreshold(free: Double, min: Double): Boolean = free < min
+
+  /** Throws with a named reason if the tmpdir filesystem is under the
+    * free-space floor — a refused run beats a corrupted artifact. */
+  def preflight(what: String): Unit = {
+    val free = freeGb()
+    if (belowThreshold(free, minFreeGb))
+      throw new IllegalStateException(
+        f"$what: disk preflight FAILED — only $free%.1f GB free in " +
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")} (need >= $minFreeGb GB). " +
+          "Reclaim scratch (graft_scratch_*, generated SF dirs, blockmgr-*) or " +
+          "lower SPARK_GRAFT_MIN_FREE_GB if this is intentional.")
+  }
+}

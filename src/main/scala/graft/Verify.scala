@@ -6,6 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // disk preflight: a near-full tmpdir corrupts store-backed query
+    // scratch mid-run — refuse loudly instead (VERDICT r13 ask #4).
+    try Disk.preflight("verify") catch {
+      case e: IllegalStateException =>
+        System.err.println(e.getMessage)
+        sys.exit(3)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -247,8 +247,17 @@ case class MinKByOrdStrAgg(ord: Expression, str: Expression, k: Int,
 
   override def eval(buf: ArrayBuffer[Entry]): Any = {
     val sorted = buf.sortWith((a, b) => smaller(a.l, a.s, b))
-    new GenericArrayData(sorted.map(e =>
-      new GenericInternalRow(Array[Any](e.l, e.s)): Any).toArray)
+    // the output struct declares `ord` with the INPUT's logical type —
+    // int/date are physically Int in Catalyst rows, so a boxed Long here
+    // would make the downstream getInt throw ClassCastException.
+    val intBacked = ord.dataType match {
+      case IntegerType | DateType => true
+      case _ => false
+    }
+    new GenericArrayData(sorted.map { e =>
+      val o: Any = if (intBacked) e.l.toInt else e.l
+      new GenericInternalRow(Array[Any](o, e.s)): Any
+    }.toArray)
   }
 
   override def serialize(buf: ArrayBuffer[Entry]): Array[Byte] = {

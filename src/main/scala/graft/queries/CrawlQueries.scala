@@ -40,7 +40,7 @@ object CrawlQueries {
         .agg(graft.functions.MinKByOrdStrAgg
           .minKByOrdStr(col("next_fetch_date"), col("url"), 3).as("top"))
         .select(col("key_id"), posexplode(col("top")))
-        .select(concat(lit("host"), col("key_id").cast("string"), lit(".example.com")).as("key"),
+        .select(Tables.keyFromId(col("key_id")).as("key"),
           col("col.s").as("url"), col("col.ord").as("next_fetch_date"),
           (col("pos") + 1).cast("int").as("rn"))
         .orderBy(col("key"), col("rn"))
@@ -120,8 +120,11 @@ object CrawlQueries {
     // touched buckets and never runs this full-view window.
     "q08_merge_dedup" -> ((s, dir) => {
       // The dedup key is the 16-BYTE binary MD5 digest — the reference's
-      // own content-identity signature (`MD5SignatureParseFilter.java`),
-      // and the narrowest collision-safe key. Width matters more than
+      // own content-identity signature (`MD5SignatureParseFilter.java`).
+      // Collision-safe for NON-ADVERSARIAL corpora (md5 is chosen-prefix
+      // broken, so an attacker-supplied corpus could force collisions; a
+      // production dedup path facing hostile input should use a 16-byte
+      // sha256 PREFIX at the same width). Width matters more than
       // anything else here: the digest is random bytes (incompressible),
       // the groups are ~all-distinct at scale (no map-side collapse), so
       // the window exchange carries ≈ rows × key-width of scratch. At
@@ -180,7 +183,7 @@ object CrawlQueries {
       v.where(col("status") === "DISCOVERED")
         .join(broadcast(inflight), v("key_id") === inflight("k"), "left_anti")
         .groupBy("key_id").agg(count(lit(1)).as("n"))
-        .select(concat(lit("host"), col("key_id").cast("string"), lit(".example.com")).as("key"), col("n"))
+        .select(Tables.keyFromId(col("key_id")).as("key"), col("n"))
         .orderBy("key")
     }),
 

@@ -60,6 +60,17 @@ object Tables {
       "value AS fetch_time_ms"
     )
 
+  /** Render the string `key` back from the long `key_id` — the inverse
+    * of the bijection [[statusView]] establishes, kept HERE next to the
+    * view so the key format exists in exactly one place on the Spark
+    * side (queries that aggregated on the long key_id re-render the
+    * string on their few-row outputs; if the view's key expression ever
+    * changes, this is the only other line to touch). */
+  def keyFromId(keyId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, lit}
+    concat(lit("host"), keyId.cast("string"), lit(".example.com"))
+  }
+
   /** Events with portable TIMESTAMP on the DuckDB side (ts is
     * TIMESTAMP_NS there; cast normalizes the output schema). */
   val eventsSql: String =

@@ -21,10 +21,16 @@ object ProbeQ {
       .config("spark.ui.enabled", "false")
     // extra confs for A/B probes, e.g.
     // SPARK_GRAFT_EXTRA_CONF="spark.io.compression.codec=zstd"
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
-    })
+    // tolerant parse: skip empty segments (trailing ';'), reject
+    // valueless pairs with a named error. '=' may appear in the value
+    // (limit-2 split); ';' inside a value is unsupported by the format.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").map(_.trim).filter(_.nonEmpty)
+      .foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+          case _ => sys.error(s"ProbeQ: malformed SPARK_GRAFT_EXTRA_CONF segment '$kv' (want key=value)")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new SparkListener {

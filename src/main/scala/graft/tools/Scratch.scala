@@ -21,8 +21,14 @@ object Scratch {
     r
   }
 
-  /** A fresh unique directory under the process scratch root. */
-  def dir(prefix: String): Path = Files.createTempDirectory(root, prefix)
+  /** A fresh unique directory under the process scratch root. Preflights
+    * free space: a store-backed face writing into a near-full disk fails
+    * as silent corruption or an unexplained task death (both observed in
+    * round 13 on a 99%-full host) — a named refusal here beats either. */
+  def dir(prefix: String): Path = {
+    graft.Disk.preflight(s"scratch dir '$prefix'")
+    Files.createTempDirectory(root, prefix)
+  }
 
   private def deleteRec(f: java.io.File): Unit = {
     val kids = f.listFiles()

@@ -54,4 +54,12 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.affectsCompiledClasses("?? build.sbt.bak\n"))
     assert(!Bench.affectsCompiledClasses("?? projectX/a.txt\n"))
   }
+  test("disk preflight decision: below-threshold refuses, at-or-above runs") {
+    assert(Disk.belowThreshold(free = 1.2, min = 5.0))
+    assert(!Disk.belowThreshold(free = 5.0, min = 5.0))
+    assert(!Disk.belowThreshold(free = 80.0, min = 5.0))
+    // freeGb on a real path is positive and finite
+    val f = Disk.freeGb("/tmp")
+    assert(f > 0 && f < 1e6)
+  }
 }

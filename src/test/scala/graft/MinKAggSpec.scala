@@ -99,6 +99,31 @@ class MinKAggSpec extends AnyFunSuite {
     assert(got == Seq("a", "z"))
   }
 
+  test("int and date order columns: values round-trip (no boxed-Long CCE)") {
+    import spark.implicits._
+    // int/date are physically Int in Catalyst rows; eval must narrow the
+    // buffered Long or the output projection's getInt throws CCE.
+    val ints = Seq((1L, 30, "c"), (1L, 10, "a"), (1L, 20, "b"))
+      .toDF("g", "o", "s")
+    val gotInt = ints.groupBy(col("g"))
+      .agg(minKByOrdStr(col("o"), col("s"), 2).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("col.ord").as[Int], col("col.s").as[String]).collect().toSeq
+    assert(gotInt == Seq((10, "a"), (20, "b")))
+
+    val dates = Seq((1L, "2024-03-01", "late"), (1L, "2024-01-01", "early"),
+      (1L, "2024-02-01", "mid"))
+      .toDF("g", "d", "s").withColumn("o", col("d").cast("date")).drop("d")
+    val out = dates.groupBy(col("g"))
+      .agg(minKByOrdStr(col("o"), col("s"), 2).as("top"))
+      .select(posexplode(col("top")))
+    assert(out.schema("col").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .apply("ord").dataType == org.apache.spark.sql.types.DateType)
+    val gotDate = out.select(col("col.ord").cast("string").as[String],
+      col("col.s").as[String]).collect().toSeq
+    assert(gotDate == Seq(("2024-01-01", "early"), ("2024-02-01", "mid")))
+  }
+
   test("null strings and null ords are skipped, not ranked") {
     import spark.implicits._
     val df = Seq(

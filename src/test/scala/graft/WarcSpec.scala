@@ -43,6 +43,53 @@ class WarcSpec extends AnyFunSuite {
     assert(binRow.getAs[String]("content_type") == "application/octet-stream")
   }
 
+  test("retried task: duplicate completed attempts commit exactly one shard") {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("warc-retry")
+    val mk = () => Iterator(
+      Row("http://a.example/1", 200, "one".getBytes, "text/plain"),
+      Row("http://a.example/2", 200, "two".getBytes, "text/plain"))
+    // both attempts of partition 0 run to completion (speculative retry)
+    Warc.writeShard(dir.toString, 0, attempt = 11L, mk(), "2024-01-01T00:00:00Z")
+    Warc.writeShard(dir.toString, 0, attempt = 12L, mk(), "2024-01-01T00:00:00Z")
+    val names = Files.list(dir).toArray.map(_.toString.split('/').last).sorted.toSeq
+    assert(names == Seq("part-00000.warc.gz"), s"expected one committed shard, got $names")
+    // the reader sees each record exactly once
+    val back = Warc.read(spark, dir.toString).collect()
+    assert(back.length == 2)
+    assert(back.map(_.getAs[String]("url")).toSet ==
+      Set("http://a.example/1", "http://a.example/2"))
+  }
+
+  test("killed-mid-write and foreign tmp files are invisible to the reader") {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("warc-kill")
+    Warc.writeShard(dir.toString, 0, attempt = 1L,
+      Iterator(Row("http://ok.example/", 200, "good".getBytes, "text/plain")),
+      "2024-01-01T00:00:00Z")
+    // a killed attempt's orphan: hidden tmp with TRUNCATED gzip bytes
+    Files.write(dir.resolve(".part-00001-7.warc.gz.tmp"),
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0))
+    // a foreign tool's visible temp name — matches the *.warc* glob but
+    // must be dropped by the .tmp suffix filter
+    Files.write(dir.resolve("other.warc.gz.tmp"), Array[Byte](0x1f, 0x8b.toByte, 8))
+    val back = Warc.read(spark, dir.toString).collect()
+    assert(back.length == 1 && back.head.getAs[String]("url") == "http://ok.example/")
+  }
+
+  test("write() sweeps orphaned tmp files after job commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("warc-sweep")
+    // pre-existing orphan from an earlier killed run
+    Files.write(dir.resolve(".part-00009-3.warc.gz.tmp"), "junk".getBytes)
+    val rows = Seq(("http://s.example/", 200, "x".getBytes, "text/plain"))
+      .toDF("url", "http_code", "content", "content_type")
+    Warc.write(rows.repartition(1), dir.toString)
+    val leftover = Files.list(dir).toArray.map(_.toString).filter(_.endsWith(".tmp"))
+    assert(leftover.isEmpty, s"tmp orphans survived the sweep: ${leftover.toSeq}")
+    assert(Warc.read(spark, dir.toString).count() == 1)
+  }
+
   test("warc record parser: record framing and http split") {
     val payload = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nBODY").getBytes
     val (code, headers, body) = Warc.parseHttpResponse(payload)
