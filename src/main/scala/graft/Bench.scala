@@ -138,8 +138,20 @@ object Bench {
           // a failed query is recorded as failed (NaN), never as a timing:
           // an exception's duration (~0.05 s) silently deflating the total
           // is exactly the artifact lying when it matters most.
+          //
+          // The action is toRdd.count(), NOT df.count(): df.count()
+          // re-optimizes with zero required columns, and Catalyst then
+          // DELETES operators whose output the count doesn't need — a
+          // row-preserving window/join tail prunes to a parquet metadata
+          // count (measured: q37's as-of window, q57's semdedup
+          // window+join, q87's OOV join, q92's quota window —
+          // tools/PruneCheck.scala flags them). toRdd executes the
+          // physical plan with the query's full output schema (every
+          // output column materialized into UnsafeRows, final sorts
+          // included), so the timing covers the operator the query
+          // declares.
           val ok =
-            try { fn(spark, dir).count(); true }
+            try { fn(spark, dir).queryExecution.toRdd.count(); true }
             catch { case e: Throwable =>
               System.err.println(s"bench: $name FAILED: ${e.getMessage}")
               val reason = (e.getClass.getSimpleName + ": " +
