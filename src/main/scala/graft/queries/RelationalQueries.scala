@@ -54,7 +54,7 @@ object RelationalQueries {
           .as("rev_part"),
         count(lit(1)).as("cnt_part"))
       liAgg.join(o, liAgg("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_orderpriority"))
         .agg(sum(col("rev_part")).cast("double").as("revenue"),
           sum(col("cnt_part")).as("n_items"))
