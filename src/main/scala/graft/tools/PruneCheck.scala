@@ -26,9 +26,19 @@ object PruneCheck {
       val full = df.queryExecution.optimizedPlan.toString
       val windowLost = full.contains("Window") && !underCount.contains("Window")
       val joinLost = full.contains("Join") && !underCount.contains("Join")
-      if (windowLost || joinLost) {
+      // a count plan with NO per-row operator left (no filter/window/
+      // join/generate/expand/aggregate-below-the-count) is a parquet
+      // row-count: the vectorized reader returns batch cardinalities
+      // without decoding a single column — the "timing" is metadata.
+      val metadataOnly = Seq("Filter", "Window", "Join", "Generate", "Expand",
+          "LogicalRDD" /* eager pre-computed work, count is honest */,
+          "MapPartitions", "DeserializeToObject" /* opaque to pruning */)
+        .forall(op => !underCount.contains(op)) &&
+        "Aggregate".r.findAllIn(underCount).size <= 1 &&
+        underCount.contains("Relation")
+      if (windowLost || joinLost || metadataOnly) {
         flagged += 1
-        println(s"PRUNED $q windowLost=$windowLost joinLost=$joinLost")
+        println(s"PRUNED $q windowLost=$windowLost joinLost=$joinLost metadataCount=$metadataOnly")
       }
     }
     println(s"done — $flagged flagged (informational; Bench's toRdd action is immune)")
