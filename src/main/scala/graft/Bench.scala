@@ -58,10 +58,19 @@ object Bench {
           "or set SPARK_GRAFT_ALLOW_DIRTY=1 to override (artifact will be stamped -dirty).")
       sys.exit(2)
     }
-    // disk preflight (VERDICT r13 ask #4): a 99%-full host produced two
-    // disk-pressure-shaped defects in r13 — refuse with a named reason
-    // instead of benching into scratch exhaustion.
-    try Disk.preflight("bench") catch {
+    // SPARK_GRAFT_ONLY=q22,q24 restricts to a subset (prefix match on
+    // the query name) — parsed here because the disk preflight is sized
+    // to the number of queries that will actually run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val nSelected = SparkEntry.queries.keys
+      .count(n => only.forall(_.exists(n.startsWith)))
+    // disk preflight (VERDICT r13 ask #4, r14 what's-wrong #2): a
+    // 99%-full host produced two disk-pressure-shaped defects in r13,
+    // and the one-query-sized 5 GB floor let a 94-query campaign bench
+    // into scratch exhaustion in r14 — refuse with a named reason, with
+    // the floor sized to the suite length.
+    try Disk.preflight(s"bench ($nSelected queries)", Disk.requiredGb(nSelected)) catch {
       case e: IllegalStateException =>
         System.err.println(e.getMessage)
         sys.exit(3)
@@ -117,13 +126,10 @@ object Bench {
         Window.partitionBy("n").orderBy("n")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))).count()
     } catch { case _: Throwable => () }
-    // SPARK_GRAFT_ONLY=q22,q24 restricts to a subset (prefix match on
-    // the query name); SPARK_GRAFT_REPS=N runs the suite N times in ONE
-    // JVM and keeps the per-query minimum — on a shared host the min is
-    // the signal, single runs carry ±30% (spikes: 3×) load noise.
-    // Default 2: one rep re-measures whatever load spike it landed in.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // SPARK_GRAFT_REPS=N runs the suite N times in ONE JVM and keeps
+    // the per-query minimum — on a shared host the min is the signal,
+    // single runs carry ±30% (spikes: 3×) load noise. Default 2: one
+    // rep re-measures whatever load spike it landed in.
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
     // per-failed-query reason (class + truncated message) — an artifact
     // row `errors:["q94_crawl_cycle"]` with no message cost round 13 an
@@ -156,7 +162,13 @@ object Bench {
               System.err.println(s"bench: $name FAILED: ${e.getMessage}")
               val reason = (e.getClass.getSimpleName + ": " +
                 Option(e.getMessage).getOrElse("(no message)")).take(300)
-              errorDetails.getOrElseUpdate(name, reason)
+              // key per (pass, query): the main-SF and sf0.01 passes can
+              // fail with DIFFERENT root causes; a name-only key recorded
+              // just whichever failed first and under-reported the other.
+              val key =
+                if (dir == sfDir) name
+                else s"$name@${java.nio.file.Paths.get(dir).getFileName}"
+              errorDetails.getOrElseUpdate(key, reason)
               false
             }
           val t = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
@@ -174,6 +186,12 @@ object Bench {
           // data. An explicit GC at each query boundary lets the
           // cleaner reclaim the dead state while the clock is stopped.
           spark.catalog.clearCache()
+          // ... and reclaim store-backed scratch NOW (WARC shards,
+          // frontier stores): at campaign scale the per-query scratch
+          // residue is monotonic and killed three sf1000 rows at 7.1 GB
+          // free (VERDICT r14 what's-wrong #2). Safe at a query
+          // boundary — every query allocates a fresh dir.
+          graft.tools.Scratch.sweepAll()
           System.gc()
           name -> t
         }.toMap
@@ -223,15 +241,18 @@ object Bench {
     // a driver-written round artifact (LEAKCHECK.json, BENCH_r*.json)
     // can't change the measured code, so it must not taint the sha.
     val dirty = if (affectsCompiledClasses(gitPorcelain())) "-dirty" else ""
-    val freeGb = f"${Disk.freeGb()}%.1f"
+    // Locale.ROOT: the JVM default locale may render 12,3 — invalid JSON
+    // in the one line the driver parses.
+    val freeGb = String.format(java.util.Locale.ROOT, "%.1f", Double.box(Disk.freeGb()))
+    def jesc(v: String): String = v.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
     val details =
       if (errorDetails.isEmpty) ""
       else s""","error_details":${errorDetails.toSeq.sortBy(_._1).map { case (k, v) =>
-        "\"" + k + "\":\"" + v.flatMap {
-          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-          case '\r' => "\\r"; case '\t' => "\\t"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-        } + "\""
+        "\"" + k + "\":\"" + jesc(v) + "\""
       }.mkString("{", ",", "}")}"""
     // FULL line (per-query map, sf0.01 pass, error details) — artifact
     // file + stderr only. The driver's stdout tail capture truncated
@@ -271,7 +292,20 @@ object Bench {
     // per-query data is never lost entirely.
     val nOk = results.values.count(!_.isNaN)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb$onlyKey${errs(results :: small.toList: _*)},"artifact":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb$onlyKey${errs(results :: small.toList: _*)},"artifact":"${jesc(outPath)}","sf":"${jesc(sfDir)}"}"""
+    // COMMITTED fallback channel (VERDICT r14 missing-#1, 3 rounds of
+    // parsed:null): sbt decorates stdout ([info]/[success]) beyond our
+    // control, so the compact line ALSO lands at a fixed repo path the
+    // round evidence can cite regardless of the driver's tail capture.
+    // Full-suite runs only — a 2-query A/B must never masquerade as the
+    // round's official number. Not a build input → can't trip the dirty
+    // guard. Best-effort.
+    if (only.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+        (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      catch { case e: Exception =>
+        System.err.println(s"bench: could not write bench_last.json: $e")
+      }
     println(if (wrote) compact else line)
     spark.stop()
   }

@@ -22,14 +22,24 @@ object Disk {
   /** Pure decision (spec-tested): refuse iff below threshold. */
   def belowThreshold(free: Double, min: Double): Boolean = free < min
 
+  /** Campaign-aware floor (VERDICT r14 what's-wrong #2: a 94-query
+    * sf1000 campaign was cut at 7.1 GB free and three rows paid — the
+    * 5 GB default is sized for ONE query, but suite shuffle+scratch
+    * residue grows with suite length even with per-query reclamation).
+    * 5 GB base + 0.25 GB per selected query, capped at 30; an explicit
+    * SPARK_GRAFT_MIN_FREE_GB always wins. Pure (spec-tested). */
+  def requiredGb(nQueries: Int): Double =
+    sys.env.get("SPARK_GRAFT_MIN_FREE_GB").flatMap(_.toDoubleOption)
+      .getOrElse(math.min(30.0, 5.0 + 0.25 * nQueries))
+
   /** Throws with a named reason if the tmpdir filesystem is under the
     * free-space floor — a refused run beats a corrupted artifact. */
-  def preflight(what: String): Unit = {
+  def preflight(what: String, min: Double = minFreeGb): Unit = {
     val free = freeGb()
-    if (belowThreshold(free, minFreeGb))
+    if (belowThreshold(free, min))
       throw new IllegalStateException(
         f"$what: disk preflight FAILED — only $free%.1f GB free in " +
-          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")} (need >= $minFreeGb GB). " +
+          s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")} (need >= $min GB). " +
           "Reclaim scratch (graft_scratch_*, generated SF dirs, blockmgr-*) or " +
           "lower SPARK_GRAFT_MIN_FREE_GB if this is intentional.")
   }

@@ -25,6 +25,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // mismatch-prone faces (q88 WARC round-trip) persist diagnostic
+    // sidecars next to the verify output when this property names a
+    // directory — a driver-red oracle row becomes adjudicable from the
+    // round artifacts without a rerun (VERDICT r14 next-#1b).
+    System.setProperty("graft.verify.out", outDir)
     var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {

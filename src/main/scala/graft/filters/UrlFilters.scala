@@ -134,16 +134,29 @@ object RegexUrlFilter {
   ))
 }
 
-/** Scoped Allow/Deny rules: domain: / host: / metadata: / GLOBAL scopes,
-  * first matching scope wins (`filtering/regex/FastURLFilter.java:44-69`).
+/** Scoped Allow/Deny rules: host: / domain: / metadata: / GLOBAL scopes,
+  * tried in that order (`filtering/regex/FastURLFilter.java:44-69,
+  * 201-249`). Reference semantics (the CODE, which its javadoc
+  * understates): within a scope the FIRST matching rule decides that
+  * scope — a Deny match removes the URL and ends evaluation; an Allow
+  * match (or no match) means "this scope does not deny" and evaluation
+  * CONTINUES to later scopes (`checkScope` returns true only for DENY —
+  * `FastURLFilter.java:252-268`). Domain rules are tried against EVERY
+  * suffix of the hostname, rightmost component first
+  * (`FastURLFilter.java:215-222`); metadata scopes key on parent-URL
+  * metadata k=v with the value compared case-insensitively, evaluated
+  * after host/domain and before GLOBAL (`FastURLFilter.java:226-243`).
   */
 final class FastUrlFilter(
     hostRules: Map[String, Seq[(Boolean, Regex)]],
     domainRules: Map[String, Seq[(Boolean, Regex)]],
-    globalRules: Seq[(Boolean, Regex)]) extends UrlFilter {
+    globalRules: Seq[(Boolean, Regex)],
+    metadataRules: Seq[FastUrlFilter.MdScope] = Nil) extends UrlFilter {
 
-  private def eval(rules: Seq[(Boolean, Regex)], pathQuery: String): Option[Boolean] =
-    rules.collectFirst { case (allow, re) if re.findFirstIn(pathQuery).isDefined => allow }
+  /** True iff the scope's first matching rule is a deny. */
+  private def denies(rules: Seq[(Boolean, Regex)], pathQuery: String): Boolean =
+    rules.collectFirst { case (allow, re) if re.findFirstIn(pathQuery).isDefined => !allow }
+      .getOrElse(false)
 
   def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] = {
     val h = Urls.host(url).getOrElse(return None)
@@ -151,15 +164,32 @@ final class FastUrlFilter(
       val i = url.indexOf('/', url.indexOf("://") + 3)
       if (i < 0) "/" else url.substring(i)
     }
-    val scoped =
-      hostRules.get(h).flatMap(eval(_, pathQuery))
-        .orElse(domainRules.get(Urls.paidLevelDomain(h)).flatMap(eval(_, pathQuery)))
-        .orElse(eval(globalRules, pathQuery))
-    scoped match {
-      case Some(false) => None
-      case _           => Some(url) // allow, or no rule matched
+    if (hostRules.get(h).exists(denies(_, pathQuery))) return None
+    // domain scopes: every hostname suffix, rightmost component first
+    // ("com", "example.com", "a.example.com" for host a.example.com)
+    val parts = h.split("\\.")
+    var suffix = ""
+    var i = parts.length - 1
+    while (i >= 0) {
+      suffix = if (suffix.isEmpty) parts(i) else parts(i) + "." + suffix
+      if (domainRules.get(suffix).exists(denies(_, pathQuery))) return None
+      i -= 1
     }
+    // metadata scopes (after host/domain, before GLOBAL), keyed on
+    // parent-URL metadata k=v; the value compares case-insensitively.
+    // A value-less scope (no '=' in the constraint) never matches —
+    // reference behavior (MDScope.value null, equalsIgnoreCase false).
+    for (sc <- metadataRules)
+      if (sc.value != null &&
+          md.getOrElse(sc.key, Nil).exists(_.equalsIgnoreCase(sc.value)) &&
+          denies(sc.rules, pathQuery)) return None
+    if (denies(globalRules, pathQuery)) None else Some(url)
   }
+}
+
+object FastUrlFilter {
+  /** A `metadata:key=value` scope (`FastURLFilter.java` MDScope). */
+  final case class MdScope(key: String, value: String, rules: Seq[(Boolean, Regex)])
 }
 
 /** sed-style regex substitutions (`filtering/regex/RegexURLNormalizer

@@ -177,9 +177,15 @@ object Warc {
     * Factored out of the foreachPartition closure so the retry cases are
     * directly spec-testable (WarcSpec) without faking a TaskContext. */
   private[graft] def writeShard(outDir: String, part: Int, attempt: Long,
-                                rows: Iterator[Row], date: String): Unit = {
+                                rows: Iterator[Row], date: String,
+                                jobToken: String = ""): Unit = {
     Files.createDirectories(Paths.get(outDir))
-    val tmp = Paths.get(outDir, f".part-$part%05d-$attempt.warc.gz.tmp")
+    // the job token rides in the tmp name so the driver-side orphan
+    // sweep can match ONLY this job's tmps — a bare `.part-*.tmp` glob
+    // deleted live tmps of a concurrent write() into the same dir,
+    // turning its rename into a loud-but-spurious task failure.
+    val tok = if (jobToken.isEmpty) "" else s"-$jobToken"
+    val tmp = Paths.get(outDir, f".part-$part%05d-$attempt$tok.warc.gz.tmp")
     val committed = Paths.get(outDir, f"part-$part%05d.warc.gz")
     try {
       val out = new GZIPOutputStream(Files.newOutputStream(tmp))
@@ -210,6 +216,13 @@ object Warc {
           // FS that refuses replace-on-atomic-move: the other attempt
           // already committed this partition — drop our tmp.
           Files.deleteIfExists(tmp): Unit
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          // some network mounts can't atomic-move: fall back to a plain
+          // replacing move — weaker (readers can glimpse a partial file
+          // on non-POSIX FS) but correct for retries, and strictly
+          // better than failing every shard write.
+          Files.move(tmp, committed,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
       }
     } catch {
       case e: Throwable =>
@@ -225,24 +238,72 @@ object Warc {
     * killed attempts are swept driver-side. */
   def write(df: DataFrame, outDir: String, date: String = "2024-01-01T00:00:00Z"): Unit = {
     Files.createDirectories(Paths.get(outDir))
+    // per-job token: scopes the post-job orphan sweep to THIS job's tmp
+    // files, so a concurrent write() into the same directory never has
+    // its live tmps deleted out from under its rename.
+    val jobToken = java.util.UUID.randomUUID().toString.substring(0, 8)
     df.select(col("url"), col("http_code"), col("content"), col("content_type"))
       .foreachPartition { (rows: Iterator[Row]) =>
         if (rows.hasNext) {
           val tc = org.apache.spark.TaskContext.get()
-          writeShard(outDir, tc.partitionId(), tc.taskAttemptId(), rows, date)
+          writeShard(outDir, tc.partitionId(), tc.taskAttemptId(), rows, date, jobToken)
         }
       }
-    // reclaim hidden tmp orphans (killed/superseded attempts). Local-FS
-    // listing; on a cluster the equivalent sweep is the output
-    // committer's job-commit pass.
+    // reclaim hidden tmp orphans (killed/superseded attempts) OF THIS
+    // JOB ONLY (token match). Local-FS listing; on a cluster the
+    // equivalent sweep is the output committer's job-commit pass.
     val d = Paths.get(outDir)
     if (Files.isDirectory(d)) {
       val s = Files.list(d)
       try s.forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith(".part-") && n.endsWith(".tmp"))
+        if (n.startsWith(".part-") && n.endsWith(s"-$jobToken.warc.gz.tmp"))
           try Files.deleteIfExists(p) catch { case _: Exception => () }
       } finally s.close()
     }
   }
+
+  /** Diagnostic sidecar for the q88 verification face (VERDICT r14
+    * next-#1b): a driver-red oracle row must be adjudicable from the
+    * verify artifacts alone, without a rerun. Persists (a) per committed
+    * shard, the response-record count from a direct local re-parse of
+    * the shard bytes, and (b) the collected per-source aggregate rows
+    * the face emits (source, http_code, n_docs, digest_sum, total_bytes,
+    * min_md5, max_md5). Local-FS only — the verify scratch dir is local
+    * by construction. Best-effort: a sidecar failure must never fail
+    * the query it diagnoses. */
+  def writeSidecar(face: DataFrame, shardDir: java.nio.file.Path,
+                   dest: java.nio.file.Path): Unit =
+    try {
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val shardJson = {
+        val st = Files.list(shardDir)
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        try st.forEach { p =>
+          val n = p.getFileName.toString
+          if (!n.startsWith(".") && n.contains(".warc")) {
+            val responses = parseRecords(Files.readAllBytes(p), gzipped = n.endsWith(".gz"))
+              .count(_.warcType == "response")
+            b += s"""{"shard":"${esc(n)}","responses":$responses}"""
+          }
+        } finally st.close()
+        b.sorted
+      }
+      val rows = face.collect().map { r =>
+        s"""{"source":"${esc(r.getString(0))}","http_code":${r.getInt(1)},""" +
+          s""""n_docs":${r.getLong(2)},"digest_sum":${r.getLong(3)},""" +
+          s""""total_bytes":${r.getLong(4)},"min_md5":"${esc(r.getString(5))}",""" +
+          s""""max_md5":"${esc(r.getString(6))}"}"""
+      }
+      val json =
+        s"""{"shards":[${shardJson.mkString(",")}],"sources":[${rows.mkString(",")}]}"""
+      Files.writeString(dest, json): Unit
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[warc] sidecar write skipped: ${e.getMessage}")
+    }
 }

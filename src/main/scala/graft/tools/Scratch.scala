@@ -30,6 +30,18 @@ object Scratch {
     Files.createTempDirectory(root, prefix)
   }
 
+  /** Reclaim ALL scratch dirs now instead of at JVM exit — bench
+    * inter-query hygiene (VERDICT r14 what's-wrong #2: a 94-query
+    * campaign accumulates every store-backed query's scratch — WARC
+    * shards, frontier stores — monotonically, and three rows died of
+    * disk exhaustion at 7.1 GB free). Safe ONLY at a query boundary:
+    * each query creates its own fresh dir and its action has completed
+    * by then; a rep re-running the query allocates a new dir. */
+  def sweepAll(): Unit = {
+    val kids = root.toFile.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+  }
+
   private def deleteRec(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRec)

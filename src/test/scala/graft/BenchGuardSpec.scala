@@ -62,4 +62,12 @@ class BenchGuardSpec extends AnyFunSuite {
     val f = Disk.freeGb("/tmp")
     assert(f > 0 && f < 1e6)
   }
+  test("campaign-sized preflight floor scales with suite length, capped") {
+    // (env-less path: SPARK_GRAFT_MIN_FREE_GB is unset under sbt test)
+    if (sys.env.get("SPARK_GRAFT_MIN_FREE_GB").isEmpty) {
+      assert(Disk.requiredGb(1) == 5.25)            // one-query A/B ≈ old floor
+      assert(Disk.requiredGb(94) == 28.5)           // r14's campaign would have refused at 7.1 GB
+      assert(Disk.requiredGb(1000) == 30.0)         // capped
+    }
+  }
 }

@@ -63,6 +63,20 @@ class FilterConfigSpec extends AnyFunSuite {
     assert(chain("http://other.org/x").isDefined)
   }
 
+  test("FastURLFilter metadata: scope config (FastURLFilter.java:141-143)") {
+    val chain = FilterConfig.urlFilterChain(
+      """{"urlfilters": [
+        |  {"class": "FastURLFilter", "params": {
+        |    "metadata": {"key=value": ["-.+"], "novalue": ["-.+"]}}}
+        |]}""".stripMargin)
+    // scope fires only when the parent metadata carries key=value
+    assert(chain("http://somedomain.net/", None, Map("key" -> Seq("value"))).isEmpty)
+    assert(chain("http://somedomain.net/").isDefined)
+    // value compare is case-insensitive; a value-less constraint never matches
+    assert(chain("http://somedomain.net/", None, Map("key" -> Seq("VALUE"))).isEmpty)
+    assert(chain("http://somedomain.net/", None, Map("novalue" -> Seq("x"))).isDefined)
+  }
+
   test("parsefilters.json builds the enrichment chain") {
     val chain = FilterConfig.parseFilterChain(
       """{"parsefilters": [

@@ -79,6 +79,58 @@ class UrlFiltersSpec extends AnyFunSuite {
     assert(f("http://other.org/x", None, noMd).isDefined)        // global allow
   }
 
+  // mirrors the reference's FastURLFilterTest + fast.urlfilter.json
+  // fixture: GLOBAL "DenyPathQuery \.jpg", domain:stormcrawler.net
+  // "AllowPath /bla/" then "DenyPath .+", metadata:key=value "DenyPath .+"
+  // (core/src/test/resources/fast.urlfilter.json)
+  test("FastUrlFilter: metadata: scope — reference FastURLFilterTest truth table") {
+    val f = new FastUrlFilter(
+      hostRules = Map.empty,
+      domainRules = Map("stormcrawler.net" -> Seq((true, "^/bla/".r), (false, ".+".r))),
+      globalRules = Seq((false, "\\.jpg".r)),
+      metadataRules = Seq(FastUrlFilter.MdScope("key", "value", Seq((false, ".+".r)))))
+    // testImagesFilter: global deny
+    assert(f("http://www.somedomain.com/image.jpg", None, noMd).isEmpty)
+    // testDomainNotAllowed: domain deny / allow
+    assert(f("http://stormcrawler.net/", None, noMd).isEmpty)
+    assert(f("http://stormcrawler.net/bla/", None, noMd).isDefined)
+    // testMD: metadata-scoped deny fires only when the parent metadata
+    // carries key=value
+    assert(f("http://somedomain.net/", None, Map("key" -> Seq("value"))).isEmpty)
+    assert(f("http://somedomain.net/", None, noMd).isDefined)
+    // value comparison is case-INsensitive (FastURLFilter.java:233)
+    assert(f("http://somedomain.net/", None, Map("key" -> Seq("VaLuE"))).isEmpty)
+    // key must match exactly; other keys don't trigger the scope
+    assert(f("http://somedomain.net/", None, Map("other" -> Seq("value"))).isDefined)
+  }
+
+  test("FastUrlFilter: reference scope-evaluation details") {
+    // an Allow match does NOT short-circuit later scopes (checkScope
+    // returns true only for DENY — FastURLFilter.java:252-268): host
+    // allow, then global deny => removed
+    val f = new FastUrlFilter(
+      hostRules = Map("www.e.com" -> Seq((true, "^/x".r))),
+      domainRules = Map.empty,
+      globalRules = Seq((false, "^/x".r)))
+    assert(f("http://www.e.com/x", None, noMd).isEmpty)
+    // ... but within a scope the first match decides THAT scope: the
+    // domain allow shadows the domain deny for matching paths
+    val g = new FastUrlFilter(Map.empty,
+      Map("e.com" -> Seq((true, "^/keep".r), (false, ".+".r))), Nil)
+    assert(g("http://www.e.com/keep/1", None, noMd).isDefined)
+    assert(g("http://www.e.com/drop", None, noMd).isEmpty)
+    // domain rules try EVERY hostname suffix rightmost-first
+    // (FastURLFilter.java:215-222), not just the paid-level domain
+    val h = new FastUrlFilter(Map.empty, Map("com" -> Seq((false, "/spam".r))), Nil)
+    assert(h("http://a.b.example.com/spam/x", None, noMd).isEmpty)
+    assert(h("http://a.b.example.org/spam/x", None, noMd).isDefined)
+    // value-less metadata constraint ("metadata:key") never matches —
+    // reference MDScope.value null semantics (FastURLFilter.java:292-306)
+    val m = new FastUrlFilter(Map.empty, Map.empty, Nil,
+      Seq(FastUrlFilter.MdScope("key", null, Seq((false, ".+".r)))))
+    assert(m("http://e.com/x", None, Map("key" -> Seq("anything"))).isDefined)
+  }
+
   test("RegexUrlNormalizer applies substitutions to fixpoint") {
     val n = new RegexUrlNormalizer(Seq(("&utm_[^&]+".r, ""), ("//+".r, "/")))
     assert(n("http:/a//b?x=1&utm_src=z", None, noMd).contains("http:/a/b?x=1"))

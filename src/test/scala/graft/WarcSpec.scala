@@ -77,16 +77,21 @@ class WarcSpec extends AnyFunSuite {
     assert(back.length == 1 && back.head.getAs[String]("url") == "http://ok.example/")
   }
 
-  test("write() sweeps orphaned tmp files after job commit") {
+  test("write()'s orphan sweep is scoped to its own job token") {
     import spark.implicits._
     val dir = Files.createTempDirectory("warc-sweep")
-    // pre-existing orphan from an earlier killed run
-    Files.write(dir.resolve(".part-00009-3.warc.gz.tmp"), "junk".getBytes)
+    // ANOTHER job's tmp (different/absent token): a concurrent write()
+    // into the same directory — the sweep must NOT delete it (deleting a
+    // live foreign tmp fails that job's rename). It stays hidden from
+    // readers either way.
+    Files.write(dir.resolve(".part-00009-3-deadbeef.warc.gz.tmp"), "junk".getBytes)
     val rows = Seq(("http://s.example/", 200, "x".getBytes, "text/plain"))
       .toDF("url", "http_code", "content", "content_type")
     Warc.write(rows.repartition(1), dir.toString)
     val leftover = Files.list(dir).toArray.map(_.toString).filter(_.endsWith(".tmp"))
-    assert(leftover.isEmpty, s"tmp orphans survived the sweep: ${leftover.toSeq}")
+    assert(leftover.toSeq == Seq(dir.resolve(".part-00009-3-deadbeef.warc.gz.tmp").toString),
+      s"sweep touched a foreign job's tmp (or left its own): ${leftover.toSeq}")
+    // the foreign tmp is invisible to the reader; the committed shard reads
     assert(Warc.read(spark, dir.toString).count() == 1)
   }
 
