@@ -205,8 +205,11 @@ object TextAnalysis {
       case (c, (re, repl)) => regexp_replace(c, re, repl)
     }
     df.select(col(idCol), redacted.as("redacted"),
-      size(regexp_extract_all(col(textCol), lit(piiPatterns.head._1), lit(0)))
-        .as("n_emails"))
+      // count-only scan: regexp_extract_all materialized EVERY match
+      // into an array just to take its size — regexp_count is the same
+      // non-overlapping-match count without the per-row allocations
+      regexp_count(col(textCol), lit(piiPatterns.head._1))
+        .cast("int").as("n_emails"))
   }
 
   /** Winnowing fingerprints (Schleimer et al., MOSS): hash every k-word
