@@ -193,6 +193,25 @@ object Bench {
           // boundary — every query allocates a fresh dir.
           graft.tools.Scratch.sweepAll()
           System.gc()
+          // The ContextCleaner deletes the dead shuffle files the GC
+          // just unreferenced ASYNCHRONOUSLY — measured: 42 GB of q44
+          // sf1000 shuffle vanishes ~20-40 s AFTER this boundary. A
+          // store-backed query starting milliseconds later races that
+          // deletion and its disk preflight reads pre-reclaim free
+          // space (this, not monotonic leakage, is what refused q99 in
+          // the r17 re-cut). When headroom is low, wait (untimed) until
+          // free space stops growing before starting the next query.
+          if (Disk.freeGb() < Disk.requiredGb(nSelected) + 10) {
+            var prev = Disk.freeGb()
+            var stable = 0
+            var waited = 0
+            while (waited < 90 && stable < 2) {
+              Thread.sleep(3000); waited += 3
+              val now = Disk.freeGb()
+              if (now - prev < 0.5) stable += 1 else stable = 0
+              prev = now
+            }
+          }
           name -> t
         }.toMap
       }
