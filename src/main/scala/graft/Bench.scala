@@ -263,6 +263,12 @@ object Bench {
     // Locale.ROOT: the JVM default locale may render 12,3 — invalid JSON
     // in the one line the driver parses.
     val freeGb = String.format(java.util.Locale.ROOT, "%.1f", Double.box(Disk.freeGb()))
+    // heap provenance: sf1000 campaigns need SPARK_DRIVER_MEM=96g and
+    // the 8 g default OOMs or GC-throttles them — a whole round of
+    // adjudication (r17) went to numbers that silently mixed 8 g and
+    // 96 g runs. Every artifact now names the heap it measured under.
+    val heapGb = String.format(java.util.Locale.ROOT, "%.1f",
+      Double.box(Runtime.getRuntime.maxMemory / 1e9))
     def jesc(v: String): String = v.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
@@ -278,7 +284,7 @@ object Bench {
     // this ~5 KB object two rounds running (BENCH parsed:null), so the
     // full map must never be the line the driver parses.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb$onlyKey${errs(results :: small.toList: _*)}$details,"queries":${js(results)},"sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb,"heap_gb":$heapGb$onlyKey${errs(results :: small.toList: _*)}$details,"queries":${js(results)},"sf":"$sfDir"$extra}"""
     // land the full line in a file. Path from env (SPARK_GRAFT_BENCH_OUT)
     // with a fallback OUTSIDE the worktree (tmpdir): a scratch file
     // inside the repo makes the NEXT bench in a series report a -dirty
@@ -311,7 +317,7 @@ object Bench {
     // per-query data is never lost entirely.
     val nOk = results.values.count(!_.isNaN)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb$onlyKey${errs(results :: small.toList: _*)},"artifact":"${jesc(outPath)}","sf":"${jesc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb,"heap_gb":$heapGb$onlyKey${errs(results :: small.toList: _*)},"artifact":"${jesc(outPath)}","sf":"${jesc(sfDir)}"}"""
     // COMMITTED fallback channel (VERDICT r14 missing-#1, 3 rounds of
     // parsed:null): sbt decorates stdout ([info]/[success]) beyond our
     // control, so the compact line ALSO lands at a fixed repo path the
