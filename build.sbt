@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench↔driver handshake (VERDICT r15 ask #5) needs the forked
+// run's FINAL stdout line to be the bare compact-JSON bench line:
+// StdoutOutput passes forked-process output straight through instead
+// of re-logging it with an "[info] " prefix, and suppressing the
+// success banner keeps "[success] Total time: …" from trailing it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by tasks — exclude it
+// from the unused-key lint that can't see that.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

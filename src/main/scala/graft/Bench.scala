@@ -51,6 +51,23 @@ object Bench {
 
   private def gitPorcelainDirty(): Boolean = affectsCompiledClasses(gitPorcelain())
 
+  /** Store-backed crawl faces run FIRST (VERDICT r15 ask #1): their
+    * store writes are small but disk-sensitive, and alphabetical order
+    * put q94 right after the q08/q44 shuffle giants, whose ~40 GB of
+    * shuffle residue is reclaimed ASYNCHRONOUSLY — q94's only sf1000
+    * campaign error (TASK_WRITE_FAILED) was its store write racing that
+    * deletion. Running them before any shuffle giant removes the race
+    * instead of waiting it out. */
+  private[graft] val storeBackedFirst = Seq(
+    "q88_warc_roundtrip", "q94_crawl_cycle", "q99_error_deletions", "q100_content_cache")
+
+  /** Suite order: store-backed faces first (fixed order above), then the
+    * rest alphabetically. Pure (spec-tested). */
+  private[graft] def suiteOrder(names: Seq[String]): Seq[String] = {
+    val first = storeBackedFirst.filter(names.contains)
+    first ++ names.filterNot(first.contains).sorted
+  }
+
   def main(args: Array[String]): Unit = {
     if (refuseDirty(gitPorcelainDirty(), sys.env.get("SPARK_GRAFT_ALLOW_DIRTY"))) {
       System.err.println(
@@ -136,8 +153,9 @@ object Bench {
     // adjudication (VERDICT ask #5); the reason rides in the artifact.
     val errorDetails = scala.collection.mutable.Map.empty[String, String]
     def runSuite(dir: String): Map[String, Double] = {
-      val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      val selected = SparkEntry.queries
         .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      val qs = suiteOrder(selected.keys.toSeq).map(n => n -> selected(n))
       val runs = (1 to reps).map { _ =>
         qs.map { case (name, fn) =>
           val t0 = System.nanoTime()
@@ -200,15 +218,23 @@ object Bench {
           // deletion and its disk preflight reads pre-reclaim free
           // space (this, not monotonic leakage, is what refused q99 in
           // the r17 re-cut). When headroom is low, wait (untimed) until
-          // free space stops growing before starting the next query.
-          if (Disk.freeGb() < Disk.requiredGb(nSelected) + 10) {
+          // either the target headroom is reached, or reclaim was
+          // OBSERVED (growth ≥0.5 GB/tick) and has since stopped — a
+          // no-growth exit without ever seeing growth would return
+          // before the 20-40 s-delayed deletion even starts (ADVICE
+          // r15), which is the exact failure this wait exists to fix.
+          // 90 s timeout as backstop.
+          val settleTarget = Disk.requiredGb(nSelected) + 10
+          if (Disk.freeGb() < settleTarget) {
             var prev = Disk.freeGb()
-            var stable = 0
+            var grewOnce = false
+            var stableAfterGrowth = 0
             var waited = 0
-            while (waited < 90 && stable < 2) {
+            while (waited < 90 && stableAfterGrowth < 2 && prev < settleTarget) {
               Thread.sleep(3000); waited += 3
               val now = Disk.freeGb()
-              if (now - prev < 0.5) stable += 1 else stable = 0
+              if (now - prev >= 0.5) { grewOnce = true; stableAfterGrowth = 0 }
+              else if (grewOnce) stableAfterGrowth += 1
               prev = now
             }
           }
@@ -277,14 +303,14 @@ object Bench {
     val details =
       if (errorDetails.isEmpty) ""
       else s""","error_details":${errorDetails.toSeq.sortBy(_._1).map { case (k, v) =>
-        "\"" + k + "\":\"" + jesc(v) + "\""
+        "\"" + jesc(k) + "\":\"" + jesc(v) + "\""
       }.mkString("{", ",", "}")}"""
     // FULL line (per-query map, sf0.01 pass, error details) — artifact
     // file + stderr only. The driver's stdout tail capture truncated
     // this ~5 KB object two rounds running (BENCH parsed:null), so the
     // full map must never be the line the driver parses.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb,"heap_gb":$heapGb$onlyKey${errs(results :: small.toList: _*)}$details,"queries":${js(results)},"sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb,"heap_gb":$heapGb$onlyKey${errs(results :: small.toList: _*)}$details,"queries":${js(results)},"sf":"${jesc(sfDir)}"$extra}"""
     // land the full line in a file. Path from env (SPARK_GRAFT_BENCH_OUT)
     // with a fallback OUTSIDE the worktree (tmpdir): a scratch file
     // inside the repo makes the NEXT bench in a series report a -dirty
@@ -331,7 +357,13 @@ object Bench {
       catch { case e: Exception =>
         System.err.println(s"bench: could not write bench_last.json: $e")
       }
-    println(if (wrote) compact else line)
+    // stop Spark BEFORE the handshake line so nothing can write to the
+    // process streams after it: the compact JSON is the FINAL stdout
+    // line of the run (VERDICT r15 ask #5). Paired with build.sbt's
+    // StdoutOutput strategy + suppressed [success] banner, the line
+    // reaches the driver bare — no [info] prefix, no trailing banner.
     spark.stop()
+    println(if (wrote) compact else line)
+    System.out.flush()
   }
 }

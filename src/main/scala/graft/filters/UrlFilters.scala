@@ -146,25 +146,37 @@ object RegexUrlFilter {
   * (`FastURLFilter.java:215-222`); metadata scopes key on parent-URL
   * metadata k=v with the value compared case-insensitively, evaluated
   * after host/domain and before GLOBAL (`FastURLFilter.java:226-243`).
+  *
+  * Haystack semantics (`FastURLFilter.java:253-262`): `*Path` rules
+  * match against `URL.getPath()` ONLY; `*PathQuery` rules match against
+  * path + "?" + query, the "?"+query appended only when a query is
+  * present. The fragment is never part of either haystack, and a URL
+  * with no path component yields the empty string (java.net.URL
+  * behavior), not "/". A URL java.net.URL cannot parse is removed
+  * (`FastURLFilter.java:172-176` — MalformedURLException => null).
   */
 final class FastUrlFilter(
-    hostRules: Map[String, Seq[(Boolean, Regex)]],
-    domainRules: Map[String, Seq[(Boolean, Regex)]],
-    globalRules: Seq[(Boolean, Regex)],
+    hostRules: Map[String, Seq[FastUrlFilter.Rule]],
+    domainRules: Map[String, Seq[FastUrlFilter.Rule]],
+    globalRules: Seq[FastUrlFilter.Rule],
     metadataRules: Seq[FastUrlFilter.MdScope] = Nil) extends UrlFilter {
+  import FastUrlFilter.Rule
 
-  /** True iff the scope's first matching rule is a deny. */
-  private def denies(rules: Seq[(Boolean, Regex)], pathQuery: String): Boolean =
-    rules.collectFirst { case (allow, re) if re.findFirstIn(pathQuery).isDefined => !allow }
-      .getOrElse(false)
+  /** True iff the scope's first matching rule is a deny; each rule picks
+    * its own haystack by verb (`FastURLFilter.java:253-266`). */
+  private def denies(rules: Seq[Rule], path: String, pathQuery: String): Boolean =
+    rules.collectFirst {
+      case r if r.re.findFirstIn(if (r.pathOnly) path else pathQuery).isDefined => !r.allow
+    }.getOrElse(false)
 
   def apply(url: String, src: Option[String], md: Map[String, Seq[String]]): Option[String] = {
-    val h = Urls.host(url).getOrElse(return None)
-    val pathQuery = {
-      val i = url.indexOf('/', url.indexOf("://") + 3)
-      if (i < 0) "/" else url.substring(i)
-    }
-    if (hostRules.get(h).exists(denies(_, pathQuery))) return None
+    val u =
+      try new java.net.URL(url)
+      catch { case _: java.net.MalformedURLException => return None }
+    val h = u.getHost
+    val path = u.getPath // "" for a pathless URL; fragment excluded
+    val pathQuery = if (u.getQuery == null) path else path + "?" + u.getQuery
+    if (hostRules.get(h).exists(denies(_, path, pathQuery))) return None
     // domain scopes: every hostname suffix, rightmost component first
     // ("com", "example.com", "a.example.com" for host a.example.com)
     val parts = h.split("\\.")
@@ -172,7 +184,7 @@ final class FastUrlFilter(
     var i = parts.length - 1
     while (i >= 0) {
       suffix = if (suffix.isEmpty) parts(i) else parts(i) + "." + suffix
-      if (domainRules.get(suffix).exists(denies(_, pathQuery))) return None
+      if (domainRules.get(suffix).exists(denies(_, path, pathQuery))) return None
       i -= 1
     }
     // metadata scopes (after host/domain, before GLOBAL), keyed on
@@ -182,14 +194,40 @@ final class FastUrlFilter(
     for (sc <- metadataRules)
       if (sc.value != null &&
           md.getOrElse(sc.key, Nil).exists(_.equalsIgnoreCase(sc.value)) &&
-          denies(sc.rules, pathQuery)) return None
-    if (denies(globalRules, pathQuery)) None else Some(url)
+          denies(sc.rules, path, pathQuery)) return None
+    if (denies(globalRules, path, pathQuery)) None else Some(url)
   }
 }
 
 object FastUrlFilter {
+  /** One scoped rule. The reference's four verbs
+    * (`FastURLFilter.java:317-324`): Allow/Deny crossed with Path (match
+    * `getPath()` only) vs PathQuery (match path+"?"+query). */
+  final case class Rule(allow: Boolean, pathOnly: Boolean, re: Regex)
+
+  // verb prefixes in the reference's enum order; matched case-insensitively
+  // with a trailing space, pattern = rest of the line trimmed
+  // (`FastURLFilter.java:329-346` — Rule(String line))
+  private val verbs = Seq(
+    ("denypath ", false, true),
+    ("denypathquery ", false, false),
+    ("allowpath ", true, true),
+    ("allowpathquery ", true, false))
+
+  /** Parse a reference pattern line, e.g. `"DenyPathQuery \\.jpg"`. The
+    * reference leaves an unknown verb as a null-typed rule that NPEs at
+    * filter time; we fail fast at parse time instead. */
+  def rule(line: String): Rule = {
+    val lc = line.toLowerCase(java.util.Locale.ROOT)
+    verbs.collectFirst {
+      case (p, allow, pathOnly) if lc.startsWith(p) =>
+        Rule(allow, pathOnly, line.substring(p.length).trim.r)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"invalid FastURLFilter rule (expected Allow|Deny + Path|PathQuery verb): $line"))
+  }
+
   /** A `metadata:key=value` scope (`FastURLFilter.java` MDScope). */
-  final case class MdScope(key: String, value: String, rules: Seq[(Boolean, Regex)])
+  final case class MdScope(key: String, value: String, rules: Seq[Rule])
 }
 
 /** sed-style regex substitutions (`filtering/regex/RegexURLNormalizer

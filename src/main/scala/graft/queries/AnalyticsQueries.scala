@@ -495,6 +495,16 @@ object AnalyticsQueries {
       graft.analytics.Sessions.sessionStats(t(s, dir, "events"), gapMinutes = 30)
         .orderBy("user_id", "session_seq")),
 
+    // The skew escape hatch for q44 (VERDICT r15 ask #6): users above
+    // the hot threshold sessionize chunked-in-parallel with a boundary
+    // stitch; result is bit-identical to the plain window path (same
+    // oracle as q44). Threshold 40 exercises BOTH paths at gate SFs.
+    "q101_sessionize_skew" -> ((s, dir) =>
+      graft.analytics.Sessions.statsOf(
+          graft.analytics.Sessions.sessionizeSkewAware(t(s, dir, "events"),
+            gapMinutes = 30, hotThreshold = 40, chunks = 8))
+        .orderBy("user_id", "session_seq")),
+
     // Deterministic stratified sample of documents per language —
     // id-hash bucketing (no RNG), map-only predicate at the scan.
     "q45_stratified_sample" -> ((s, dir) =>
@@ -1955,6 +1965,25 @@ object AnalyticsQueries {
     },
 
     "q44_sessionize" ->
+      s"""WITH e AS (${Tables.eventsSql}),
+         |g AS (SELECT user_id, event_id, ts, value,
+         |        CASE WHEN lag(ts) OVER w IS NULL
+         |               OR epoch(CAST(ts AS TIMESTAMP)) // 1 - epoch(lag(ts) OVER w) // 1 > 1800
+         |             THEN 1 ELSE 0 END AS new_session
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (SELECT user_id, ts, value,
+         |        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+         |      FROM g)
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         |FROM s GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // q101 is the skew-aware sessionizer: SAME result contract as q44,
+    // so the oracle SQL is the q44 text verbatim.
+    "q101_sessionize_skew" ->
       s"""WITH e AS (${Tables.eventsSql}),
          |g AS (SELECT user_id, event_id, ts, value,
          |        CASE WHEN lag(ts) OVER w IS NULL

@@ -217,12 +217,28 @@ object Warc {
           // already committed this partition — drop our tmp.
           Files.deleteIfExists(tmp): Unit
         case _: java.nio.file.AtomicMoveNotSupportedException =>
-          // some network mounts can't atomic-move: fall back to a plain
-          // replacing move — weaker (readers can glimpse a partial file
-          // on non-POSIX FS) but correct for retries, and strictly
-          // better than failing every shard write.
-          Files.move(tmp, committed,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          // some mounts can't atomic-move ACROSS filesystems: stage a
+          // copy to a second hidden name that IS on the target FS (same
+          // directory as the destination) and retry the atomic move from
+          // there — same-directory renames are atomic on anything
+          // POSIX-ish, so readers still never observe a truncated gzip
+          // shard. Only if even that refuses does the weaker replacing
+          // move run, and it logs loudly so a corrupt read-back is
+          // attributable (ADVICE r15).
+          val staged = committed.resolveSibling("." + committed.getFileName + s".stage-$attempt")
+          Files.copy(tmp, staged, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          try Files.move(staged, committed, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              Files.deleteIfExists(staged): Unit // other attempt won
+            case _: java.nio.file.AtomicMoveNotSupportedException =>
+              System.err.println(s"warc: NON-ATOMIC commit of $committed — " +
+                "target FS supports neither cross-FS nor same-dir atomic moves; " +
+                "a concurrent reader may glimpse a partial shard")
+              Files.move(staged, committed,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+          }
+          Files.deleteIfExists(tmp): Unit
       }
     } catch {
       case e: Throwable =>
@@ -257,7 +273,17 @@ object Warc {
       val s = Files.list(d)
       try s.forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith(".part-") && n.endsWith(s"-$jobToken.warc.gz.tmp"))
+        val thisJobs = n.startsWith(".part-") && n.endsWith(s"-$jobToken.warc.gz.tmp")
+        // foreign tmps (a CRASHED earlier job's token, or token-less)
+        // can't belong to a live concurrent job once they're stale —
+        // age-gate at 1 h so they don't accumulate forever in non-scratch
+        // output dirs (ADVICE r15). A live job's tmps are minutes old.
+        val staleForeign = !thisJobs && n.startsWith(".part-") &&
+          (n.endsWith(".warc.gz.tmp") || n.contains(".warc.gz.stage-")) &&
+          (try Files.getLastModifiedTime(p).toMillis <
+             System.currentTimeMillis() - 3600000L
+           catch { case _: Exception => false })
+        if (thisJobs || staleForeign)
           try Files.deleteIfExists(p) catch { case _: Exception => () }
       } finally s.close()
     }

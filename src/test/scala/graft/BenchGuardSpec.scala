@@ -70,4 +70,24 @@ class BenchGuardSpec extends AnyFunSuite {
       assert(Disk.requiredGb(1000) == 30.0)         // capped
     }
   }
+
+  test("suite order: store-backed faces first, rest alphabetical (VERDICT r15 ask #1)") {
+    // q94's only sf1000 campaign error was its store write racing the
+    // async reclaim of q08/q44's ~40 GB shuffle residue — alphabetical
+    // order put it right after them. Store-backed faces now run before
+    // any shuffle giant.
+    val names = Seq("q94_crawl_cycle", "q08_merge_dedup", "q44_sessionize",
+      "q01_pricing_summary", "q99_error_deletions", "q88_warc_roundtrip",
+      "q100_content_cache")
+    assert(Bench.suiteOrder(names) == Seq(
+      "q88_warc_roundtrip", "q94_crawl_cycle", "q99_error_deletions",
+      "q100_content_cache",
+      "q01_pricing_summary", "q08_merge_dedup", "q44_sessionize"))
+    // subset without store-backed faces: plain alphabetical
+    assert(Bench.suiteOrder(Seq("q44_sessionize", "q08_merge_dedup")) ==
+      Seq("q08_merge_dedup", "q44_sessionize"))
+    // a store-backed subset keeps the fixed face order
+    assert(Bench.suiteOrder(Seq("q99_error_deletions", "q88_warc_roundtrip")) ==
+      Seq("q88_warc_roundtrip", "q99_error_deletions"))
+  }
 }

@@ -77,6 +77,56 @@ class FilterConfigSpec extends AnyFunSuite {
     assert(chain("http://somedomain.net/", None, Map("novalue" -> Seq("x"))).isDefined)
   }
 
+  // the reference's own test fixture, verbatim
+  // (core/src/test/resources/fast.urlfilter.json)
+  private val referenceFastFixture =
+    """{
+      |  "rules" : [ {
+      |    "scope" : "GLOBAL",
+      |    "patterns" : [ "DenyPathQuery \\.jpg" ]
+      |  }, {
+      |    "scope" : "domain:stormcrawler.net",
+      |    "patterns" : [ "AllowPath /bla/", "DenyPath .+" ]
+      |  }, {
+      |    "scope" : "metadata:key=value",
+      |    "patterns" : [ "DenyPath .+" ]
+      |  } ]
+      |}""".stripMargin
+
+  test("FastURLFilter: reference-native fast.urlfilter.json parses unmodified") {
+    // FilterConfig.fastUrlFilter takes the reference FILE content verbatim
+    // (single-field-object unwrap included — FastURLFilter.java:113-118);
+    // assertions mirror FastURLFilterTest.java:41-68
+    val f = FilterConfig.fastUrlFilter(referenceFastFixture)
+    assert(f("http://www.somedomain.com/image.jpg", None, Map.empty).isEmpty) // testImagesFilter
+    assert(f("http://stormcrawler.net/", None, Map.empty).isEmpty)            // testDomainNotAllowed
+    assert(f("http://stormcrawler.net/bla/", None, Map.empty).isDefined)
+    assert(f("http://somedomain.net/", None, Map("key" -> Seq("value"))).isEmpty) // testMD
+    assert(f("http://somedomain.net/", None, Map.empty).isDefined)
+    // the same scope array embeds as params.rules inside urlfilters.json
+    val chain = FilterConfig.urlFilterChain(
+      s"""{"urlfilters": [{"class": "FastURLFilter", "params": $referenceFastFixture}]}""")
+    assert(chain("http://www.somedomain.com/image.jpg").isEmpty)
+    assert(chain("http://stormcrawler.net/bla/").isDefined)
+    // Path vs PathQuery through the parsed config: the GLOBAL
+    // DenyPathQuery \.jpg catches a query-only jpg hit…
+    assert(chain("http://other.org/page?img=.jpg").isEmpty)
+    // …while the domain DenyPath .+ never fires on query alone: a
+    // pathless URL has the EMPTY path haystack (.+ needs one char)
+    assert(chain("http://stormcrawler.net?x=1").isDefined)
+    // on actual read of the fixture from the reference tree (when
+    // present), the same truth table holds — proves drop-in parity
+    val p = java.nio.file.Paths.get(
+      "/root/reference/core/src/test/resources/fast.urlfilter.json")
+    if (java.nio.file.Files.isReadable(p)) {
+      val g = FilterConfig.fastUrlFilter(
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      assert(g("http://www.somedomain.com/image.jpg", None, Map.empty).isEmpty)
+      assert(g("http://stormcrawler.net/bla/", None, Map.empty).isDefined)
+      assert(g("http://somedomain.net/", None, Map("key" -> Seq("value"))).isEmpty)
+    }
+  }
+
   test("parsefilters.json builds the enrichment chain") {
     val chain = FilterConfig.parseFilterChain(
       """{"parsefilters": [

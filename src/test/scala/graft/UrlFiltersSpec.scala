@@ -68,11 +68,18 @@ class UrlFiltersSpec extends AnyFunSuite {
     assert(f("https://bad.com/a", None, noMd).isEmpty)
   }
 
+  // PathQuery-verb rules (match path+"?"+query) — the historical
+  // haystack for all rules before the Path/PathQuery split
+  private def allowPQ(p: String) = FastUrlFilter.Rule(allow = true, pathOnly = false, p.r)
+  private def denyPQ(p: String) = FastUrlFilter.Rule(allow = false, pathOnly = false, p.r)
+  private def allowPath(p: String) = FastUrlFilter.Rule(allow = true, pathOnly = true, p.r)
+  private def denyPath(p: String) = FastUrlFilter.Rule(allow = false, pathOnly = true, p.r)
+
   test("FastUrlFilter: scoped rules, first matching scope wins") {
     val f = new FastUrlFilter(
-      hostRules = Map("www.e.com" -> Seq((false, "/private".r))),
-      domainRules = Map("e.com" -> Seq((true, "/public".r), (false, ".*".r))),
-      globalRules = Seq((true, ".*".r)))
+      hostRules = Map("www.e.com" -> Seq(denyPQ("/private"))),
+      domainRules = Map("e.com" -> Seq(allowPQ("/public"), denyPQ(".*"))),
+      globalRules = Seq(allowPQ(".*")))
     assert(f("http://www.e.com/private/x", None, noMd).isEmpty)
     assert(f("http://www.e.com/public", None, noMd).isDefined)   // host scope has no match -> domain
     assert(f("http://sub.e.com/other", None, noMd).isEmpty)      // domain deny
@@ -86,9 +93,9 @@ class UrlFiltersSpec extends AnyFunSuite {
   test("FastUrlFilter: metadata: scope — reference FastURLFilterTest truth table") {
     val f = new FastUrlFilter(
       hostRules = Map.empty,
-      domainRules = Map("stormcrawler.net" -> Seq((true, "^/bla/".r), (false, ".+".r))),
-      globalRules = Seq((false, "\\.jpg".r)),
-      metadataRules = Seq(FastUrlFilter.MdScope("key", "value", Seq((false, ".+".r)))))
+      domainRules = Map("stormcrawler.net" -> Seq(allowPath("/bla/"), denyPath(".+"))),
+      globalRules = Seq(denyPQ("\\.jpg")),
+      metadataRules = Seq(FastUrlFilter.MdScope("key", "value", Seq(denyPath(".+")))))
     // testImagesFilter: global deny
     assert(f("http://www.somedomain.com/image.jpg", None, noMd).isEmpty)
     // testDomainNotAllowed: domain deny / allow
@@ -109,26 +116,64 @@ class UrlFiltersSpec extends AnyFunSuite {
     // returns true only for DENY — FastURLFilter.java:252-268): host
     // allow, then global deny => removed
     val f = new FastUrlFilter(
-      hostRules = Map("www.e.com" -> Seq((true, "^/x".r))),
+      hostRules = Map("www.e.com" -> Seq(allowPQ("^/x"))),
       domainRules = Map.empty,
-      globalRules = Seq((false, "^/x".r)))
+      globalRules = Seq(denyPQ("^/x")))
     assert(f("http://www.e.com/x", None, noMd).isEmpty)
     // ... but within a scope the first match decides THAT scope: the
     // domain allow shadows the domain deny for matching paths
     val g = new FastUrlFilter(Map.empty,
-      Map("e.com" -> Seq((true, "^/keep".r), (false, ".+".r))), Nil)
+      Map("e.com" -> Seq(allowPQ("^/keep"), denyPQ(".+"))), Nil)
     assert(g("http://www.e.com/keep/1", None, noMd).isDefined)
     assert(g("http://www.e.com/drop", None, noMd).isEmpty)
     // domain rules try EVERY hostname suffix rightmost-first
     // (FastURLFilter.java:215-222), not just the paid-level domain
-    val h = new FastUrlFilter(Map.empty, Map("com" -> Seq((false, "/spam".r))), Nil)
+    val h = new FastUrlFilter(Map.empty, Map("com" -> Seq(denyPQ("/spam"))), Nil)
     assert(h("http://a.b.example.com/spam/x", None, noMd).isEmpty)
     assert(h("http://a.b.example.org/spam/x", None, noMd).isDefined)
     // value-less metadata constraint ("metadata:key") never matches —
     // reference MDScope.value null semantics (FastURLFilter.java:292-306)
     val m = new FastUrlFilter(Map.empty, Map.empty, Nil,
-      Seq(FastUrlFilter.MdScope("key", null, Seq((false, ".+".r)))))
+      Seq(FastUrlFilter.MdScope("key", null, Seq(denyPQ(".+")))))
     assert(m("http://e.com/x", None, Map("key" -> Seq("anything"))).isDefined)
+  }
+
+  test("FastUrlFilter: Path vs PathQuery haystacks diverge (FastURLFilter.java:253-262)") {
+    // *Path rules see getPath() ONLY; *PathQuery rules see path+"?"+query.
+    // Anchored rules are where the distinction bites.
+    val dp = new FastUrlFilter(Map.empty, Map.empty, Seq(denyPath("r$")))
+    assert(dp("http://h.com/xr?q=1", None, noMd).isEmpty)   // path "/xr" ends in r -> deny
+    assert(dp("http://h.com/xa?q=r", None, noMd).isDefined) // query never in a Path haystack
+    val dpq = new FastUrlFilter(Map.empty, Map.empty, Seq(denyPQ("r$")))
+    assert(dpq("http://h.com/xr?q=1", None, noMd).isDefined) // haystack "/xr?q=1" doesn't end in r
+    assert(dpq("http://h.com/xr", None, noMd).isEmpty)       // no query: haystack == path (no "?")
+    assert(dpq("http://h.com/xa?q=r", None, noMd).isEmpty)   // query IS in a PathQuery haystack
+    // the fixture's classic: DenyPath \.jpg misses a query-only hit,
+    // DenyPathQuery catches it
+    val img = new FastUrlFilter(Map.empty, Map.empty, Seq(denyPath("\\.jpg")))
+    assert(img("http://h.com/a?f=.jpg", None, noMd).isDefined)
+    val imgQ = new FastUrlFilter(Map.empty, Map.empty, Seq(denyPQ("\\.jpg")))
+    assert(imgQ("http://h.com/a?f=.jpg", None, noMd).isEmpty)
+    // fragment is never part of either haystack (java.net.URL getPath/getQuery)
+    assert(imgQ("http://h.com/a#x.jpg", None, noMd).isDefined)
+    // a pathless URL yields the EMPTY path, not "/" (java.net.URL)
+    val root = new FastUrlFilter(Map.empty, Map.empty, Seq(denyPath("^/")))
+    assert(root("http://h.com", None, noMd).isDefined)
+    assert(root("http://h.com/", None, noMd).isEmpty)
+    // unparseable URL is removed (FastURLFilter.java:172-176)
+    assert(dp("notaurl", None, noMd).isEmpty)
+  }
+
+  test("FastUrlFilter.rule: reference verb parsing (FastURLFilter.java:329-346)") {
+    val r1 = FastUrlFilter.rule("DenyPathQuery \\.jpg")
+    assert(!r1.allow && !r1.pathOnly && r1.re.regex == "\\.jpg")
+    val r2 = FastUrlFilter.rule("AllowPath /bla/")
+    assert(r2.allow && r2.pathOnly && r2.re.regex == "/bla/")
+    // verb prefix is case-insensitive; pattern is trimmed
+    val r3 = FastUrlFilter.rule("denypath   .+  ")
+    assert(!r3.allow && r3.pathOnly && r3.re.regex == ".+")
+    intercept[IllegalArgumentException](FastUrlFilter.rule("Nuke .*"))
+    intercept[IllegalArgumentException](FastUrlFilter.rule("DenyPath")) // no space+pattern
   }
 
   test("RegexUrlNormalizer applies substitutions to fixpoint") {
