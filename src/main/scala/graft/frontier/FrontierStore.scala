@@ -106,7 +106,14 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     df.repartition(
         math.min(numBuckets, df.sparkSession.sparkContext.defaultParallelism).max(1),
         col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(s"$root/$gen")
+      .write.partitionBy("bucket").mode("overwrite")
+      // zstd over the default snappy: the store's peak disk is two
+      // coexisting generations (the old one is the merge's INPUT while
+      // the new one writes — copy-on-write's honest 2× amplification),
+      // so ~35% smaller generations directly shrink the merge's disk
+      // high-water mark; zstd decode speed keeps reads scan-bound.
+      .option("compression", "zstd")
+      .parquet(s"$root/$gen")
     val updated = manifest ++ touched.map(_ -> gen)
     val tmp = Paths.get(root, "_CURRENT.tmp")
     Files.createDirectories(Paths.get(root))
@@ -169,11 +176,21 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
   def merge(spark: SparkSession, updates: DataFrame,
             now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())): Unit = {
     val enriched = enrich(updates)
-    enriched.cache()
-    // the touched-bucket set is tiny (≤ numBuckets) — safe to collect
+    // NO cache on the update batch: the touched-bucket pass below
+    // recomputes the (map-only: parquet scan + projections + hash
+    // exprs) lineage instead. Caching here was the r18 q94 sf1000
+    // killer — a 333 M-row update batch spills tens of GB of
+    // MEMORY_AND_DISK blocks exactly while the merge window shuffle
+    // and two store generations also hold disk, and the recompute it
+    // saves is a fraction of the window stage. At 100 TB the same
+    // logic holds even harder: never persist a batch-sized input to
+    // save one cheap map pass.
+    // the touched-bucket set is tiny (≤ numBuckets) — safe to collect;
+    // the distinct is map-side-combined so this pass ships ≤ numBuckets
+    // rows per task
     val touched = enriched.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) { enriched.unpersist(); return }
+    if (touched.isEmpty) return
 
     val existing = readBuckets(spark, Some(touched))
       .select(col("url_sha256"), col("url"), col("status"), col("next_fetch_date"),
@@ -269,7 +286,6 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     writeDelta(scheduled.select(
       "url_sha256", "url", "status", "next_fetch_date", "key", "bucket",
       "metadata", "error_count"), touched)
-    enriched.unpersist()
   }
 
   /** Frontier selection — AggregationSpout / SQLSpout semantics
