@@ -110,6 +110,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
+      // zstd for shuffle/spill/broadcast blocks (default lz4): ~35-40%
+      // smaller shuffle files at a decode speed that keeps the exchange
+      // scan-bound. On this single-box host the binding resource for
+      // the 1 B-row queries is DISK (q94's sf1000 window shuffle +
+      // copy-on-write store generations exceeded the FS with lz4), and
+      // on a real cluster the same bytes are the network — compression
+      // ratio is the right trade on both. Env-overridable for A/B.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "zstd"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -210,34 +219,14 @@ object Bench {
           // free (VERDICT r14 what's-wrong #2). Safe at a query
           // boundary — every query allocates a fresh dir.
           graft.tools.Scratch.sweepAll()
-          System.gc()
-          // The ContextCleaner deletes the dead shuffle files the GC
-          // just unreferenced ASYNCHRONOUSLY — measured: 42 GB of q44
-          // sf1000 shuffle vanishes ~20-40 s AFTER this boundary. A
-          // store-backed query starting milliseconds later races that
-          // deletion and its disk preflight reads pre-reclaim free
-          // space (this, not monotonic leakage, is what refused q99 in
-          // the r17 re-cut). When headroom is low, wait (untimed) until
-          // either the target headroom is reached, or reclaim was
-          // OBSERVED (growth ≥0.5 GB/tick) and has since stopped — a
-          // no-growth exit without ever seeing growth would return
-          // before the 20-40 s-delayed deletion even starts (ADVICE
-          // r15), which is the exact failure this wait exists to fix.
-          // 90 s timeout as backstop.
-          val settleTarget = Disk.requiredGb(nSelected) + 10
-          if (Disk.freeGb() < settleTarget) {
-            var prev = Disk.freeGb()
-            var grewOnce = false
-            var stableAfterGrowth = 0
-            var waited = 0
-            while (waited < 90 && stableAfterGrowth < 2 && prev < settleTarget) {
-              Thread.sleep(3000); waited += 3
-              val now = Disk.freeGb()
-              if (now - prev >= 0.5) { grewOnce = true; stableAfterGrowth = 0 }
-              else if (grewOnce) stableAfterGrowth += 1
-              prev = now
-            }
-          }
+          // GC + bounded wait for the ASYNCHRONOUS shuffle-file reclaim
+          // (measured: 42 GB of q44 sf1000 shuffle vanishes ~20-40 s
+          // after the boundary; a store-backed query starting
+          // milliseconds later races that deletion — this, not
+          // monotonic leakage, is what refused q99 in the r17 re-cut).
+          // Disk.settle exits on target headroom or observed-then-
+          // stopped growth, never on quiet ticks alone (ADVICE r15).
+          Disk.settle(Disk.requiredGb(nSelected) + 10): Unit
           name -> t
         }.toMap
       }

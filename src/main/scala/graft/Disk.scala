@@ -32,6 +32,31 @@ object Disk {
     sys.env.get("SPARK_GRAFT_MIN_FREE_GB").flatMap(_.toDoubleOption)
       .getOrElse(math.min(30.0, 5.0 + 0.25 * nQueries))
 
+  /** Wait (bounded) for asynchronous disk reclamation to land: Spark's
+    * ContextCleaner deletes dead shuffle files 20-40 s AFTER the GC that
+    * unreferences them, so code that just freed a large shuffle must not
+    * trust an immediate freeGb() read. Exits when `targetGb` headroom is
+    * reached, or when growth (≥0.5 GB/tick) was OBSERVED and has since
+    * stopped for two ticks — never on quiet ticks alone, which would
+    * return before the delayed deletion even starts (ADVICE r15). Used
+    * at Bench query boundaries and inside multi-cycle store queries
+    * (q94's inter-cycle hygiene). Returns the final freeGb. */
+  def settle(targetGb: Double, maxWaitSec: Int = 90, tickMs: Long = 3000): Double = {
+    System.gc()
+    var prev = freeGb()
+    var grewOnce = false
+    var stableAfterGrowth = 0
+    var waited = 0L
+    while (waited < maxWaitSec * 1000L && stableAfterGrowth < 2 && prev < targetGb) {
+      Thread.sleep(tickMs); waited += tickMs
+      val now = freeGb()
+      if (now - prev >= 0.5) { grewOnce = true; stableAfterGrowth = 0 }
+      else if (grewOnce) stableAfterGrowth += 1
+      prev = now
+    }
+    prev
+  }
+
   /** Throws with a named reason if the tmpdir filesystem is under the
     * free-space floor — a refused run beats a corrupted artifact. */
   def preflight(what: String, min: Double = minFreeGb): Unit = {

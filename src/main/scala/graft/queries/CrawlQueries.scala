@@ -364,6 +364,7 @@ object CrawlQueries {
     // the store lives in a fresh scratch dir per invocation.
     "q94_crawl_cycle" -> ((s, dir) => {
       import java.sql.Timestamp
+      val freeAtEntry = graft.Disk.freeGb()
       val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
       val t1 = Timestamp.valueOf("2026-01-01 01:00:00")
       val t2 = Timestamp.valueOf("2026-01-01 02:00:00")
@@ -374,6 +375,18 @@ object CrawlQueries {
       store.merge(s, statusView(s, dir).where(col("event_id") % 3 === 0)
         .select(col("url"), lit(graft.model.Status.Discovered).as("status"),
           emptyMd.as("metadata")), t0)
+      // inter-cycle hygiene (TIMED — it is part of the crawl cycle's
+      // honest cost, exactly as a real loop pays a job boundary between
+      // cycles): cycle 0's merge leaves its window+repartition shuffle
+      // on disk until a GC lets the ContextCleaner reclaim it, and at
+      // 1 B rows that residue plus cycle 1's shuffle plus BOTH store
+      // generations (copy-on-write input + output) is what blew the FS
+      // in the r18 isolation attempt. Gated on BOTH low headroom AND
+      // cycle 0 having measurably consumed disk: a host that is simply
+      // low on disk with nothing pending to reclaim must not stall a
+      // gate-scale run for the settle timeout.
+      val freeNow = graft.Disk.freeGb()
+      if (freeNow < 40 && freeAtEntry - freeNow > 5) graft.Disk.settle(40): Unit
       // cycle 1: select due work, simulate fetch outcomes by page id
       val batch = store.selectBatch(s, t1, perBucket = 8, maxKeys = 10, limit = 50)
       val d = regexp_extract(col("url"), "page/([0-9]+)", 1).cast("long")
