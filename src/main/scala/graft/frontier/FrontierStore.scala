@@ -89,8 +89,13 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     else manifest.values.map(_.stripPrefix("delta_").toInt).maxOption.map(_ + 1).getOrElse(0)
 
   /** Write the merged content of `touched` buckets as one new delta
-    * generation and swap the manifest pointer atomically. */
-  private def writeDelta(df: DataFrame, touched: Set[Int]): Unit = {
+    * generation and swap the manifest pointer atomically. `preClustered`
+    * promises the input is ALREADY hash-distributed by bucket (merge's
+    * bucket-aligned window leaves it so) — the repartition exchange is
+    * skipped, halving the write path's shuffle bytes; a false promise
+    * is still correct, just multi-file per bucket. */
+  private def writeDelta(df: DataFrame, touched: Set[Int],
+                         preClustered: Boolean = false): Unit = {
     val gen = s"delta_$nextGeneration"
     // cluster by bucket before the partitionBy write: a partitionBy
     // write from W tasks creates up to W files PER BUCKET (≈2 000 tiny
@@ -103,9 +108,10 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     // file serially (~13 ms parquet-writer setup each — the
     // ContentStore measurement); pinning keeps the write parallel
     // while each bucket still hashes to exactly one task.
-    df.repartition(
-        math.min(numBuckets, df.sparkSession.sparkContext.defaultParallelism).max(1),
-        col("bucket"))
+    (if (preClustered) df
+     else df.repartition(
+       math.min(numBuckets, df.sparkSession.sparkContext.defaultParallelism).max(1),
+       col("bucket")))
       .write.partitionBy("bucket").mode("overwrite")
       // zstd over the default snappy: the store's peak disk is two
       // coexisting generations (the old one is the merge's INPUT while
@@ -192,15 +198,20 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
       .collect().map(_.getInt(0)).toSet
     if (touched.isEmpty) return
 
+    // SLIM union: url_sha256 and key are pure functions of url
+    // (enrich's own definitions), so they are recomputed on the merge
+    // SURVIVORS after the window instead of being shuffled with every
+    // candidate row — 64 hex chars + the key string are ~40% of the
+    // row, and the merge exchange is the store's dominant shuffle.
     val existing = readBuckets(spark, Some(touched))
-      .select(col("url_sha256"), col("url"), col("status"), col("next_fetch_date"),
-        col("key"), col("bucket"), col("metadata"), col("error_count"),
+      .select(col("url"), col("status"), col("next_fetch_date"),
+        col("bucket"), col("metadata"), col("error_count"),
         lit(0).as("incoming"))
     val nowC = lit(now).cast("timestamp_ntz")
     val incoming = enriched
-      .select(col("url_sha256"), col("url"), col("status"),
+      .select(col("url"), col("status"),
         lit(null).cast("timestamp_ntz").as("next_fetch_date"),
-        col("key"), col("bucket"), col("metadata"),
+        col("bucket"), col("metadata"),
         when(col("status") === Status.FetchError, 1).otherwise(0).as("error_count"),
         lit(1).as("incoming"))
 
@@ -215,6 +226,20 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     // fall back to SortAggregate, and with ~unique url keys the
     // map-side partial collapses nothing. The window shape is the
     // right one here.
+    //
+    // ONE exchange, bucket-aligned (r18): the windows partition by
+    // BUCKET — the exact distribution writeDelta needs — and resolve
+    // per-URL groups inside the partition via ordering: the survivor is
+    // the first row of each url run under the precedence sort (a lag
+    // run-boundary test ≡ row_number()=1 over a per-url window), and
+    // the per-url aggregates use a RANGE CURRENT ROW..CURRENT ROW
+    // frame, whose frame is exactly the ORDER-BY PEERS (= all rows of
+    // the url). Partitioning by url instead cost a SECOND full
+    // exchange (writeDelta's repartition by bucket) — 2× the merge's
+    // shuffle bytes, which is what broke q94's 1 B-row run (and on a
+    // real cluster is 2× the network). Grouping by url ≡ grouping by
+    // url_sha256: the hash is injective on the store's key space by
+    // construction.
     val rank =
       when(col("incoming") === 1 && col("status") =!= Status.Discovered, 0)
         .when(col("incoming") === 0, 1)
@@ -225,28 +250,35 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
     // outlinks have the most depth budget left), then a content hash
     // of the metadata as a total order of last resort.
     val depthC = graft.model.MetadataOps.mdFirst(col("metadata"), "depth").cast("int")
-    val w = Window.partitionBy(col("url_sha256"))
-      .orderBy(rank, col("status"), depthC.asc_nulls_first,
+    val wOrd = Window.partitionBy(col("bucket"))
+      .orderBy(col("url"), rank, col("status"), depthC.asc_nulls_first,
         xxhash64(to_json(col("metadata"))))
-
-    val wAll = Window.partitionBy(col("url_sha256"))
+    val wPeer = Window.partitionBy(col("bucket")).orderBy(col("url"))
+      .rangeBetween(Window.currentRow, Window.currentRow)
     val unioned = existing.unionByName(incoming)
-      .withColumn("rn", row_number().over(w))
       // carry the error history: sum error counts across merged rows,
       // capped escalation handled below
-      .withColumn("total_errors", sum(col("error_count")).over(wAll))
+      .withColumn("total_errors", sum(col("error_count")).over(wPeer))
       // previous signature/interval for the adaptive scheduler
       // (AdaptiveScheduler.java:140-318) — window-carried so the
       // surviving row can compare against what the store held
       .withColumn("old_sig",
         max(when(col("incoming") === 0,
-          graft.model.MetadataOps.mdFirst(col("metadata"), "signature"))).over(wAll))
+          graft.model.MetadataOps.mdFirst(col("metadata"), "signature"))).over(wPeer))
       .withColumn("old_interval",
         max(when(col("incoming") === 0,
           graft.model.MetadataOps.mdFirst(col("metadata"), "fetchInterval").cast("double")))
-          .over(wAll))
-      .where(col("rn") === 1)
-      .drop("rn")
+          .over(wPeer))
+      // survivor = first row of this url's run under the precedence
+      // order: the previous row (same bucket partition, full composite
+      // sort) is a different url or absent
+      .withColumn("__prev_url", lag(col("url"), 1).over(wOrd))
+      .where(col("__prev_url").isNull || col("__prev_url") =!= col("url"))
+      .drop("__prev_url")
+      // recompute the derived identity columns on the ~deduped
+      // survivors only (they were excluded from the shuffle above)
+      .withColumn("url_sha256", CrawlFunctions.urlSha256(col("url")))
+      .withColumn("key", CrawlFunctions.partitionKeyCol(col("url"), "byHost"))
 
     val escalated = unioned
       .withColumn("error_count",
@@ -285,7 +317,7 @@ final class FrontierStore(val root: String, numBuckets: Int = 64,
 
     writeDelta(scheduled.select(
       "url_sha256", "url", "status", "next_fetch_date", "key", "bucket",
-      "metadata", "error_count"), touched)
+      "metadata", "error_count"), touched, preClustered = true)
   }
 
   /** Frontier selection — AggregationSpout / SQLSpout semantics
