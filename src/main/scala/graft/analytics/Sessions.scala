@@ -63,6 +63,15 @@ object Sessions {
     * count-per-user pass and an empty broadcast — which is why the plain
     * path stays the default and this is opt-in for corpora that don't
     * bound per-user cardinality.
+    *
+    * The hot set's join strategy is AQE's choice, NOT a forced
+    * broadcast: a threshold mis-sized for the corpus (e.g. a gate-SF
+    * constant reused at 1 B events where it marks EVERY user hot) makes
+    * the hot set arbitrarily large, and a forced hint then dies on the
+    * 8 GiB broadcast limit — the r18 sf1000 campaign's one error —
+    * where AQE instead degrades to a shuffle join and still returns the
+    * bit-identical result. In the designed regime (few hot users) AQE
+    * broadcasts both joins on its own.
     */
   def sessionizeSkewAware(events: DataFrame, userCol: String = "user_id",
                           tsCol: String = "ts", orderCol: String = "event_id",
@@ -70,14 +79,14 @@ object Sessions {
                           chunks: Int = 64): DataFrame = {
     val sec: Column => Column = c => c.cast("timestamp").cast("long")
     val outCols = events.columns.map(col).toSeq :+ col("session_seq")
-    // hot users + their time range: tiny by definition (a user must own
-    // > hotThreshold events to appear), so it broadcasts.
-    val hotUsers = broadcast(
+    // hot users + their time range: tiny by design (a user must own
+    // > hotThreshold events to appear); sized at runtime by AQE
+    val hotUsers =
       events.groupBy(col(userCol))
         .agg(count(lit(1)).as("__n"), min(sec(col(tsCol))).as("__tmin"),
           max(sec(col(tsCol))).as("__tmax"))
         .filter(col("__n") > hotThreshold)
-        .drop("__n"))
+        .drop("__n")
     val marked = events.join(hotUsers, Seq(userCol), "left")
     val normal = sessionize(marked.filter(col("__tmin").isNull)
       .drop("__tmin", "__tmax"), userCol, tsCol, orderCol, gapMinutes)
@@ -110,7 +119,7 @@ object Sessions {
         sum(col("__nsess") - col("__merge"))
           .over(byUserChunk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(userCol), col("__chunk"), col("__offset"), col("__merge"))
-    val hotDone = local.join(broadcast(summaries), Seq(userCol, "__chunk"))
+    val hotDone = local.join(summaries, Seq(userCol, "__chunk"))
       .withColumn("session_seq", col("__offset") + col("__local") - col("__merge"))
     normal.select(outCols: _*).unionByName(hotDone.select(outCols: _*))
   }

@@ -498,12 +498,21 @@ object AnalyticsQueries {
     // The skew escape hatch for q44 (VERDICT r15 ask #6): users above
     // the hot threshold sessionize chunked-in-parallel with a boundary
     // stitch; result is bit-identical to the plain window path (same
-    // oracle as q44). Threshold 40 exercises BOTH paths at gate SFs.
-    "q101_sessionize_skew" -> ((s, dir) =>
+    // oracle as q44). The threshold scales with the corpus —
+    // max(40, rows/10k) — because the result is threshold-invariant but
+    // the EXECUTION is not: the gate-SF constant 40 reused at 1 B
+    // events marks all 15 M users hot (per-user counts don't grow with
+    // corpus size in this data), which is how the r18 campaign row
+    // died. 40 still exercises both paths at the gate SFs (per-user
+    // counts there span 1..99); the count() is a parquet metadata read.
+    "q101_sessionize_skew" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
       graft.analytics.Sessions.statsOf(
-          graft.analytics.Sessions.sessionizeSkewAware(t(s, dir, "events"),
-            gapMinutes = 30, hotThreshold = 40, chunks = 8))
-        .orderBy("user_id", "session_seq")),
+          graft.analytics.Sessions.sessionizeSkewAware(ev,
+            gapMinutes = 30,
+            hotThreshold = math.max(40L, ev.count() / 10000L), chunks = 8))
+        .orderBy("user_id", "session_seq")
+    }),
 
     // Deterministic stratified sample of documents per language —
     // id-hash bucketing (no RNG), map-only predicate at the scan.
