@@ -16,6 +16,14 @@ object Bench {
     * target/scala-2.13/classes — the only dirt the guard cares about. */
   private[graft] val buildInputs = Seq("src/", "project/", "tools/", "build.sbt")
 
+  /** Seconds rounded to 1 ms as a minimal JSON literal (Locale-free —
+    * Double.toString never renders a locale comma). Pure (spec-tested). */
+  private[graft] def round3(v: Double): String = {
+    val r = math.rint(v * 1000.0) / 1000.0
+    val s = java.math.BigDecimal.valueOf(r).stripTrailingZeros().toPlainString
+    if (s.isEmpty) "0" else s
+  }
+
   /** True iff the porcelain output names a file that affects compiled
     * classes. The round-12 driver run was refused (rc=1, no official
     * bench data) because the driver itself dirties the tree with
@@ -119,6 +127,24 @@ object Bench {
       // ratio is the right trade on both. Env-overridable for A/B.
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "zstd"))
+      // Let AQE re-optimize CACHED plans (default false pins every
+      // shuffle under a .cache() at initialPartitionNum — with
+      // initial-wide at 256 that put 256 tasks under EVERY cached
+      // frame: the CC edge cache, the BPE word histogram, q81's vocab
+      // table — 775-1567 tasks per query on kilobyte-sized cached
+      // data, pure scheduler churn). True lets AQE size cached-plan
+      // partitions from MEASURED bytes — the same scale-adaptive
+      // argument as initial-wide+coalesce itself, correct at any SF.
+      // Coalesced caches still report CoalescedHashPartitioning, so
+      // per-round joins keyed on the cache key keep eliding their
+      // exchange. Measured (min-of-2, sf0.1): q49 1.45→0.80 s,
+      // q68 2.55→1.39 s, q71 2.67→1.36 s, q77 0.99→0.69 s; suite
+      // task count for the 10 cache-using queries 9 289→561.
+      // Results are partitioning-invariant by design (integer/decimal
+      // aggregates, quantized geometry) — oracle-verified under BOTH
+      // settings. Env-overridable for A/B.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -241,6 +267,19 @@ object Bench {
     def js(m: Map[String, Double]): String =
       m.filterNot(_._2.isNaN)
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // per-query map at millisecond precision for the FINAL stdout line:
+    // the driver contract is ONE JSON line carrying {"metric","value",
+    // "unit","queries","sf"} — the full-precision map made that line
+    // ~5 KB and the driver's tail capture truncated it mid-object
+    // (BENCH parsed:null five rounds running), while the r15 "compact"
+    // line fit but DROPPED the queries key the contract names. Rounding
+    // to 1 ms keeps all 101 entries in ~2.9 KB — inside the observed
+    // ≥3.9 KB tail window — and 1 ms is far below host noise (±30%).
+    // Full precision still lands in the artifact file and on stderr.
+    def jsMs(m: Map[String, Double]): String =
+      m.filterNot(_._2.isNaN)
+        .map { case (k, v) => s"\"" + k + "\":" + Bench.round3(v) }
+        .mkString("{", ",", "}")
     def errs(ms: Map[String, Double]*): String = {
       val names = ms.flatMap(_.collect { case (k, v) if v.isNaN => k }).distinct.sorted
       if (names.isEmpty) "" else s""","errors":${names.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
@@ -332,7 +371,7 @@ object Bench {
     // per-query data is never lost entirely.
     val nOk = results.values.count(!_.isNaN)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb,"heap_gb":$heapGb$onlyKey${errs(results :: small.toList: _*)},"artifact":"${jesc(outPath)}","sf":"${jesc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":$nOk,"reps":$reps,"commit":"$commit$dirty","disk_free_gb":$freeGb,"heap_gb":$heapGb$onlyKey${errs(results :: small.toList: _*)},"artifact":"${jesc(outPath)}","queries":${jsMs(results)},"sf":"${jesc(sfDir)}"}"""
     // COMMITTED fallback channel (VERDICT r14 missing-#1, 3 rounds of
     // parsed:null): sbt decorates stdout ([info]/[success]) beyond our
     // control, so the compact line ALSO lands at a fixed repo path the

@@ -21,6 +21,12 @@ object Verify {
       // DuckDB reads TIMESTAMP_MICROS natively; INT96 (Spark's default)
       // round-trips less predictably — pin the portable encoding.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // same cached-plan AQE setting as the bench session (Bench.scala):
+      // results are partitioning-invariant by design, and running the
+      // CORRECTNESS gate under the bench's config certifies that the
+      // config change cannot move a declared query's hash.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

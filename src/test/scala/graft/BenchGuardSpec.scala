@@ -71,6 +71,21 @@ class BenchGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("round3: millisecond precision, minimal JSON literal, locale-free") {
+    assert(Bench.round3(0.554832503) == "0.555")
+    assert(Bench.round3(114.848813136) == "114.849")
+    assert(Bench.round3(2.0) == "2")
+    assert(Bench.round3(0.0004) == "0")          // sub-ms rounds to 0, still valid JSON
+    assert(Bench.round3(1234.5678) == "1234.568")
+    // the REAL query names at 1 ms precision must fit the driver's
+    // observed ≥3.9 KB stdout tail window together with the ~350 B
+    // compact header — this trips if someone adds enough queries (or
+    // long enough names) to push the final line past the window
+    val line = SparkEntry.queries.keys
+      .map(k => "\"" + k + "\":" + Bench.round3(9999.999)).mkString("{", ",", "}")
+    assert(line.length < 3500, s"queries map too long for the tail window: ${line.length}")
+  }
+
   test("suite order: store-backed faces first, rest alphabetical (VERDICT r15 ask #1)") {
     // q94's only sf1000 campaign error was its store write racing the
     // async reclaim of q08/q44's ~40 GB shuffle residue — alphabetical
