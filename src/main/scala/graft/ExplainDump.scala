@@ -80,7 +80,7 @@ object ExplainDump {
     "q66_ivfpq_topk" ->
       "IVF-PQ — the production ANN composition at 100 TB: ONE map-only corpus pass derives BOTH the coarse hyperplane bucket and the PQ codes (codebooks + sign matrix as plan-time constants), the per-query probe set (lut × nprobe buckets) broadcasts (BroadcastHashJoin on bucket), and only candidates in probed buckets are LUT-scored (pq_dist — m table loads + adds, no floats). On a bucket-partitioned code table the non-probed partitions prune at the scan, and the scanned bytes are the CODES (~1/32 of the float vectors) — the q38 pruning and the q65 compression multiply. Bit-exact as a function of the inputs; the oracle reproduces buckets, probes, codebooks, codes, and distances.",
     "q67_dsir_topk" ->
-      "DSIR importance selection: two corpus passes, both map-heavy — the bucket-count aggregate's working set is the 4096-bucket feature table (map-side partials, so the exchange carries at most partitions×buckets fixed-width rows), the integer-ppm ratio LUT joins back PINNED broadcast (the corpus side must never be a build side — the q53 argument), the per-doc score partial-aggregates to ~one row per document before its exchange (a doc's tokens all originate in one input row), and the top-20 is TakeOrderedAndProject — per-partition heaps merged on the driver, never a global sort. ADAPTIVE on the duplication probe: a replicated corpus hashes token features once per DISTINCT text, bucket counts recover as member-weight sums, per-digest scores expand back (77.6 -> 4.8 s at a 100x-replicated sf10). Integer ratios instead of float log sums make the selection ORDER engine-exact, which is what lets a SQL oracle hash-verify an importance sampler.",
+      "DSIR importance selection: ONE corpus tokenize+hash pass (r16 — the token stream compacts to per-(doc, bucket) occurrence counts, and BOTH the bucket-count aggregate and the score join consume that fixed-width frame, halving the dominant per-token md5 cost; Σ_tokens wgt ≡ Σ_bkt kx·wgt exactly). The bucket-count working set is the 4096-bucket feature table (map-side partials), the integer-ppm ratio LUT joins back PINNED broadcast (the corpus side must never be a build side — the q53 argument), the per-doc score aggregate runs over the compacted (doc, bucket) rows, and the top-20 is TakeOrderedAndProject — per-partition heaps merged on the driver, never a global sort. ADAPTIVE on the duplication probe: a replicated corpus hashes token features once per DISTINCT text, bucket counts recover as member-weight sums, per-digest scores expand back (77.6 -> 4.8 s at a 100x-replicated sf10). Integer ratios instead of float log sums make the selection ORDER engine-exact, which is what lets a SQL oracle hash-verify an importance sampler.",
     "q68_bpe_merges" ->
       "Distributed BPE vocabulary induction: the corpus is read ONCE — the word-histogram collapse (BPE statistics depend only on the histogram) partial-aggregates map-side to a vocabulary-sized table, and every merge round then runs over the VOCABULARY: one pair-count HashAggregate plus a 1-row argmax collect (the bounded-driver-set contract, k-means edition), so rounds cost O(distinct words) no matter how many bytes were crawled. The double-sentinel token encoding makes the engine-native LTR replace reproduce true BPE non-overlapping merge order byte-identically on both engines. The histogram itself is ADAPTIVE on the duplication probe — replicated corpora collapse by text (the text is the group KEY, so map-side partials compact replicas before the exchange) with word counts as member-weight sums. The final plan is the LocalTableScan of the learned merge table — the real work is the per-round aggregates above it.",
     "q69_embed_decontaminate" ->
@@ -120,7 +120,7 @@ object ExplainDump {
     "q81_collocations" ->
       "Integer-PMI collocations, ADAPTIVE on the duplication probe: both token aggregations (unigram, bigram) are pure functions of the text, so a replicated corpus computes them once per DISTINCT text with counts as member-weight sums (bit-identical — floor division is invariant under uniform count scaling, spec-pinned; sf100 5 M docs 16.5 → 11.3 s). NOTHING corpus-sized is cached (an earlier draft cached the token arrays and OOM'd at 5 M docs): only the VOCABULARY-sized unigram table caches, pinned broadcast on both joins, so nothing corpus-sized shuffles except the bigram aggregate itself — map-side partials. assoc = ((c_xy·S) div c_x)·N div c_y in a fixed floor-division order — engine-exact, and its ordering IS true PMI ordering (log is monotone). The 1-row N aggregate is collected once (bounded-driver-set contract).",
     "q87_oov_rate" ->
-      "Vocabulary coverage: ONE token aggregation (map-side partials) builds the frequency table, TakeOrdered trims it to the top-V vocabulary (per-partition heaps, never a global sort), the vocabulary broadcasts, and the OOV decision is a broadcast left join + integer aggregate over the token stream — the corpus shuffles once (the count), everything else is map-only. oov_ppm is integer floor division: engine-exact.",
+      "Vocabulary coverage: ONE tokenize pass (r16) — the token stream compacts to per-(lang, word) counts (vocabulary-sized per language, map-side partials), and BOTH the top-V vocabulary (TakeOrdered — per-partition heaps, never a global sort) and the per-lang OOV aggregate consume that frame, so the corpus is exploded once and the OOV join probes vocab×lang rows instead of every token occurrence. Counts recover exactly as sums — bit-identical. oov_ppm is integer floor division: engine-exact.",
     "q88_warc_roundtrip" ->
       "WARC round-trip through the REAL sink and source: foreachPartition writes gzipped WARC shards (warcinfo + HTTP response records — one file per partition, attempt-id-named so speculative retries can't interleave; shard count follows the core count, gzip being single-threaded per shard), the binaryFile source reads them back through the record + HTTP parsers as ONE mapPartitions (map-only; shard-parallel, which is how 100 TB of WARC actually parallelizes — per-FILE, the WARC format having no intra-file split points without an index). The face verifies EVERY recovered body byte-exactly via per-source order-insensitive md5-prefix sums — one output row per source, no O(corpus) sort (measured 31.7→12.5 s at sf100). The only exchange is the tiny per-source aggregate.",
     "q84_robots_batch" ->
