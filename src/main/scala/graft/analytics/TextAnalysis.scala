@@ -260,10 +260,17 @@ object TextAnalysis {
   private[graft] def postingsDirect(df: DataFrame, idCol: String,
                                     textCol: String, shingleN: Int,
                                     minDf: Long, maxDf: Long): DataFrame = {
+    // native distinct_shingles (r16): the column-algebra spelling
+    // array_distinct(shingles(words(text))) re-evaluates the inline
+    // tokenize subtree inside the transform lambda PER ELEMENT —
+    // O(words²) interpreted work per doc (the ShingleOps finding) —
+    // where the codegen'd expression is one pass. Documented
+    // bit-identical output. Measured (sf0.1, isolated): q80 wall
+    // ~2.1 → 1.33 s (min-of-4), executor task time 30.3 → 6.4 s.
     val terms = graft.plans.InputWidth.widen(df)
       .select(col(idCol).as("doc"),
-        explode(array_distinct(
-          Dedup.shingles(Dedup.words(col(textCol)), shingleN))).as("term"))
+        explode(graft.functions.TextHashExpressions
+          .distinctShingles(col(textCol), shingleN)).as("term"))
     val keep = terms.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf && col("df") <= maxDf)
     terms.join(keep, "term")
@@ -293,9 +300,11 @@ object TextAnalysis {
       .select(md5(col(textCol)).as("digest"), col(idCol).as("rep"),
         col(textCol).as("rtext"))
       .join(agg, Seq("digest", "rep"))
+    // native distinct_shingles — same O(words²)→one-pass fix as the
+    // direct path above
     val rterms = reps.select(col("digest"), col("weight"),
-      explode(array_distinct(
-        Dedup.shingles(Dedup.words(col("rtext")), shingleN))).as("term"))
+      explode(graft.functions.TextHashExpressions
+        .distinctShingles(col("rtext"), shingleN)).as("term"))
     val keep = rterms.groupBy("term").agg(sum(col("weight")).as("df"))
       .where(col("df") >= minDf && col("df") <= maxDf)
     val members = df.select(md5(col(textCol)).as("digest"), col(idCol).as("doc"))

@@ -29,8 +29,17 @@ object PlanDump {
       .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
       .foreach { name =>
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
-        val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+        // SPARK_GRAFT_PLAN_FINAL=1: execute first and dump the FINAL
+        // adaptive plan — shows what AQE actually ran (ReusedQueryStage
+        // dedup, AQEShuffleRead coalescing, runtime join strategy),
+        // which the pre-execution plan cannot.
+        val plan =
+          if (sys.env.contains("SPARK_GRAFT_PLAN_FINAL")) {
+            df.queryExecution.toRdd.count(): Unit
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+          } else df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
         Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
           plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         println(s"wrote $outDir/${name}_$suffix.txt")

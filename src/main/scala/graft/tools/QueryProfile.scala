@@ -49,7 +49,9 @@ object QueryProfile {
         if (detail) {
           val si = sc.stageInfo
           val ms = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
-          stageRows.add(f"    stage ${si.stageId}%4d ${si.numTasks}%5d tasks ${ms.getOrElse(-1L)}%6d ms  ${si.name.take(90)}")
+          val exec = si.taskMetrics.executorRunTime
+          val cpu = si.taskMetrics.executorCpuTime / 1000000L
+          stageRows.add(f"    stage ${si.stageId}%4d ${si.numTasks}%5d tasks ${ms.getOrElse(-1L)}%6d ms wall ${exec}%7d ms run ${cpu}%7d ms cpu  ${si.name.take(70)}")
         }
       }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =

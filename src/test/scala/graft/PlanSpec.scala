@@ -39,6 +39,28 @@ class PlanSpec extends AnyFunSuite {
       .count(_.contains("Exchange hashpartitioning"))
   }
 
+  /** Hash exchanges in the FINAL adaptive plan only (the executed-plan
+    * string appends the pre-execution "== Initial Plan ==", whose
+    * exchanges may be deduplicated at runtime via ReusedExchange —
+    * counting them double-bills a reused stage). Returns the final
+    * count and whether any exchange was runtime-reused. */
+  private def finalShuffles(name: String): (Int, Boolean) = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    // toRdd (the bench's own action): count() wraps the query in a new
+    // Dataset whose execution did NOT runtime-reuse the canonically
+    // identical exchanges (observed: two copies of the (doc,bkt)
+    // exchange under count(), ReusedExchange under toRdd) — measure
+    // the plan the bench actually runs.
+    df.queryExecution.toRdd.count(): Unit
+    val s = df.queryExecution.executedPlan.toString
+    val fin = s.split("== Initial Plan ==")(0)
+    // a ReusedExchange line embeds the reused exchange's description in
+    // its argString — it is a stage-cache HIT, not a second shuffle
+    (fin.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange")),
+      fin.contains("ReusedExchange"))
+  }
+
   test("q01: shipdate filter pushed to parquet scan, schema pruned") {
     val s = scans("q01_pricing_summary")
     assert(s.nonEmpty)
@@ -161,7 +183,7 @@ class PlanSpec extends AnyFunSuite {
     assert(shuffles("q61_temperature_sample") <= 2)
   }
 
-  test("q67 DSIR: ratio LUT broadcasts, top-k is TakeOrdered, ≤2 hash shuffles") {
+  test("q67 DSIR: ratio LUT broadcasts, top-k is TakeOrdered, one tokenize pass") {
     val df = SparkEntry.queries("q67_dsir_topk")(spark, sf)
     df.count()
     val plan = df.queryExecution.executedPlan.toString
@@ -169,10 +191,15 @@ class PlanSpec extends AnyFunSuite {
     // be per-partition heaps, never a global sort
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
-    // hash shuffles: the bucket-count agg and the per-doc score agg —
-    // both compacted by map-side partials; the corpus never
-    // hash-shuffles raw tokens past them
-    assert(shuffles("q67_dsir_topk") <= 2)
+    // r16 shape: the token stream compacts to per-(doc, bucket) counts
+    // whose exchange BOTH consumers share — ≤3 hash shuffles in the
+    // final plan (the compacted (doc,bkt) frame, the 4096-bucket count
+    // agg, the per-doc score agg; all map-side partial-aggregated) and
+    // the (doc,bkt) exchange must be runtime-REUSED, which is what
+    // makes the tokenize+md5 corpus pass run once.
+    val (n, reused) = finalShuffles("q67_dsir_topk")
+    assert(n <= 3, s"final-plan hash shuffles: $n")
+    assert(reused, "expected ReusedExchange (single tokenize pass) in the final plan")
   }
 
   test("q69 embed decontamination: eval side broadcast, one hash shuffle") {
