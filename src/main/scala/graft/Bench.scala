@@ -17,7 +17,11 @@ object Bench {
   private[graft] val buildInputs = Seq("src/", "project/", "tools/", "build.sbt")
 
   /** Seconds rounded to 1 ms as a minimal JSON literal (Locale-free —
-    * Double.toString never renders a locale comma). Pure (spec-tested). */
+    * Double.toString never renders a locale comma). Rounding is
+    * math.rint's HALF-TO-EVEN (banker's): 0.0005 renders "0" and
+    * 0.5125 renders "0.512", not the conventional half-up — noted
+    * because it is ~1000× below host noise, not worth a format change
+    * in the driver-parsed line (ADVICE r16). Pure (spec-tested). */
   private[graft] def round3(v: Double): String = {
     val r = math.rint(v * 1000.0) / 1000.0
     val s = java.math.BigDecimal.valueOf(r).stripTrailingZeros().toPlainString

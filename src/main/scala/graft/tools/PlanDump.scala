@@ -33,13 +33,10 @@ object PlanDump {
         // adaptive plan — shows what AQE actually ran (ReusedQueryStage
         // dedup, AQEShuffleRead coalescing, runtime join strategy),
         // which the pre-execution plan cannot.
-        val plan =
-          if (sys.env.contains("SPARK_GRAFT_PLAN_FINAL")) {
-            df.queryExecution.toRdd.count(): Unit
-            df.queryExecution.explainString(
-              org.apache.spark.sql.execution.FormattedMode)
-          } else df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
+        if (sys.env.contains("SPARK_GRAFT_PLAN_FINAL"))
+          df.queryExecution.toRdd.count(): Unit
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
         Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
           plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         println(s"wrote $outDir/${name}_$suffix.txt")

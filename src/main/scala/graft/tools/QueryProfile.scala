@@ -34,18 +34,24 @@ object QueryProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    @volatile var jobs = 0
-    @volatile var stages = 0
-    @volatile var tasks = 0
-    @volatile var taskNanos = 0L
+    // AtomicLongs + a deterministic bus drain (ADVICE r16): the old
+    // @volatile-with-`+=` counters were reset on the main thread while
+    // the ASYNC listener bus could still be delivering the previous
+    // query's events (the 120 ms sleep was a heuristic), so metrics
+    // could bleed between queries/reps.
+    import java.util.concurrent.atomic.AtomicLong
+    val jobs = new AtomicLong(0)
+    val stages = new AtomicLong(0)
+    val tasks = new AtomicLong(0)
+    val taskNanos = new AtomicLong(0L)
     val stageRows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val detail = sys.env.contains("SPARK_GRAFT_PROFILE_STAGES")
     val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet(): Unit
       override def onJobEnd(je: SparkListenerJobEnd): Unit = ()
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        stages += 1
-        tasks += sc.stageInfo.numTasks
+        stages.incrementAndGet(): Unit
+        tasks.addAndGet(sc.stageInfo.numTasks): Unit
         if (detail) {
           val si = sc.stageInfo
           val ms = for {s <- si.submissionTime; c <- si.completionTime} yield c - s
@@ -55,7 +61,7 @@ object QueryProfile {
         }
       }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        if (te.taskInfo != null) taskNanos += (te.taskInfo.duration * 1000000L)
+        if (te.taskInfo != null) taskNanos.addAndGet(te.taskInfo.duration * 1000000L): Unit
     }
     spark.sparkContext.addSparkListener(listener)
 
@@ -71,16 +77,19 @@ object QueryProfile {
     println(f"${"query"}%-34s ${"total"}%7s ${"constr"}%7s ${"action"}%7s ${"jobs"}%5s ${"stages"}%6s ${"tasks"}%6s ${"taskSec"}%8s")
     names.foreach { name =>
       val best = (1 to reps).map { _ =>
-        jobs = 0; stages = 0; tasks = 0; taskNanos = 0L; stageRows.clear()
+        // deterministic drain BEFORE the reset: no event from the
+        // previous query/rep can land after the counters are zeroed
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
+        jobs.set(0); stages.set(0); tasks.set(0); taskNanos.set(0L); stageRows.clear()
         val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         val t1 = System.nanoTime()
         df.queryExecution.toRdd.count()
         val t2 = System.nanoTime()
-        Thread.sleep(120) // let the listener bus drain (private API)
+        org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
         graft.analytics.CheckpointRegistry.releaseAll()
         spark.catalog.clearCache()
-        (t2 - t0, t1 - t0, t2 - t1, jobs, stages, tasks, taskNanos)
+        (t2 - t0, t1 - t0, t2 - t1, jobs.get, stages.get, tasks.get, taskNanos.get)
       }.minBy(_._1)
       println(f"$name%-34s ${best._1 / 1e9}%7.2f ${best._2 / 1e9}%7.2f ${best._3 / 1e9}%7.2f ${best._4}%5d ${best._5}%6d ${best._6}%6d ${best._7 / 1e9}%8.2f")
       if (detail) stageRows.forEach(r => println(r))

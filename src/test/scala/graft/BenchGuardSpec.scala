@@ -80,9 +80,12 @@ class BenchGuardSpec extends AnyFunSuite {
     // the REAL query names at 1 ms precision must fit the driver's
     // observed ≥3.9 KB stdout tail window together with the ~350 B
     // compact header — this trips if someone adds enough queries (or
-    // long enough names) to push the final line past the window
+    // long enough names) to push the final line past the window.
+    // Width per value sized at 999999.999 (ADVICE r16): a ≥10 000 s
+    // query — plausible at sf1000 — renders 10 chars, and the guard
+    // must certify the widest line a real campaign can emit.
     val line = SparkEntry.queries.keys
-      .map(k => "\"" + k + "\":" + Bench.round3(9999.999)).mkString("{", ",", "}")
+      .map(k => "\"" + k + "\":" + Bench.round3(999999.999)).mkString("{", ",", "}")
     assert(line.length < 3500, s"queries map too long for the tail window: ${line.length}")
   }
 
