@@ -44,9 +44,15 @@ object Decontaminate {
     * and first_match = the smallest benchmark id owning a shared gram.
     * Docs shorter than k words have no shingles and never appear. */
   def ngramHits(corpus: DataFrame, bench: DataFrame, idCol: String,
-                textCol: String, k: Int): DataFrame = {
-    val bg = benchGrams(bench, idCol, textCol, k)
-    if (Dedup.noVerbatimDups(corpus, textCol, textCol))
+                textCol: String, k: Int,
+                corpusNoDups: Option[Boolean] = None,
+                benchNoDups: Option[Boolean] = None): DataFrame = {
+    // corpusNoDups / benchNoDups: optional PRECOMPUTED duplication-
+    // probe answers (see [[Dedup.nearDupComponents]]'s `noDups`) —
+    // composite pipelines fuse the probe scans into one pass; routing
+    // and output are unchanged.
+    val bg = benchGrams(bench, idCol, textCol, k, benchNoDups)
+    if (corpusNoDups.getOrElse(Dedup.noVerbatimDups(corpus, textCol, textCol)))
       directHits(corpus, bg, idCol, textCol, k)
     else collapsedHits(corpus, bg, idCol, textCol, k)
   }
@@ -101,9 +107,11 @@ object Decontaminate {
     // (measured 30 → ~2 s at a 100×-replicated sf10). The bloom
     // prefilter applies to the rep gram stream the same way.
     if (Dedup.noVerbatimDups(corpus, textCol, textCol)) {
+      // widened scan (r17): same starved-scan repair as [[directHits]]
       val grams = prefiltered(docGrams(
-        withGs(corpus.select(col(idCol).cast("long").as("doc_id"),
-          col(textCol)), textCol, k), "doc_id"))
+        withGs(graft.plans.InputWidth.widen(
+          corpus.select(col(idCol).cast("long").as("doc_id"),
+            col(textCol))), textCol, k), "doc_id"))
       grams.join(bg.hint("merge"), "g")
         .groupBy("doc_id", "n_shingles")
         .agg(count(lit(1)).as("n_hits"), min("bench_id").as("first_match"))
@@ -150,9 +158,10 @@ object Decontaminate {
     * dup-free benchmark the collapse is pure overhead and the direct
     * explode runs. */
   private def benchGrams(bench: DataFrame, idCol: String, textCol: String,
-                         k: Int): DataFrame = {
+                         k: Int,
+                         noDups: Option[Boolean] = None): DataFrame = {
     val perDoc =
-      if (Dedup.noVerbatimDups(bench, textCol, textCol))
+      if (noDups.getOrElse(Dedup.noVerbatimDups(bench, textCol, textCol)))
         bench.select(col(idCol).cast("long").as("bench_id"), col(textCol))
       else {
         val mins = bench
@@ -370,15 +379,19 @@ object Decontaminate {
     // functions of the TEXT, so shingling replicas is pure waste.
     val refRows =
       if (Dedup.noVerbatimDups(ref, textCol, textCol))
-        ref.select(col(textCol))
+        // widened scan (r17): the reference side is corpus-sized too,
+        // and its shingle pass is the same CPU-dense starved scan
+        graft.plans.InputWidth.widen(ref.select(col(textCol)))
       else repTexts(ref, idCol, textCol).select(col(textCol))
     val refGrams = refRows
       .select(explode_outer(graft.functions.TextHashExpressions
         .distinctShingles(col(textCol), k)).as("g"))
       .where(col("g").isNotNull).distinct()
     if (Dedup.noVerbatimDups(df, textCol, textCol)) {
+      // widened scan (r17): same starved-scan repair as [[directHits]]
       val grams = docGrams(
-        withGs(df.select(col(idCol).cast("long").as("doc_id"), col(textCol)),
+        withGs(graft.plans.InputWidth.widen(
+          df.select(col(idCol).cast("long").as("doc_id"), col(textCol))),
           textCol, k), "doc_id")
         .where(col("g").isNotNull)
       noveltyRank(grams, refGrams, "doc_id", topK)
@@ -428,13 +441,20 @@ object Decontaminate {
       .orderBy(col("novelty_ppm").desc, col(keyName))
       .limit(topK)
 
-  /** Doc-level pipeline: one shingle pass per corpus ROW. */
+  /** Doc-level pipeline: one shingle pass per corpus ROW. The scan is
+    * WIDENED (r17, the [[attribution]] pattern): shingling is
+    * CPU-dense per row, and a compact single-row-group corpus pins it
+    * to one task (measured 0.8 s serial inside q90 at sf0.1 while 31
+    * cores idle); [[graft.plans.InputWidth]] repartitions only when
+    * the physical input cannot feed every core — a no-op at cluster
+    * scale. */
   private[graft] def directHits(corpus: DataFrame, bg: DataFrame,
                                     idCol: String, textCol: String,
                                     k: Int): DataFrame = {
     val grams = docGrams(
-      withGs(corpus.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol)), textCol, k), "doc_id")
+      withGs(graft.plans.InputWidth.widen(
+        corpus.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol))), textCol, k), "doc_id")
     grams.join(broadcast(bg), "g")
       .groupBy("doc_id", "n_shingles")
       .agg(count(lit(1)).as("n_hits"), min("bench_id").as("first_match"))
@@ -488,9 +508,11 @@ object Decontaminate {
   private[graft] def dupSpansDirect(corpus: DataFrame, idCol: String,
                                     textCol: String, k: Int,
                                     minDf: Long): DataFrame = {
+    // widened scan (r17): same starved-scan repair as [[directHits]]
     val grams = docGrams(
-      withGs(corpus.select(col(idCol).cast("long").as("doc_id"),
-        col(textCol)), textCol, k), "doc_id")
+      withGs(graft.plans.InputWidth.widen(
+        corpus.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol))), textCol, k), "doc_id")
     val dfTab = grams.groupBy("g").agg(count(lit(1)).as("df"))
     grams.join(dfTab, "g")
       .groupBy("doc_id", "n_shingles")
@@ -513,11 +535,17 @@ object Decontaminate {
       md5(col(textCol)).as("digest"))
     val reps = members.groupBy("digest")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("weight"))
-    val repRows = corpus
+    val joined = corpus
       .select(col(idCol).cast("long").as("m_id"), col(textCol))
       .join(reps.withColumnRenamed("digest", "r_digest"),
         col("m_id") === col("rep"))
       .select(col("r_digest").as("digest"), col("weight"), col(textCol))
+    // starved-scan repair (r17): see [[collapsedHits]]
+    val repRows =
+      if (graft.plans.InputWidth.isNarrow(corpus)) {
+        val w = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        joined.repartition(w)
+      } else joined
     val grams = withGs(repRows, textCol, k)
       .select(col("digest"), col("weight"),
         size(col("gs")).as("n_shingles"), explode_outer(col("gs")).as("g"))
@@ -542,11 +570,20 @@ object Decontaminate {
     val members = corpus.select(col(idCol).cast("long").as("doc_id"),
       md5(col(textCol)).as("digest"))
     val repIds = members.groupBy("digest").agg(min("doc_id").as("rep"))
-    val repRows = corpus
+    val joined = corpus
       .select(col(idCol).cast("long").as("m_id"), col(textCol))
       .join(repIds.withColumnRenamed("digest", "r_digest"),
         col("m_id") === col("rep"))
       .select(col("r_digest").as("digest"), col(textCol))
+    // starved-scan repair (r17, the digestReps pattern): never widen
+    // the corpus-streaming join-back side; when the SCAN is narrow,
+    // repartition the (rep-sized) joined frame so the CPU-dense
+    // shingle pass runs at full width above it.
+    val repRows =
+      if (graft.plans.InputWidth.isNarrow(corpus)) {
+        val w = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        joined.repartition(w)
+      } else joined
     val hitsByDigest = docGrams(withGs(repRows, textCol, k), "digest")
       .join(broadcast(bg), "g")
       .groupBy("digest", "n_shingles")

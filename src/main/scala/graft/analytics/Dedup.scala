@@ -596,8 +596,15 @@ object Dedup {
     * when the component map is small. */
   def nearDupComponents(df: DataFrame, idCol: String, textCol: String,
                         groupCol: String, maxBucket: Int = 1024,
-                        maxIterations: Int = 20): DataFrame =
-    if (noVerbatimDups(df, textCol, groupCol)) {
+                        maxIterations: Int = 20,
+                        noDups: Option[Boolean] = None): DataFrame =
+    // `noDups`: optional PRECOMPUTED [[noVerbatimDups]](df, textCol,
+    // groupCol) answer — composite pipelines (q90) that run several
+    // adaptive operators over the same corpus can fuse the probe scans
+    // into one pass (guide §2.4) and hand each operator its answer;
+    // routing (and therefore output, both paths being bit-identical)
+    // is unchanged, only the redundant probe scan disappears.
+    if (noDups.getOrElse(noVerbatimDups(df, textCol, groupCol))) {
       // no verbatim duplicates: the rep graph IS the doc graph and the
       // expansion join is an identity — cluster doc-level pairs
       // directly and skip the collapse, the digest→component map, and
