@@ -27,7 +27,7 @@ object ProfileQ100 {
         encode(col("text"), "UTF-8").as("content"),
         lit(Timestamp.valueOf("2026-06-01 00:00:00")).cast("timestamp_ntz").as("fetch_time"))
       .where(col("url").isNotNull)
-    (1 to 2).foreach { rep =>
+    (1 to 6).foreach { rep =>
       leg("shuffleOnly") {
         batch0.select(sha2(col("url"), 256).as("url_sha256"),
             substring(sha2(col("url"), 256), 1, 2).as("shard"), col("url"))
@@ -54,6 +54,21 @@ object ProfileQ100 {
       leg("partByNoRep") {
         keyed.write.mode("append")
           .partitionBy("shard").parquet(Scratch.dir("graft_q100pn_").toString)
+      }
+      leg("partBy32v2") {
+        keyed.repartition(32, col("shard")).write.mode("append")
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .partitionBy("shard").parquet(Scratch.dir("graft_q100v2_").toString)
+      }
+      leg("partBy8v2") {
+        keyed.repartition(8, col("shard")).write.mode("append")
+          .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          .partitionBy("shard").parquet(Scratch.dir("graft_q100v28_").toString)
+      }
+      leg("partBy32cw") {
+        keyed.repartition(32, col("shard")).write.mode("append")
+          .option("maxConcurrentOutputFileWriters", "16")
+          .partitionBy("shard").parquet(Scratch.dir("graft_q100cw_").toString)
       }
     }
     (1 to 2).foreach { rep =>
